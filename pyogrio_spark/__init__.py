@@ -1,0 +1,24 @@
+"""pyogrio_spark — a PySpark-native bulk vector I/O + spatial join engine.
+
+A from-scratch re-expression of the query semantics of pyogrio
+(reference: /root/reference, pyogrio 0.13.0) on Spark DataFrames:
+
+- bulk columnar scans with column projection, attribute ``where``
+  predicates, spatial bbox/mask filters, FID lookup and row ranges
+  (reference contract: pyogrio/raw.py:39-218, pyogrio/_io.pyx:1621-1875)
+- geometry carried as WKB ``binary`` columns, decoded in vectorized
+  batches (reference: pyogrio/_io.pyx:977-1025 process_geometry)
+- a hierarchical grid cell index (H3/S2 stand-in, pure integer math so
+  cell assignment runs JVM-side inside whole-stage codegen)
+- spatial operators pyogrio users get from geopandas/shapely on one
+  node, rebuilt for a cluster: point-in-polygon join, kNN join, range
+  join, zonal stats, tile assignment — with explicit partitioning,
+  hot-cell salting and checkpoint/lineage.
+
+Nothing here binds GDAL; storage is Parquet (Iceberg-shaped commit
+protocol in pyogrio_spark.io.writer).
+"""
+
+__version__ = "0.1.0"
+
+from pyogrio_spark.session import get_spark  # noqa: F401

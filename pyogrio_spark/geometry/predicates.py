@@ -1,0 +1,146 @@
+"""Vectorized geometry predicates (numpy; no GEOS).
+
+The reference delegates exact spatial predicates to GEOS via GDAL
+(`intersects` semantics of bbox/mask filters,
+/root/reference/pyogrio/_io.pyx:862-908, exactness note
+/root/reference/pyogrio/core.py:207-212). We re-implement the kernels
+the engine needs — point-in-polygon (even-odd ray cast), segment-vs-box
+intersection, box containment classification — as numpy array ops, so a
+grouped pandas-UDF refine stage tests thousands of points per call with
+no per-row Python.
+
+Boundary convention: ray-cast uses half-open edges ([ymin, ymax) in y,
+strict crossing in x), consistent between engine and in-repo oracle by
+construction (both call this module).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyogrio_spark.geometry.wkb import Geom, parse_wkb
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast of many points against one ring. O(|pts|*|edges|)
+    in numpy; rings here are small (fixture zones), points are the batch."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    cross = cond & (px < xi)
+    return cross.sum(axis=1) % 2 == 1
+
+
+def _iter_polygons(g: Geom):
+    if g.type == "Polygon":
+        yield g.coords
+    elif g.type in ("MultiPolygon", "GeometryCollection"):
+        for p in g.coords:
+            yield from _iter_polygons(p)
+
+
+def points_in_polygon(px, py, wkb: bytes) -> np.ndarray:
+    """Vectorized PIP for Polygon/MultiPolygon WKB (even-odd incl. holes)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    g = parse_wkb(wkb, force_2d=True)
+    for rings in _iter_polygons(g):
+        crossings = np.zeros(px.shape[0], dtype=np.int64)
+        for ring in rings:
+            crossings += points_in_ring(px, py, ring).astype(np.int64)
+        inside |= crossings % 2 == 1
+    return inside
+
+
+def seg_intersects_box(x0, y0, x1, y1, bxmin, bymin, bxmax, bymax) -> np.ndarray:
+    """Vectorized: does each segment (x0,y0)-(x1,y1) intersect the box?
+
+    Separating-axis test: segment bbox overlap + box corners not all on
+    one side of the segment line.
+    """
+    x0, y0, x1, y1 = (np.asarray(a, dtype=np.float64) for a in (x0, y0, x1, y1))
+    overlap = (
+        (np.minimum(x0, x1) <= bxmax)
+        & (np.maximum(x0, x1) >= bxmin)
+        & (np.minimum(y0, y1) <= bymax)
+        & (np.maximum(y0, y1) >= bymin)
+    )
+    dx, dy = x1 - x0, y1 - y0
+    # signed area of each box corner relative to the segment line
+    s1 = dx * (bymin - y0) - dy * (bxmin - x0)
+    s2 = dx * (bymin - y0) - dy * (bxmax - x0)
+    s3 = dx * (bymax - y0) - dy * (bxmin - x0)
+    s4 = dx * (bymax - y0) - dy * (bxmax - x0)
+    all_pos = (s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)
+    all_neg = (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+    return overlap & ~(all_pos | all_neg)
+
+
+class PreparedPolygon:
+    """Pre-parsed polygon for repeated point tests and box classification
+    (the Spark-side analogue of a prepared GEOS geometry behind
+    shapely.STRtree refine)."""
+
+    __slots__ = ("rings", "bbox", "wkb")
+
+    def __init__(self, wkb: bytes):
+        self.wkb = wkb
+        g = parse_wkb(wkb, force_2d=True)
+        self.rings: list[np.ndarray] = []
+        for rings in _iter_polygons(g):
+            self.rings.extend(rings)
+        if not self.rings:
+            raise ValueError(f"not a polygonal geometry: {g.type}")
+        allpts = np.vstack(self.rings)
+        self.bbox = (
+            float(allpts[:, 0].min()),
+            float(allpts[:, 1].min()),
+            float(allpts[:, 0].max()),
+            float(allpts[:, 1].max()),
+        )
+
+    def contains_points(self, px, py) -> np.ndarray:
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        xmin, ymin, xmax, ymax = self.bbox
+        pre = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        out = np.zeros(px.shape[0], dtype=bool)
+        if pre.any():
+            idx = np.nonzero(pre)[0]
+            crossings = np.zeros(idx.shape[0], dtype=np.int64)
+            for ring in self.rings:
+                crossings += points_in_ring(px[idx], py[idx], ring).astype(np.int64)
+            out[idx] = crossings % 2 == 1
+        return out
+
+    def classify_box(self, bxmin, bymin, bxmax, bymax) -> str:
+        """'full' (box entirely inside), 'partial' (intersects boundary),
+        or 'none'. 'full' boxes skip the exact PIP refine at join time —
+        the interior-cell shortcut that makes a 100-TB PIP join cheap."""
+        xmin, ymin, xmax, ymax = self.bbox
+        if bxmin > xmax or bxmax < xmin or bymin > ymax or bymax < ymin:
+            return "none"
+        edge_hit = False
+        for ring in self.rings:
+            hits = seg_intersects_box(
+                ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1], bxmin, bymin, bxmax, bymax
+            )
+            if hits.any():
+                edge_hit = True
+                break
+        corners_in = self.contains_points(
+            np.array([bxmin, bxmax, bxmin, bxmax]), np.array([bymin, bymin, bymax, bymax])
+        )
+        if not edge_hit and corners_in.all():
+            return "full"
+        if edge_hit or corners_in.any():
+            return "partial"
+        # box may fully contain the polygon
+        if bxmin <= xmin and bxmax >= xmax and bymin <= ymin and bymax >= ymax:
+            return "partial"
+        return "none"

@@ -1,0 +1,278 @@
+"""Pure-numpy WKB codec (no GDAL/shapely dependency).
+
+The reference materializes every geometry as WKB bytes on read
+(/root/reference/pyogrio/_io.pyx:977-1025 ``process_geometry`` ->
+``OGR_G_ExportToWkb``) and re-imports WKB on write
+(/root/reference/pyogrio/_io.pyx:3072-3098). We keep the same contract:
+geometry travels through the engine as a ``binary`` column of ISO WKB,
+decoded only inside vectorized batch code.
+
+Normalizations mirror the reference's read-time behavior:
+- M coordinates are always stripped (/root/reference/pyogrio/_io.pyx:1009-1010);
+- Z is kept unless ``force_2d`` (/root/reference/pyogrio/_io.pyx:1012-1013);
+- unparseable WKB follows the ``on_invalid`` policy of
+  /root/reference/pyogrio/geopandas.py:273-285 (raise | warn | ignore).
+
+Fast paths: uniform 2-D little-endian Point batches encode/decode as a
+single (n, 21)-byte ndarray reshuffle — the per-batch analogue of the
+reference's chunked columnar loop (/root/reference/pyogrio/_io.pyx:1280-1311).
+"""
+
+from __future__ import annotations
+
+import struct
+import warnings
+
+import numpy as np
+
+# WKB geometry type codes (ISO); Z = +1000, M = +2000, ZM = +3000,
+# and EWKB-style high-bit flags 0x80000000 (Z) / 0x40000000 (M) are
+# accepted on parse. Names per /root/reference/pyogrio/_geometry.pyx:10-68.
+GEOM_TYPE_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+
+_POINT_LE_2D = b"\x01\x01\x00\x00\x00"  # little-endian 2-D point header
+
+
+class WKBError(ValueError):
+    pass
+
+
+def _base_type(code: int) -> tuple[int, bool, bool]:
+    """raw wkb type code -> (base 1..7, has_z, has_m)."""
+    has_z = bool(code & 0x80000000)
+    has_m = bool(code & 0x40000000)
+    code &= 0x0FFFFFFF
+    if code >= 3000:
+        return code - 3000, True, True
+    if code >= 2000:
+        return code - 2000, has_z, True
+    if code >= 1000:
+        return code - 1000, True, has_m
+    return code, has_z, has_m
+
+
+class Geom:
+    """Parsed geometry: type name + coordinate arrays.
+
+    coords: Point -> (dim,) ndarray; LineString -> (n, dim);
+    Polygon -> list[(n, dim)] rings (first exterior);
+    Multi*/Collection -> list[Geom].
+    """
+
+    __slots__ = ("type", "coords", "has_z")
+
+    def __init__(self, type_: str, coords, has_z: bool = False):
+        self.type = type_
+        self.coords = coords
+        self.has_z = has_z
+
+    def __repr__(self):  # pragma: no cover
+        return f"<Geom {self.type}{' Z' if self.has_z else ''}>"
+
+
+def parse_wkb(buf: bytes, force_2d: bool = False) -> Geom:
+    """Parse one WKB geometry. Strips M always; strips Z if force_2d."""
+    geom, off = _parse(memoryview(buf), 0, force_2d)
+    return geom
+
+
+def _parse(mv: memoryview, off: int, force_2d: bool) -> tuple[Geom, int]:
+    if len(mv) - off < 5:
+        raise WKBError("truncated WKB header")
+    bo = "<" if mv[off] == 1 else ">"
+    (raw_type,) = struct.unpack_from(bo + "I", mv, off + 1)
+    base, has_z, has_m = _base_type(raw_type)
+    off += 5
+    dim = 2 + has_z + has_m
+    keep_z = has_z and not force_2d
+
+    def read_coords(n, off):
+        need = n * dim * 8
+        if len(mv) - off < need:
+            raise WKBError("truncated WKB coordinates")
+        a = np.frombuffer(mv, dtype=np.dtype(bo + "f8"), count=n * dim, offset=off)
+        a = a.reshape(n, dim)
+        # strip M always (reference: _io.pyx:1009-1010), Z if force_2d
+        a = a[:, : (3 if keep_z else 2)]
+        return np.ascontiguousarray(a, dtype=np.float64), off + need
+
+    if base == 1:  # Point
+        pts, off = read_coords(1, off)
+        return Geom("Point", pts[0], keep_z), off
+    if base == 2:  # LineString
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        pts, off = read_coords(n, off + 4)
+        return Geom("LineString", pts, keep_z), off
+    if base == 3:  # Polygon
+        (nrings,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(bo + "I", mv, off)
+            pts, off = read_coords(n, off + 4)
+            rings.append(pts)
+        return Geom("Polygon", rings, keep_z), off
+    if base in (4, 5, 6, 7):
+        (nparts,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _parse(mv, off, force_2d)
+            parts.append(g)
+        name = GEOM_TYPE_NAMES[base]
+        return Geom(name, parts, any(p.has_z for p in parts)), off
+    raise WKBError(f"unsupported WKB type code {raw_type}")
+
+
+def geom_type_name(buf: bytes | None) -> str | None:
+    """Cheap header peek, no full parse (cf. /root/reference/pyogrio/_io.pyx:3073-3086)."""
+    if buf is None or len(buf) < 5:
+        return None
+    bo = "<" if buf[0] == 1 else ">"
+    (raw,) = struct.unpack_from(bo + "I", buf, 1)
+    base, has_z, _ = _base_type(raw)
+    name = GEOM_TYPE_NAMES.get(base)
+    if name is None:
+        return None
+    return name + (" Z" if has_z else "")
+
+
+# ---------------------------------------------------------------- encode
+
+def encode_point(x: float, y: float, z: float | None = None) -> bytes:
+    if z is None:
+        return _POINT_LE_2D + struct.pack("<dd", x, y)
+    return b"\x01\xe9\x03\x00\x00" + struct.pack("<ddd", x, y, z)  # 1001 Z
+
+
+def encode_points(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Vectorized: (n,) lon/lat -> object ndarray of 21-byte WKB points."""
+    lon = np.asarray(lon, dtype="<f8")
+    lat = np.asarray(lat, dtype="<f8")
+    n = lon.shape[0]
+    out = np.empty((n, 21), dtype=np.uint8)
+    out[:, 0:5] = np.frombuffer(_POINT_LE_2D, dtype=np.uint8)
+    out[:, 5:13] = lon.view(np.uint8).reshape(n, 8)
+    out[:, 13:21] = lat.view(np.uint8).reshape(n, 8)
+    raw = out.tobytes()
+    return np.array([raw[i * 21 : (i + 1) * 21] for i in range(n)], dtype=object)
+
+
+def decode_points(wkbs, on_invalid: str = "raise") -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch decode of 2-D point WKB -> (lon, lat) float64.
+
+    Fast path when every row is a uniform 21-byte LE point (the engine's
+    own encoding); falls back to the generic parser per row otherwise.
+    Invalid rows -> NaN under policy ignore/warn, exception under raise
+    (policy contract: /root/reference/pyogrio/geopandas.py:273-285).
+    """
+    items = list(wkbs)
+    n = len(items)
+    if n and all(isinstance(b, (bytes, bytearray)) and len(b) == 21 and b[:5] == _POINT_LE_2D for b in items):
+        arr = np.frombuffer(b"".join(items), dtype=np.uint8).reshape(n, 21)
+        lon = arr[:, 5:13].copy().view("<f8").ravel()
+        lat = arr[:, 13:21].copy().view("<f8").ravel()
+        return lon, lat
+    lon = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    for i, b in enumerate(items):
+        if b is None:
+            continue
+        try:
+            g = parse_wkb(bytes(b))
+            if g.type != "Point":
+                raise WKBError(f"expected Point, got {g.type}")
+            lon[i], lat[i] = g.coords[0], g.coords[1]
+        except (WKBError, struct.error) as e:
+            if on_invalid == "raise":
+                raise
+            if on_invalid == "warn":
+                warnings.warn(f"invalid WKB at row {i}: {e}", stacklevel=2)
+    return lon, lat
+
+
+def _encode_ring(ring: np.ndarray) -> bytes:
+    ring = np.asarray(ring, dtype="<f8")
+    return struct.pack("<I", ring.shape[0]) + ring.tobytes()
+
+
+def encode_linestring(coords) -> bytes:
+    coords = np.asarray(coords, dtype="<f8")
+    if coords.shape[1] == 3:
+        return b"\x01\xea\x03\x00\x00" + _encode_ring(coords)  # 1002 Z
+    return b"\x01\x02\x00\x00\x00" + _encode_ring(coords)
+
+
+def encode_polygon(rings) -> bytes:
+    body = struct.pack("<I", len(rings)) + b"".join(_encode_ring(r) for r in rings)
+    return b"\x01\x03\x00\x00\x00" + body
+
+
+def encode_multipolygon(polygons) -> bytes:
+    """polygons: list of list-of-rings."""
+    body = struct.pack("<I", len(polygons)) + b"".join(encode_polygon(p) for p in polygons)
+    return b"\x01\x06\x00\x00\x00" + body
+
+
+def encode_multipoint(points) -> bytes:
+    pts = np.asarray(points, dtype="<f8")
+    body = struct.pack("<I", pts.shape[0]) + b"".join(encode_point(p[0], p[1]) for p in pts)
+    return b"\x01\x04\x00\x00\x00" + body
+
+
+def encode_multilinestring(lines) -> bytes:
+    body = struct.pack("<I", len(lines)) + b"".join(encode_linestring(l) for l in lines)
+    return b"\x01\x05\x00\x00\x00" + body
+
+
+def encode_collection(wkbs: list[bytes]) -> bytes:
+    return b"\x01\x07\x00\x00\x00" + struct.pack("<I", len(wkbs)) + b"".join(wkbs)
+
+
+# ---------------------------------------------------------------- bounds
+
+def _geom_bounds(g: Geom) -> tuple[float, float, float, float]:
+    if g.type == "Point":
+        x, y = float(g.coords[0]), float(g.coords[1])
+        return x, y, x, y
+    if g.type == "LineString":
+        c = g.coords
+        return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
+    if g.type == "Polygon":
+        ext = g.coords[0]
+        return float(ext[:, 0].min()), float(ext[:, 1].min()), float(ext[:, 0].max()), float(ext[:, 1].max())
+    # multi / collection
+    bs = [_geom_bounds(p) for p in g.coords]
+    if not bs:
+        return np.nan, np.nan, np.nan, np.nan
+    a = np.array(bs)
+    return float(a[:, 0].min()), float(a[:, 1].min()), float(a[:, 2].max()), float(a[:, 3].max())
+
+
+def bounds(buf: bytes | None) -> tuple[float, float, float, float]:
+    """Envelope of one WKB geometry — the ``read_bounds`` kernel
+    (/root/reference/pyogrio/_io.pyx:1561-1605 ``OGR_G_GetEnvelope``)."""
+    if buf is None:
+        return np.nan, np.nan, np.nan, np.nan
+    return _geom_bounds(parse_wkb(buf))
+
+
+def bounds_many(wkbs) -> np.ndarray:
+    """(n, 4) envelope array; vectorized fast path for point batches."""
+    items = list(wkbs)
+    n = len(items)
+    if n and all(isinstance(b, (bytes, bytearray)) and len(b) == 21 and b[:5] == _POINT_LE_2D for b in items):
+        lon, lat = decode_points(items)
+        return np.stack([lon, lat, lon, lat], axis=1)
+    out = np.empty((n, 4))
+    for i, b in enumerate(items):
+        out[i] = bounds(bytes(b)) if b is not None else (np.nan,) * 4
+    return out
