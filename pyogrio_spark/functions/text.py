@@ -1,0 +1,94 @@
+"""Text-analysis column functions for document pipelines.
+
+All JVM-side built-ins (split / array set algebra / regexp) — no Python
+in the per-row path, per the input_hint's "no per-row Python" mandate.
+Heuristics are deterministic so oracle SQL can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic; deliberately small + deterministic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "den"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "人", "这", "中"],
+}
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token_count")
+
+
+def word_piece_count(text_col: str = "text") -> Column:
+    """BPE-ish subword estimate: word tokens + punctuation marks counted
+    separately (regex classes), the standard pre-tokenizer shape."""
+    return (
+        F.regexp_count(F.col(text_col), F.lit(r"\w+")) + F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    ).alias("word_piece_count")
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Stopword-profile language ID: argmax over per-language stopword
+    hit counts in the first 200 tokens; 'und' (undetermined) when no
+    profile matches."""
+    toks = F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), 1, 200)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in LANG_PROFILES.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic in [0, 1]: length band, alpha ratio,
+    punctuation density, mean word length sanity, stopword presence —
+    the usual cheap pre-filters of a training-data pipeline."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tok = F.size(toks)
+    alpha_ratio = F.regexp_count(text, F.lit(r"[A-Za-z]")) / F.greatest(n_chars, F.lit(1))
+    punct_ratio = F.regexp_count(text, F.lit(r"[^\w\s]")) / F.greatest(n_chars, F.lit(1))
+    mean_wlen = n_chars / F.greatest(n_tok, F.lit(1))
+    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), en_stop))
+    len_band = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.3))
+    wlen_band = F.when((mean_wlen >= 2.5) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.4))
+    stop_band = F.when(stop_hits >= 2, F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        len_band * 0.3
+        + wlen_band * 0.2
+        + stop_band * 0.2
+        + F.least(alpha_ratio * F.lit(1.25), F.lit(1.0)) * 0.2
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.1
+    )
+    return score.alias("quality_score")
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Deterministic 64-bit content fingerprint of the normalized text
+    (lower-cased, whitespace collapsed) — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.xxhash64(norm).alias("fingerprint")
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        "*",
+        token_count(text_col),
+        word_piece_count(text_col),
+        lang_id(text_col),
+        quality_score(text_col),
+        fingerprint(text_col),
+    )

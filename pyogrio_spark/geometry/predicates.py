@@ -81,6 +81,26 @@ def seg_intersects_box(x0, y0, x1, y1, bxmin, bymin, bxmax, bymax) -> np.ndarray
     return overlap & ~(all_pos | all_neg)
 
 
+def segs_intersect_segs(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> bool:
+    """Any segment of A intersects any segment of B (vectorized pairwise,
+    proper + touching). A: (n,) arrays, B: (m,) arrays."""
+    ax0, ay0, ax1, ay1 = (np.asarray(v, dtype=np.float64)[:, None] for v in (ax0, ay0, ax1, ay1))
+    bx0, by0, bx1, by1 = (np.asarray(v, dtype=np.float64)[None, :] for v in (bx0, by0, bx1, by1))
+    d1 = (ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0)
+    d2 = (ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0)
+    d3 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)
+    d4 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    collinear_touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+    bb = (
+        (np.minimum(ax0, ax1) <= np.maximum(bx0, bx1))
+        & (np.maximum(ax0, ax1) >= np.minimum(bx0, bx1))
+        & (np.minimum(ay0, ay1) <= np.maximum(by0, by1))
+        & (np.maximum(ay0, ay1) >= np.minimum(by0, by1))
+    )
+    return bool((proper | (collinear_touch & bb)).any())
+
+
 class PreparedPolygon:
     """Pre-parsed polygon for repeated point tests and box classification
     (the Spark-side analogue of a prepared GEOS geometry behind
@@ -144,3 +164,49 @@ class PreparedPolygon:
         if bxmin <= xmin and bxmax >= xmax and bymin <= ymin and bymax >= ymax:
             return "partial"
         return "none"
+
+    def intersects_geom(self, wkb: bytes) -> bool:
+        """Exact ``intersects`` against an arbitrary geometry — the refine
+        step behind pyogrio's mask filter semantics
+        (/root/reference/pyogrio/_io.pyx:887-908: OGR_L_SetSpatialFilter
+        keeps features whose geometry *intersects* the mask)."""
+        g = parse_wkb(wkb, force_2d=True)
+        return self._intersects(g)
+
+    def _ring_edges(self):
+        for ring in self.rings:
+            yield ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]
+
+    def _intersects(self, g: Geom) -> bool:
+        if g.type == "Point":
+            return bool(self.contains_points(g.coords[:1], g.coords[1:2])[0])
+        if g.type in ("MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"):
+            return any(self._intersects(p) for p in g.coords)
+        if g.type == "LineString":
+            pts = g.coords
+            if self.contains_points(pts[:, 0], pts[:, 1]).any():
+                return True
+            return any(
+                segs_intersect_segs(pts[:-1, 0], pts[:-1, 1], pts[1:, 0], pts[1:, 1], ex0, ey0, ex1, ey1)
+                for ex0, ey0, ex1, ey1 in self._ring_edges()
+            )
+        if g.type == "Polygon":
+            ext = g.coords[0]
+            if self.contains_points(ext[:, 0], ext[:, 1]).any():
+                return True
+            for ring in self.rings:
+                # any of our vertices inside the other polygon
+                crossings = np.zeros(ring.shape[0] - 1, dtype=np.int64)
+                for other_ring in g.coords:
+                    crossings += points_in_ring(ring[:-1, 0], ring[:-1, 1], other_ring).astype(np.int64)
+                if (crossings % 2 == 1).any():
+                    return True
+            for other_ring in g.coords:
+                for ex0, ey0, ex1, ey1 in self._ring_edges():
+                    if segs_intersect_segs(
+                        other_ring[:-1, 0], other_ring[:-1, 1], other_ring[1:, 0], other_ring[1:, 1],
+                        ex0, ey0, ex1, ey1,
+                    ):
+                        return True
+            return False
+        return False

@@ -1,0 +1,296 @@
+"""Bulk scan API — the Spark re-expression of ``pyogrio.raw.read``.
+
+Reference contract: /root/reference/pyogrio/raw.py:39-218 and the Cython
+scan ``ogr_read`` (/root/reference/pyogrio/_io.pyx:1621-1875). Parameter
+semantics preserved:
+
+- ``columns``: exact-name projection, **source order preserved**,
+  duplicates dropped (/root/reference/pyogrio/_io.pyx:1741-1763; order
+  tested at /root/reference/pyogrio/tests/test_raw_io.py:167-173).
+- ``where``: restricted SQL predicate; pyogrio pushes it into the OGR
+  driver (/root/reference/pyogrio/_io.pyx:823-859); here Catalyst pushes
+  it into the Parquet scan. OGRSQL's operator set is a strict subset of
+  Spark SQL, so any valid reference ``where`` runs unchanged.
+- ``bbox``: *intersects* semantics (/root/reference/pyogrio/_io.pyx:862-884,
+  exactness note core.py:207-212) — coarse envelope-column predicate
+  (prunable by Parquet min/max stats) + exact refine for non-point rows.
+- ``mask``: arbitrary-geometry intersects (/root/reference/pyogrio/_io.pyx:887-908)
+  — coarse covering-cell predicate + exact vectorized refine.
+  ``bbox`` and ``mask`` are mutually exclusive (_io.pyx:1682-1683).
+- ``fids``: point lookups, exclusive with every other filter
+  (/root/reference/pyogrio/_io.pyx:1658-1670).
+- ``skip_features``/``max_features``: row range over an explicit
+  deterministic ordering — Spark has no source order, so the engine
+  defines it as (cell_id, doc_id)/(fid) (SURVEY.md §7 hard part 2).
+- ``sql`` then filters: pyogrio applies where/bbox *after* a ``sql``
+  result (/root/reference/pyogrio/raw.py:128-135); we preserve that
+  composition order (Catalyst may still fuse them — same results).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pyogrio_spark.geometry import wkb as W
+from pyogrio_spark.geometry.predicates import PreparedPolygon
+from pyogrio_spark.index.cover import cover_polygon
+
+DEFAULT_RES = 7
+
+GEOMETRY_COL = "geometry_wkb"
+BOUNDS_COLS = ("xmin", "ymin", "xmax", "ymax")
+
+
+def _load(spark: SparkSession, source) -> DataFrame:
+    if isinstance(source, DataFrame):
+        return source
+    return spark.read.parquet(str(source))
+
+
+def _order_cols(df: DataFrame) -> list[str]:
+    for cand in (["cell_id", "doc_id"], ["doc_id"], ["fid"]):
+        if all(c in df.columns for c in cand):
+            return cand
+    return [df.columns[0]]
+
+
+def read_table(
+    spark: SparkSession,
+    source,
+    columns: list[str] | None = None,
+    read_geometry: bool = True,
+    where: str | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    mask: bytes | None = None,
+    fids: list | None = None,
+    fid_column: str = "doc_id",
+    skip_features: int = 0,
+    max_features: int | None = None,
+    sql: str | None = None,
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """Bulk columnar scan with pyogrio's filter semantics (see module doc)."""
+    if bbox is not None and mask is not None:
+        # mirror /root/reference/pyogrio/_io.pyx:1682-1683
+        raise ValueError("cannot set both 'bbox' and 'mask'")
+    if fids is not None and (where or bbox is not None or mask is not None or skip_features or max_features):
+        # mirror /root/reference/pyogrio/_io.pyx:1658-1670
+        raise ValueError("'fids' may not be combined with other filters or ranges")
+
+    df = _load(spark, source)
+
+    if sql is not None:
+        df.createOrReplaceTempView("layer")
+        df = spark.sql(sql)
+
+    if fids is not None:
+        df = df.filter(F.col(fid_column).isin(list(fids)))
+
+    if where:
+        df = df.filter(F.expr(where))
+
+    if bbox is not None:
+        df = _apply_bbox(df, bbox)
+
+    if mask is not None:
+        df = _apply_mask(df, mask, res)
+
+    if skip_features or max_features is not None:
+        df = _apply_range(df, skip_features, max_features)
+
+    if columns is not None:
+        # exact-name match, source order, dedup (reference _io.pyx:1741-1763)
+        seen: set[str] = set()
+        keep = [c for c in df.columns if c in set(columns) and not (c in seen or seen.add(c))]
+        extra = ([GEOMETRY_COL] if read_geometry and GEOMETRY_COL in df.columns and GEOMETRY_COL not in keep else [])
+        df = df.select(*keep, *extra)
+    elif not read_geometry and GEOMETRY_COL in df.columns:
+        df = df.drop(GEOMETRY_COL)
+
+    return df
+
+
+def _coarse_bbox_pred(xmin, ymin, xmax, ymax):
+    return (
+        (F.col("xmin") <= F.lit(xmax))
+        & (F.col("xmax") >= F.lit(xmin))
+        & (F.col("ymin") <= F.lit(ymax))
+        & (F.col("ymax") >= F.lit(ymin))
+    )
+
+
+def _apply_bbox(df: DataFrame, bbox) -> DataFrame:
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    if all(c in df.columns for c in BOUNDS_COLS):
+        df = df.filter(_coarse_bbox_pred(xmin, ymin, xmax, ymax))
+    if GEOMETRY_COL not in df.columns:
+        return df
+
+    box_ring = np.array([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)])
+    box_wkb = W.encode_polygon([box_ring])
+
+    @pandas_udf("boolean")
+    def _refine(wkb: pd.Series) -> pd.Series:
+        prep = PreparedPolygon(box_wkb)
+        vals = wkb.to_numpy()
+        # point fast path: envelope test already exact
+        if all(isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in vals):
+            lon, lat = W.decode_points(vals, on_invalid="ignore")
+            return pd.Series((lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax))
+        return pd.Series([b is not None and prep.intersects_geom(bytes(b)) for b in vals])
+
+    return df.filter(_refine(F.col(GEOMETRY_COL)))
+
+
+def _apply_mask(df: DataFrame, mask_wkb: bytes, res: int) -> DataFrame:
+    prep_check = PreparedPolygon(mask_wkb)  # validates polygonal mask early
+    mxmin, mymin, mxmax, mymax = prep_check.bbox
+    if all(c in df.columns for c in BOUNDS_COLS):
+        df = df.filter(_coarse_bbox_pred(mxmin, mymin, mxmax, mymax))
+    if "cell_id" in df.columns:
+        cells, full = cover_polygon(mask_wkb, res)
+        df = df.filter(F.col("cell_id").isin([int(c) for c in cells]))
+
+    @pandas_udf("boolean")
+    def _refine(wkb: pd.Series) -> pd.Series:
+        prep = PreparedPolygon(mask_wkb)
+        vals = wkb.to_numpy()
+        if all(isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in vals):
+            lon, lat = W.decode_points(vals, on_invalid="ignore")
+            return pd.Series(prep.contains_points(lon, lat))
+        return pd.Series([b is not None and prep.intersects_geom(bytes(b)) for b in vals])
+
+    if GEOMETRY_COL in df.columns:
+        df = df.filter(_refine(F.col(GEOMETRY_COL)))
+    return df
+
+
+def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
+    order = _order_cols(df)
+    if skip:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*[F.col(c) for c in order])
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > skip)
+            .drop("_rn")
+        )
+        # NOTE: global row_number is a single-partition sort — acceptable for
+        # the pyogrio-parity offset API only; at scale callers use
+        # deterministic id ranges instead (SURVEY.md §4 fast-offset row).
+    if maxf is not None:
+        df = df.sort(*_order_cols(df)).limit(int(maxf))
+    return df
+
+
+# ------------------------------------------------------------- metadata ops
+
+@dataclass
+class LayerInfo:
+    """Mirror of pyogrio.read_info output
+    (/root/reference/pyogrio/_io.pyx:2308-2405, core.py:241-327)."""
+
+    layer_name: str
+    crs: str
+    fields: list[str] = field(default_factory=list)
+    dtypes: list[str] = field(default_factory=list)
+    geometry_type: str | None = None
+    geometry_name: str | None = None
+    fid_column: str = ""
+    features: int = -1
+    total_bounds: tuple | None = None
+    driver: str = "parquet"
+    capabilities: dict = field(default_factory=dict)
+
+
+def read_info(
+    spark: SparkSession,
+    source,
+    layer_name: str = "layer",
+    force_feature_count: bool = False,
+    force_total_bounds: bool = False,
+    crs: str = "EPSG:4326",
+) -> LayerInfo:
+    df = _load(spark, source)
+    non_geom = [f for f in df.schema.fields if f.name != GEOMETRY_COL]
+    geom_type = None
+    if GEOMETRY_COL in df.columns:
+        first = df.select(GEOMETRY_COL).filter(F.col(GEOMETRY_COL).isNotNull()).head(1)
+        if first:
+            geom_type = W.geom_type_name(bytes(first[0][0]))
+    info = LayerInfo(
+        layer_name=layer_name,
+        crs=crs,
+        fields=[f.name for f in non_geom],
+        dtypes=[f.dataType.simpleString() for f in non_geom],
+        geometry_type=geom_type,
+        geometry_name=GEOMETRY_COL if GEOMETRY_COL in df.columns else None,
+        fid_column="doc_id" if "doc_id" in df.columns else ("fid" if "fid" in df.columns else ""),
+        capabilities={
+            "fast_feature_count": True,  # parquet footer row counts
+            "fast_total_bounds": all(c in df.columns for c in BOUNDS_COLS),
+            "fast_spatial_filter": "cell_id" in df.columns,
+            "fast_set_next_by_index": False,
+        },
+    )
+    if force_feature_count:
+        info.features = df.count()
+    if force_total_bounds:
+        info.total_bounds = total_bounds(df)
+    return info
+
+
+def total_bounds(df: DataFrame) -> tuple:
+    """Extent aggregate (reference ``get_total_bounds``,
+    /root/reference/pyogrio/_io.pyx:584-610); min/max over persisted
+    envelope columns — satisfied from Parquet column stats when possible."""
+    r = df.agg(
+        F.min("xmin").alias("xmin"),
+        F.min("ymin").alias("ymin"),
+        F.max("xmax").alias("xmax"),
+        F.max("ymax").alias("ymax"),
+    ).head()
+    return (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+
+
+def read_bounds(
+    spark: SparkSession,
+    source,
+    skip_features: int = 0,
+    max_features: int | None = None,
+    where: str | None = None,
+    bbox=None,
+    mask: bytes | None = None,
+    fid_column: str = "doc_id",
+) -> DataFrame:
+    """(fid, xmin, ymin, xmax, ymax) scan without geometry/attributes —
+    2-3x cheaper than a full read in the reference
+    (/root/reference/pyogrio/core.py:172-238); here it additionally
+    column-prunes the parquet scan to 5 columns."""
+    df = read_table(
+        spark, source, where=where, bbox=bbox, mask=mask,
+        skip_features=skip_features, max_features=max_features,
+        read_geometry=True,
+    )
+    if not all(c in df.columns for c in BOUNDS_COLS):
+        from pyogrio_spark.functions.geo import bounds_columns
+
+        df = bounds_columns(df)
+    return df.select(fid_column, *BOUNDS_COLS)
+
+
+def list_layers(spark: SparkSession, sources: dict) -> list[tuple[str, str | None]]:
+    """(name, geometry_type) per layer (reference ``ogr_list_layers``,
+    /root/reference/pyogrio/_io.pyx:2408-2440); sources: name -> path/DataFrame."""
+    out = []
+    for name, src in sources.items():
+        info = read_info(spark, src, layer_name=name)
+        out.append((name, info.geometry_type))
+    return out

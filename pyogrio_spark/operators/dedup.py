@@ -1,0 +1,256 @@
+"""Deduplication suite for large-scale document corpora.
+
+Beyond the reference's operator set (pyogrio has no dedup; SURVEY.md
+§2.3 lists set ops as pipeline plumbing), these are the operators a
+training-data pipeline needs at 10^12 docs. Design rule: signatures are
+computed with *built-in* higher-order functions (transform / aggregate /
+array_min on the tokens array) so everything before the candidate join
+stays in whole-stage codegen — no Python in the O(corpus) path. md5 is
+the shared hash so oracles can reproduce signatures bit-for-bit in any
+SQL engine.
+
+Scale notes per operator:
+- exact: one shuffle on the content hash; map-side combine built-in.
+- minhash LSH: O(n) signature pass, then a groupBy on (band, band_key)
+  whose fan-in is the bucket size — candidate pairs never materialize
+  the n² cross join. Hot buckets (boilerplate docs) are capped by
+  ``max_bucket`` pre-aggregation.
+- simhash: one aggregation per doc (64 bit-votes as JVM sums), then a
+  band join on 16-bit chunks (Hamming-distance blocking).
+- ngram jaccard: exact verify on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash60(col):
+    """Deterministic 60-bit hash shared with SQL oracles:
+    first 15 hex chars of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the lexicographically-first doc per identical content.
+    -> (doc_id, content_hash, dup_count)."""
+    h = F.md5(F.col(content_col)).alias("content_hash")
+    return (
+        df.select(key_col, h)
+        .groupBy("content_hash")
+        .agg(F.min(key_col).alias(key_col), F.count("*").alias("dup_count"))
+        .select(key_col, "content_hash", "dup_count")
+    )
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def shingles_col(tokens, k: int = 3):
+    """word k-shingles; short docs fall back to the whole token array."""
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.concat_ws(" ", F.slice(tokens, i, k))),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
+    """Adds ``sig: array<bigint>`` of length n_hashes. Pure built-ins:
+    min over shingles of md5(shingle || '#' || i)."""
+    sh = shingles_col(tokens_col(text_col), shingle_k)
+
+    # NB: the lambda must take exactly one parameter — a second parameter
+    # makes PySpark bind it to the (element, index) transform form
+    def hash_i(i: int):
+        suffix = f"#{i}"
+        return lambda s: _hash60(F.concat(s, F.lit(suffix)))
+
+    sig = F.array(*[F.array_min(F.transform(sh, hash_i(i))) for i in range(n_hashes)])
+    return df.withColumn("sig", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified by signature
+    similarity. -> (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    rows = n_hashes // bands
+    sigd = minhash_signature(df.select(key_col, text_col), text_col, n_hashes, shingle_k)
+    banded = sigd.select(
+        key_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(key_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    # cap pathological buckets (boilerplate): keep first max_bucket members
+    w = Window.partitionBy("band", "band_key").orderBy(key_col)
+    banded = banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket).drop("_rn")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(n_hashes))
+    ).alias("est_jaccard")
+    return pairs.select("doc_a", "doc_b", est).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_column(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc as bit-votes over token hashes — one
+    explode + one groupBy, all JVM aggregates. -> (key_col, simhash)."""
+    tok = df.select(key_col, F.explode(tokens_col(text_col)).alias("tok")).withColumn(
+        "h", F.xxhash64(F.col("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(key_col).agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(key_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, key_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Hamming-distance blocking: equal 16-bit chunk => candidate
+    (any pair within hamming<=3 shares at least one of 4 chunks)."""
+    sh = simhash_column(df, text_col, key_col)
+    chunks = sh.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("chunk"), F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck")) for c in range(4)])
+        ).alias("c"),
+    ).select(key_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return cand.select("doc_a", "doc_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple = ("lang",),
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked by cheap keys
+    (language + log-length bucket). Jaccard via array_intersect /
+    array_union sizes — JVM-side set algebra."""
+    sh = F.array_distinct(shingles_col(tokens_col(text_col), shingle_k)).alias("sh")
+    lenb = F.floor(F.log2(F.greatest(F.length(text_col), F.lit(1)))).alias("_lenb")
+    base = df.select(key_col, *block_cols, sh, lenb)
+    a, b = base.alias("a"), base.alias("b")
+    block_pred = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    # adjacent length buckets can still be near-dups; same bucket only keeps it tight
+    cand = a.join(
+        b,
+        F.lit(True) if not block_pred else F.expr(" and ".join(f"a.{c} = b.{c}" for c in block_cols)),
+    ).filter(
+        (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        & (F.abs(F.col("a._lenb") - F.col("b._lenb")) <= 1)
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = (inter / union).alias("jaccard")
+    return (
+        cand.select(F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b"), jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    threshold: float = 0.95,
+    seed: int = 17,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, bucketed by seeded
+    random-hyperplane LSH (sign bits), verified exactly inside buckets."""
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).head()
+    dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(0, 1, (n_planes, dim))
+
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    sig = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
+        sig = bit if sig is None else sig + bit
+    base = df.select(key_col, vec_col, norm.alias("_n"), sig.alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = (dot / (F.col("a._n") * F.col("b._n"))).alias("cosine")
+    return (
+        cand.select(F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b"), cos)
+        .filter(F.col("cosine") >= threshold)
+    )

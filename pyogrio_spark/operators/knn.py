@@ -1,0 +1,119 @@
+"""kNN join via iterative cell-window expansion.
+
+The reference exposes envelopes "to assist with spatial indexing and
+partitioning" (/root/reference/pyogrio/core.py:184-187) and leaves
+neighbor search to single-node shapely STRtree.query_nearest. The
+cluster plan replaces the tree walk with grid geometry:
+
+round r: each unsatisfied probe expands to the (2r+1)^2 cell window
+around its cell -> equi-join with docs on cell_id -> per-probe
+``row_number()`` over distance -> a probe is DONE when it has k
+candidates and the k-th distance fits inside the *guaranteed* radius
+(r * cell_height: no unexplored cell can hold anything closer), or the
+window already spans the whole grid. Unsatisfied probes re-enter with
+r doubled. Everything except the distance ranking is integer
+arithmetic; no UDF anywhere.
+
+Candidate generation, join, and ranking all happen JVM-side; the
+driver loop only checks the per-round "all satisfied?" flag — the
+per-round work is O(probes * window) with no full cross join, which is
+what makes this viable when docs = 10^12 (a naive cross join is 10^12
+× |probes|).
+
+Distance: planar Euclidean in degrees (matches the single-node oracle;
+swap in haversine for production geodesy — the loop is metric-agnostic
+as long as the guarantee radius uses a lower bound of the metric).
+No longitude wrap, consistent with the planar metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyogrio_spark.index.grid import SPAN_LAT, SPAN_LON, LAT0, LON0, _RES_SHIFT
+
+DEFAULT_RES = 7
+
+
+def knn_join(
+    probes: DataFrame,
+    docs: DataFrame,
+    k: int,
+    res: int = DEFAULT_RES,
+    probe_key: str = "probe_id",
+    doc_key: str = "doc_id",
+    probe_lon: str = "lon",
+    probe_lat: str = "lat",
+    doc_lon: str = "xmin",
+    doc_lat: str = "ymin",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """-> (probe_key, doc_key, dist, rank) with exactly k rows per probe
+    (fewer iff the docs table has < k rows). Deterministic tie-break on
+    (dist, doc_key)."""
+    n = 1 << res
+    cell_h = SPAN_LAT / n
+    base = 1 << _RES_SHIFT
+
+    # decompose probe cell into grid x/y once (pure arithmetic)
+    px = F.least(
+        F.greatest(F.floor((F.col(probe_lon) - F.lit(LON0)) / F.lit(SPAN_LON) * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    py = F.least(
+        F.greatest(F.floor((F.col(probe_lat) - F.lit(LAT0)) / F.lit(SPAN_LAT) * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    pending = probes.select(
+        probe_key, F.col(probe_lon).alias("_plon"), F.col(probe_lat).alias("_plat"),
+        px.alias("_px"), py.alias("_py"),
+    )
+    docs_pts = docs.select(
+        doc_key, F.col(doc_lon).alias("_dlon"), F.col(doc_lat).alias("_dlat"), F.col("cell_id").alias("_dcell")
+    )
+
+    results = None
+    r = 1
+    for _ in range(max_rounds):
+        # window cells: clamped (2r+1)^2 square around the probe cell
+        cand_cells = (
+            pending.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_cx", F.greatest(F.least(F.col("_px") + F.col("_dx"), F.lit(n - 1)), F.lit(0)))
+            .withColumn("_cy", F.greatest(F.least(F.col("_py") + F.col("_dy"), F.lit(n - 1)), F.lit(0)))
+            .withColumn("_cell", (F.lit(res).cast("long") * F.lit(base)) + F.col("_cx") * n + F.col("_cy"))
+            .select(probe_key, "_plon", "_plat", "_cell")
+            .dropDuplicates([probe_key, "_cell"])
+        )
+        cand = cand_cells.join(docs_pts, cand_cells["_cell"] == docs_pts["_dcell"], "inner")
+        dist2 = (F.col("_plon") - F.col("_dlon")) ** 2 + (F.col("_plat") - F.col("_dlat")) ** 2
+        w = Window.partitionBy(probe_key).orderBy(dist2.asc(), F.col(doc_key).asc())
+        topk = (
+            cand.withColumn("_d2", dist2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_key, doc_key, F.sqrt(F.col("_d2")).alias("dist"), "rank")
+        )
+        # a probe is satisfied when its k-th neighbor is provably inside
+        # the explored window, or the window already covers the grid
+        guarantee = r * cell_h
+        window_covers_grid = (2 * r + 1) >= n
+        stats = topk.groupBy(probe_key).agg(F.count("*").alias("_cnt"), F.max("dist").alias("_dk"))
+        if window_covers_grid:
+            satisfied_keys = stats.select(probe_key)
+        else:
+            # strict <: a tie at exactly the guarantee radius could be
+            # displaced by an unexplored point at the same distance
+            satisfied_keys = stats.filter(
+                (F.col("_cnt") == k) & (F.col("_dk") < F.lit(guarantee))
+            ).select(probe_key)
+
+        sat = topk.join(F.broadcast(satisfied_keys), on=probe_key, how="inner")
+        results = sat if results is None else results.unionByName(sat)
+        pending = pending.join(F.broadcast(satisfied_keys), on=probe_key, how="left_anti")
+        # cheap driver check: done?
+        if window_covers_grid or pending.isEmpty():
+            break
+        r *= 2
+    return results

@@ -1,0 +1,58 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.5 — its only
+"stream" is a finite Arrow batch iterator), so this module covers the
+engine-side streaming needs of a continuous ingest pipeline: watermarked
+event-time windows and session windows. Batch parity: each function
+also runs on a static DataFrame (Spark's unified API), which is how the
+tests and the DuckDB oracle validate the aggregation logic exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows with late-data watermark; on a static
+    frame the watermark is a no-op and results equal the batch groupBy."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ for event-time
+    e = e.withWatermark("ts", watermark) if e.isStreaming else e
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sessionize_events(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based)."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    e = e.withWatermark("ts", watermark) if e.isStreaming else e
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )

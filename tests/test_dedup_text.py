@@ -1,0 +1,98 @@
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyogrio_spark.functions.text import with_text_features
+from pyogrio_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_column,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        ("d0", "the quick brown fox jumps over the lazy dog", "en"),
+        ("d1", "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of d0
+        ("d2", "the quick brown fox jumps over the lazy cat", "en"),  # near dup of d0
+        ("d3", "completely different content about spark engines", "en"),
+        ("d4", "el rapido zorro marron salta sobre el perro perezoso", "es"),
+        ("d5", "the quick brown fox jumps over the lazy dog today", "en"),  # near dup
+        ("d6", "unrelated text mentioning tables rows and columns", "en"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(base, columns=["doc_id", "text", "lang"]))
+
+
+def test_exact_dedup(spark, corpus):
+    out = exact_dedup(corpus).toPandas()
+    assert len(out) == 6  # d0/d1 collapse
+    dup = out[out.dup_count == 2]
+    assert len(dup) == 1 and dup.iloc[0].doc_id == "d0"  # keeps min doc_id
+
+
+def test_minhash_signature_is_deterministic_and_md5_based(spark, corpus):
+    sig = minhash_signature(corpus, n_hashes=8).select("doc_id", "sig").toPandas()
+    row = sig[sig.doc_id == "d0"].iloc[0]
+    # reproduce hash 0 for one shingle by hand: min over shingles of md5-prefix
+    text = "the quick brown fox jumps over the lazy dog"
+    toks = text.split(" ")
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    h0 = min(int(hashlib.md5(f"{s}#0".encode()).hexdigest()[:15], 16) for s in shingles)
+    assert row.sig[0] == h0
+    # identical docs -> identical signatures
+    assert list(sig[sig.doc_id == "d1"].iloc[0].sig) == list(row.sig)
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = minhash_lsh_pairs(corpus, n_hashes=16, bands=4, threshold=0.4).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False, name=None)))
+    assert ("d0", "d1") in got  # exact dup always caught
+    assert any(p in got for p in [("d0", "d2"), ("d0", "d5"), ("d1", "d2"), ("d1", "d5")])
+    assert ("d3", "d6") not in got
+
+
+def test_simhash_hamming(spark, corpus):
+    sh = simhash_column(corpus).toPandas().set_index("doc_id")["simhash"]
+    assert sh["d0"] == sh["d1"]  # identical text -> identical simhash
+    ham = bin(int(sh["d0"]) ^ int(sh["d2"]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    pairs = simhash_near_pairs(corpus, max_hamming=16).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False, name=None)))
+    assert ("d0", "d1") in got
+
+
+def test_ngram_jaccard(spark, corpus):
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5).toPandas()
+    got = {(a, b): j for a, b, j in pairs.itertuples(index=False, name=None)}
+    assert got[("d0", "d1")] == 1.0
+    # brute-force check of one near-dup pair
+    def shingle_set(t):
+        tk = t.split(" ")
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    s0, s2 = shingle_set("the quick brown fox jumps over the lazy dog"), shingle_set(
+        "the quick brown fox jumps over the lazy cat"
+    )
+    want = len(s0 & s2) / len(s0 | s2)
+    if ("d0", "d2") in got:
+        assert abs(got[("d0", "d2")] - want) < 1e-9
+    else:
+        assert want < 0.5
+
+
+def test_text_features(spark, corpus):
+    feats = with_text_features(corpus).toPandas().set_index("doc_id")
+    assert feats.loc["d0", "token_count"] == 9
+    assert feats.loc["d0", "lang_pred"] == "en"
+    assert feats.loc["d4", "lang_pred"] == "es"
+    assert 0.0 <= feats["quality_score"].min() and feats["quality_score"].max() <= 1.0
+    assert feats.loc["d0", "fingerprint"] == feats.loc["d1", "fingerprint"]
+    assert feats.loc["d0", "fingerprint"] != feats.loc["d2", "fingerprint"]
+    # word_piece_count counts words + punctuation
+    assert feats.loc["d0", "word_piece_count"] == 9

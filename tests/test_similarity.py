@@ -1,0 +1,70 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyogrio_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_assign,
+    ivf_topk,
+    make_centroids,
+)
+from pyogrio_spark.operators.dedup import embedding_near_dup_pairs
+
+
+@pytest.fixture(scope="module")
+def vecs_pd():
+    rng = np.random.default_rng(5)
+    v = rng.normal(0, 1, (300, 16)).astype(np.float32)
+    v[10] = v[0] * 1.001 + 0.001  # near-dup pair (0, 10)
+    return pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64), "embedding": list(map(list, v))})
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, vecs_pd):
+    return spark.createDataFrame(vecs_pd, schema="vec_id long, embedding array<float>").cache()
+
+
+def brute_oracle(vecs_pd, probes_pd, k):
+    cv = np.array(vecs_pd.embedding.tolist(), dtype=np.float64)
+    cn = np.linalg.norm(cv, axis=1)
+    out = {}
+    for _, p in probes_pd.iterrows():
+        pv = np.array(p.embedding, dtype=np.float64)
+        cos = cv @ pv / (cn * np.linalg.norm(pv))
+        order = np.lexsort((vecs_pd.vec_id.values, -cos))[:k]
+        out[p.probe_id] = [int(vecs_pd.vec_id.values[i]) for i in order]
+    return out
+
+
+def test_bruteforce_topk_matches_numpy(spark, vecs, vecs_pd):
+    probes_pd = pd.DataFrame(
+        {"probe_id": ["p0", "p1"], "embedding": [vecs_pd.embedding[0], vecs_pd.embedding[50]]}
+    )
+    probes = spark.createDataFrame(probes_pd, schema="probe_id string, embedding array<float>")
+    got = cosine_topk_bruteforce(vecs, probes, k=10).toPandas()
+    want = brute_oracle(vecs_pd, probes_pd, 10)
+    for pid, grp in got.groupby("probe_id"):
+        assert grp.sort_values("rank")["vec_id"].tolist() == want[pid]
+
+
+def test_ivf_recall(spark, vecs, vecs_pd):
+    cents = make_centroids(16, 8)
+    bucketed = ivf_assign(vecs, cents).cache()
+    assert bucketed.select("ivf_bucket").distinct().count() > 1
+    probes_pd = pd.DataFrame(
+        {"probe_id": [f"p{i}" for i in range(5)], "embedding": [vecs_pd.embedding[i * 7] for i in range(5)]}
+    )
+    probes = spark.createDataFrame(probes_pd, schema="probe_id string, embedding array<float>")
+    got = ivf_topk(bucketed, probes, cents, k=10, nprobe=4).toPandas()
+    want = brute_oracle(vecs_pd, probes_pd, 10)
+    recalls = []
+    for pid, grp in got.groupby("probe_id"):
+        recalls.append(len(set(grp.vec_id) & set(want[pid])) / 10)
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_embedding_near_dup(spark, vecs):
+    pairs = embedding_near_dup_pairs(vecs, threshold=0.999).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False, name=None)))
+    assert (0, 10) in got
+    assert all(c >= 0.999 for c in pairs.cosine)

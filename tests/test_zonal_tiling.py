@@ -1,0 +1,65 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyogrio_spark.fixtures import DOCS_SPARK_SCHEMA, make_docs, make_zonal_raster, make_zones
+from pyogrio_spark.operators.range_join import bbox_range_join, boxes_cell_cover
+from pyogrio_spark.operators.spatial_join import zones_cell_cover
+from pyogrio_spark.operators.tiling import adaptive_tiles, assign_adaptive, assign_tiles
+from pyogrio_spark.operators.zonal import tiles_with_centers, zonal_stats
+from pyogrio_spark.oracle import oracle_range_join, oracle_tiles, oracle_zonal
+
+
+def test_zonal_matches_oracle(spark):
+    zones_pd = make_zones(60)
+    tiles_pd = make_zonal_raster(tile_deg=2.0)
+    tiles = tiles_with_centers(
+        spark.createDataFrame(tiles_pd, schema="tile_x int, tile_y int, value double"), tile_deg=2.0
+    )
+    cover = zones_cell_cover(spark, zones_pd)
+    got = zonal_stats(tiles, cover).toPandas().sort_values("fid").reset_index(drop=True)
+    want = oracle_zonal(tiles_pd, zones_pd, tile_deg=2.0).sort_values("fid").reset_index(drop=True)
+    assert got["fid"].tolist() == want["fid"].tolist()
+    for col in ("tile_count", "value_sum", "value_mean", "value_min", "value_max"):
+        np.testing.assert_allclose(got[col], want[col], rtol=1e-9)
+
+
+def test_tile_assignment_exact(spark):
+    docs_pd = make_docs(1500)
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SPARK_SCHEMA)
+    got = assign_tiles(docs, res=9).select("doc_id", "tile_id").toPandas()
+    want = oracle_tiles(docs_pd, res=9)
+    m = got.merge(want, on="doc_id", suffixes=("_got", "_want"))
+    assert (m.tile_id_got == m.tile_id_want).all()
+
+
+def test_adaptive_tiles_balance_and_cover(spark):
+    docs_pd = make_docs(4000)  # 30% hotspot mass forces splitting
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SPARK_SCHEMA)
+    tmap = adaptive_tiles(docs, base_res=3, max_res=10, target_rows=300)
+    assert (tmap.res > 3).any(), "hot cells should have split"
+    assigned = assign_adaptive(docs, tmap)
+    assert assigned.count() == len(docs_pd)  # total cover, no row lost
+    counts = assigned.groupBy("tile_id").count().toPandas()
+    # deterministic: re-running yields the identical map
+    tmap2 = adaptive_tiles(docs, base_res=3, max_res=10, target_rows=300)
+    pd.testing.assert_frame_equal(tmap.reset_index(drop=True), tmap2.reset_index(drop=True))
+
+
+def test_range_join_matches_oracle(spark):
+    docs_pd = make_docs(1500)
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SPARK_SCHEMA)
+    rng = np.random.default_rng(21)
+    boxes = pd.DataFrame(
+        {
+            "box_id": [f"box{i}" for i in range(25)],
+            "xmin": rng.uniform(-170, 150, 25),
+            "ymin": rng.uniform(-80, 60, 25),
+        }
+    )
+    boxes["xmax"] = boxes.xmin + rng.uniform(1, 30, 25)
+    boxes["ymax"] = boxes.ymin + rng.uniform(1, 20, 25)
+    cover = boxes_cell_cover(spark, boxes)
+    got = sorted(map(tuple, bbox_range_join(docs, cover).select("doc_id", "box_id").collect()))
+    want = sorted(map(tuple, oracle_range_join(docs_pd, boxes).itertuples(index=False, name=None)))
+    assert got == want and len(got) > 50
