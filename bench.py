@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a cheap count() (the driver collects
+separately); times include full plan execution. Run scripts/scaling_bench.py
+for the N-vs-4N scaling-efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "geo_pip_join",
+    "geo_tile_assignment",
+    "geo_knn_join",
+    "geo_range_join",
+    "geo_zonal_stats",
+    "spans_explode",
+    "dedup_minhash_lsh_pairs",
+    "dedup_exact",
+    "text_features",
+    "sim_cosine_topk",
+    "tpch_q1_pricing",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from pyogrio_spark.session import get_spark
+    from pyogrio_spark.queries import QUERIES
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Python-worker pools so per-query times measure the plans
+    QUERIES["geo_tile_assignment"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,23 @@ def geom_type_column(geom_col: str = "geometry_wkb") -> Column:
     return _geom_type_udf()(F.col(geom_col))
 
 
+@lru_cache(maxsize=1)
+def _point_wkb_udf():
+    @pandas_udf("binary")
+    def point_wkb_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(W.encode_points(lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
+
+    return point_wkb_udf
+
+
+def point_wkb_column(lon_col: str, lat_col: str) -> Column:
+    """Encode (lon, lat) into 21-byte WKB points — the write-side analogue
+    of the reference's geometry import (/root/reference/pyogrio/_io.pyx:3072-3098)."""
+    return _point_wkb_udf()(F.col(lon_col), F.col(lat_col))
+
+
 def span_digest(spans_col: str = "spans") -> Column:
     """Canonical digest of the interleaved span sequence. Stage-boundary
     checks compare this digest to prove the per-row invariant (kind, text,

@@ -57,19 +57,36 @@ def shingles_col(tokens, k: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
-    """Adds ``sig: array<bigint>`` of length n_hashes. Pure built-ins:
-    min over shingles of md5(shingle || '#' || i)."""
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_k: int = 3, key_col: str = "doc_id"
+) -> DataFrame:
+    """Adds ``sig: array<bigint>`` of length n_hashes. Pure built-ins.
+
+    One md5 per shingle, then the Carter-Wegman two-hash family
+    h_i = a + i*b over its 128 bits (a = hex[1:15] as 60-bit int,
+    b = hex[17:30] as 56-bit int — i*b stays under 2^60 so int64 never
+    overflows under ANSI mode). 16x less hashing than md5-per-(i,shingle)
+    and still reproducible in any SQL oracle.
+
+    Shape: explode shingles -> hash each ONCE -> one groupBy with
+    n_hashes min-aggregates (map-side partial agg, single shuffle of
+    (key, a, b) longs). The tempting all-in-one higher-order-function
+    expression (array of 16 array_min(transform(...))) inlines the whole
+    shingle+md5 pipeline into every term under whole-stage codegen —
+    measured 16x slower. Returns (key_col, sig).
+    """
     sh = shingles_col(tokens_col(text_col), shingle_k)
-
-    # NB: the lambda must take exactly one parameter — a second parameter
-    # makes PySpark bind it to the (element, index) transform form
-    def hash_i(i: int):
-        suffix = f"#{i}"
-        return lambda s: _hash60(F.concat(s, F.lit(suffix)))
-
-    sig = F.array(*[F.array_min(F.transform(sh, hash_i(i))) for i in range(n_hashes)])
-    return df.withColumn("sig", sig)
+    ex = df.select(key_col, F.explode(sh).alias("_s"))
+    m = F.md5(F.col("_s"))
+    ab = ex.select(
+        key_col,
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("_a"),
+        F.conv(F.substring(m, 17, 14), 16, 10).cast("bigint").alias("_b"),
+    )
+    agg = ab.groupBy(key_col).agg(
+        *[F.min(F.col("_a") + F.lit(i) * F.col("_b")).alias(f"_h{i}") for i in range(n_hashes)]
+    )
+    return agg.select(key_col, F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -85,7 +102,12 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via banded MinHash LSH, verified by signature
     similarity. -> (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
     rows = n_hashes // bands
-    sigd = minhash_signature(df.select(key_col, text_col), text_col, n_hashes, shingle_k)
+    # Materialize signatures once: without the barrier, codegen inlines the
+    # full shingle+md5 expression into every band-key projection on BOTH
+    # self-join sides (~2*bands times the hashing). At production scale the
+    # signature table is persisted to storage and reused; cache() is the
+    # in-session equivalent.
+    sigd = minhash_signature(df.select(key_col, text_col), text_col, n_hashes, shingle_k, key_col).cache()
     banded = sigd.select(
         key_col,
         "sig",
@@ -132,23 +154,34 @@ def minhash_lsh_pairs(
     return pairs.select("doc_a", "doc_b", est).filter(F.col("est_jaccard") >= threshold)
 
 
-def simhash_column(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc as bit-votes over token hashes — one
-    explode + one groupBy, all JVM aggregates. -> (key_col, simhash)."""
-    tok = df.select(key_col, F.explode(tokens_col(text_col)).alias("tok")).withColumn(
-        "h", F.xxhash64(F.col("tok"))
-    )
+def simhash_column(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n_bits: int = 64, use_md5: bool = False
+) -> DataFrame:
+    """SimHash per doc as bit-votes over token hashes — one explode + one
+    groupBy, all JVM aggregates. -> (key_col, simhash).
+
+    ``use_md5`` swaps xxhash64 (fast path) for the md5-based 60-bit hash
+    shared with SQL oracles (then n_bits is capped at 60)."""
+    if use_md5:
+        n_bits = min(n_bits, 60)
+        h = _hash60(F.col("tok"))
+    else:
+        h = F.xxhash64(F.col("tok"))
+    tok = df.select(key_col, F.explode(tokens_col(text_col)).alias("tok")).withColumn("h", h)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = tok.groupBy(key_col).agg(*votes)
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        if b == 63:
+            term = F.when(F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        else:
+            term = bit * F.lit(1 << b).cast("long")
         sim = term if sim is None else sim + term
     return agg.select(key_col, sim.alias("simhash"))
 

@@ -47,7 +47,8 @@ def knn_join(
     probe_lat: str = "lat",
     doc_lon: str = "xmin",
     doc_lat: str = "ymin",
-    max_rounds: int = 8,
+    max_rounds: int = 16,
+    initial_ring: int | None = None,
 ) -> DataFrame:
     """-> (probe_key, doc_key, dist, rank) with exactly k rows per probe
     (fewer iff the docs table has < k rows). Deterministic tie-break on
@@ -73,8 +74,23 @@ def knn_join(
         doc_key, F.col(doc_lon).alias("_dlon"), F.col(doc_lat).alias("_dlat"), F.col("cell_id").alias("_dcell")
     )
 
+    # start radius from corpus density: the expected k-th-neighbor distance
+    # for a Poisson field of intensity lambda is ~sqrt(k/(pi*lambda)); the
+    # window must cover 1.5x that for the guarantee check to pass on the
+    # first round for most probes (one cheap count, saves whole rounds)
+    if initial_ring is None:
+        import math
+
+        n_docs = docs_pts.count()
+        lam = max(n_docs / (SPAN_LON * SPAN_LAT), 1e-12)  # docs per deg^2
+        exp_rk = math.sqrt(k / (math.pi * lam))
+        r = max(1, min(n // 2, int(math.ceil(1.5 * exp_rk / cell_h))))
+    else:
+        r = max(1, int(initial_ring))
+
+    pending = pending.cache()
+    round_results: list[DataFrame] = []
     results = None
-    r = 1
     for _ in range(max_rounds):
         # window cells: clamped (2r+1)^2 square around the probe cell
         cand_cells = (
@@ -87,13 +103,20 @@ def knn_join(
             .dropDuplicates([probe_key, "_cell"])
         )
         cand = cand_cells.join(docs_pts, cand_cells["_cell"] == docs_pts["_dcell"], "inner")
-        dist2 = (F.col("_plon") - F.col("_dlon")) ** 2 + (F.col("_plat") - F.col("_dlat")) ** 2
-        w = Window.partitionBy(probe_key).orderBy(dist2.asc(), F.col(doc_key).asc())
+        # dx*dx, not pow(dx, 2): plain multiplication is bit-reproducible
+        # across engines (oracle parity) and cheaper in codegen
+        dx = F.col("_plon") - F.col("_dlon")
+        dy = F.col("_plat") - F.col("_dlat")
+        # rank by sqrt(d2), not d2: sqrt is correctly rounded and can map
+        # two unequal d2 values to the same double — ties must break on
+        # doc_key identically to any oracle ranking by true distance
+        dist = F.sqrt(dx * dx + dy * dy)
+        w = Window.partitionBy(probe_key).orderBy(F.col("_dist").asc(), F.col(doc_key).asc())
         topk = (
-            cand.withColumn("_d2", dist2)
+            cand.withColumn("_dist", dist)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(probe_key, doc_key, F.sqrt(F.col("_d2")).alias("dist"), "rank")
+            .select(probe_key, doc_key, F.col("_dist").alias("dist"), "rank")
         )
         # a probe is satisfied when its k-th neighbor is provably inside
         # the explored window, or the window already covers the grid
@@ -109,11 +132,18 @@ def knn_join(
                 (F.col("_cnt") == k) & (F.col("_dk") < F.lit(guarantee))
             ).select(probe_key)
 
-        sat = topk.join(F.broadcast(satisfied_keys), on=probe_key, how="inner")
-        results = sat if results is None else results.unionByName(sat)
-        pending = pending.join(F.broadcast(satisfied_keys), on=probe_key, how="left_anti")
-        # cheap driver check: done?
-        if window_covers_grid or pending.isEmpty():
+        # materialize the round: without cache every later round would lazily
+        # re-execute the whole prior lineage (quadratic recompute)
+        sat = topk.join(F.broadcast(satisfied_keys), on=probe_key, how="inner").cache()
+        round_results.append(sat)
+        new_pending = pending.join(F.broadcast(satisfied_keys), on=probe_key, how="left_anti").cache()
+        n_left = new_pending.count()
+        pending.unpersist()
+        pending = new_pending
+        if window_covers_grid or n_left == 0:
             break
         r *= 2
+    results = round_results[0]
+    for extra in round_results[1:]:
+        results = results.unionByName(extra)
     return results

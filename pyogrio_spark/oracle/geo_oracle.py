@@ -37,10 +37,12 @@ def oracle_knn(probes: pd.DataFrame, docs: pd.DataFrame, k: int) -> pd.DataFrame
     dids = docs["doc_id"].to_numpy()
     rows = []
     for _, p in probes.iterrows():
-        d2 = (dlon - p["lon"]) ** 2 + (dlat - p["lat"]) ** 2
-        order = np.lexsort((dids, d2))[:k]
+        # rank by sqrt(d2) to mirror the engine: sqrt rounding can tie
+        # two unequal d2 values (tie-break then falls to doc_id)
+        d = np.sqrt((dlon - p["lon"]) ** 2 + (dlat - p["lat"]) ** 2)
+        order = np.lexsort((dids, d))[:k]
         for rank, i in enumerate(order, start=1):
-            rows.append((p["probe_id"], dids[i], float(np.sqrt(d2[i])), rank))
+            rows.append((p["probe_id"], dids[i], float(d[i]), rank))
     return pd.DataFrame(rows, columns=["probe_id", "doc_id", "dist", "rank"])
 
 

@@ -1,0 +1,686 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each ``QUERIES[name]`` runs the *engine* path on Spark (WKB encode ->
+bounds decode -> cell index -> cover -> join -> refine, etc.); each
+``ORACLES[name]`` is an independent ANSI-SQL re-derivation DuckDB runs
+on the same parquet tables. Geometry inputs are synthesized
+deterministically from ``doc_id`` with integer arithmetic that both
+engines evaluate bit-identically; synthetic boundaries carry a +-5e-6
+offset so no point ever lands on a zone/bbox edge (the engines use
+different but interior-equivalent predicates).
+
+Shared-hash rule: md5 is the only hash both engines expose, so every
+oracle-checked signature (minhash, simhash, fingerprints) uses the
+60-bit md5 prefix (``_hash60`` in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyogrio_spark.fixtures import DEFAULT_RES as GEO_RES
+from pyogrio_spark.functions.geo import bounds_columns, cell_id_column, point_wkb_column
+from pyogrio_spark.functions.text import LANG_PROFILES, lang_id, quality_score, token_count, word_piece_count
+from pyogrio_spark.geometry import wkb as W
+from pyogrio_spark.index.grid import cell_expr_sql
+from pyogrio_spark.io.reader import read_table
+from pyogrio_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_column,
+)
+from pyogrio_spark.operators.knn import knn_join
+from pyogrio_spark.operators.range_join import bbox_range_join, boxes_cell_cover
+from pyogrio_spark.operators.similarity import cosine_topk_bruteforce, ivf_assign, ivf_topk, make_centroids
+from pyogrio_spark.operators.spatial_join import point_in_polygon_join, zones_cell_cover
+from pyogrio_spark.operators.tiling import adaptive_tiles, assign_tiles
+from pyogrio_spark.operators.zonal import tiles_with_centers, zonal_stats
+
+TILE_RES = 9
+
+# deterministic doc geometry: pure int64 arithmetic, identical in Spark &
+# DuckDB. NB: 1e5-style literals, NOT 100000.0 — literals with a decimal
+# point parse as DECIMAL in both engines and their decimal-division
+# rounding differs; scientific notation is DOUBLE in both.
+LON_EXPR = "((doc_id * 2654435761) % 36000000) / 1e5 - 180"
+LAT_EXPR = "((doc_id * 40503) % 17000000) / 1e5 - 85"
+DOCS_GEO_SQL = f"(SELECT doc_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM documents)"
+
+# 200 rectangular zones in 20x10 slots, deterministic jittered margins,
+# boundaries offset by 5e-6 so no synthesized point hits an edge
+ZONES_SQL = """(
+  SELECT z AS zone_id,
+         -180 + (z % 20) * 18 + (z * 7) % 5 + 0.000005  AS zx0,
+         -180 + (z % 20) * 18 + 18 - (z * 3) % 4 - 0.000005 AS zx1,
+         -90 + (z // 20) * 18 + (z * 11) % 5 + 0.000005 AS zy0,
+         -90 + (z // 20) * 18 + 18 - (z * 5) % 4 - 0.000005 AS zy1
+  FROM (SELECT unnest(generate_series(0, 199)) AS z)
+)"""
+
+
+def _zones_pd() -> pd.DataFrame:
+    rows = []
+    for z in range(200):
+        col, row = z % 20, z // 20
+        x0 = -180.0 + col * 18 + (z * 7) % 5 + 0.000005
+        x1 = -180.0 + col * 18 + 18 - (z * 3) % 4 - 0.000005
+        y0 = -90.0 + row * 18 + (z * 11) % 5 + 0.000005
+        y1 = -90.0 + row * 18 + 18 - (z * 5) % 4 - 0.000005
+        ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
+        rows.append({"zone_id": z, "geometry_wkb": W.encode_polygon([ring])})
+    return pd.DataFrame(rows)
+
+
+def _boxes_pd() -> pd.DataFrame:
+    rows = []
+    for b in range(30):
+        x0 = -170.0 + (b * 37) % 310 + 0.3
+        y0 = -80.0 + (b * 53) % 150 + 0.3
+        rows.append(
+            {"box_id": b, "xmin": x0, "ymin": y0, "xmax": x0 + 5 + (b * 7) % 20, "ymax": y0 + 4 + (b * 11) % 12}
+        )
+    return pd.DataFrame(rows)
+
+
+BOXES_SQL = """(
+  SELECT b AS box_id,
+         -170 + (b * 37) % 310 + 0.3 AS bx0,
+         -80 + (b * 53) % 150 + 0.3 AS by0,
+         -170 + (b * 37) % 310 + 0.3 + 5 + (b * 7) % 20 AS bx1,
+         -80 + (b * 53) % 150 + 0.3 + 4 + (b * 11) % 12 AS by1
+  FROM (SELECT unnest(generate_series(0, 29)) AS b)
+)"""
+
+
+def _docs_geo(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + derived point geometry through the full engine path:
+    arithmetic lon/lat -> WKB encode -> envelope decode -> cell index."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = docs.withColumn("lon", F.expr(LON_EXPR)).withColumn("lat", F.expr(LAT_EXPR))
+    docs = docs.withColumn("geometry_wkb", point_wkb_column("lon", "lat"))
+    docs = bounds_columns(docs)  # exercises the WKB decode kernel
+    return docs.withColumn("cell_id", cell_id_column("xmin", "ymin", GEO_RES))
+
+
+def _register_views(spark: SparkSession, sf: str, tables=("lineitem", "orders", "customer", "nation", "region", "events")):
+    for t in tables:
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# =============================================================== geo queries
+
+def q_scan_where_project(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return read_table(
+        spark, docs, columns=["doc_id", "lang", "n_chars"], where="lang = 'en' AND n_chars > 200", read_geometry=False
+    )
+
+
+def q_scan_skip_max(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return read_table(
+        spark, docs, columns=["doc_id", "lang", "n_chars"], where="lang = 'en'",
+        skip_features=100, max_features=50, read_geometry=False,
+    )
+
+
+def q_geo_bbox(spark, sf):
+    out = read_table(spark, _docs_geo(spark, sf), bbox=(-50.000003, -20.000003, 30.000003, 40.000003))
+    return out.select("doc_id", "lon", "lat")
+
+
+def q_geo_mask(spark, sf):
+    # convex diamond mask: ray-cast PIP on the engine side, the equivalent
+    # linear inequality on the oracle side
+    cx, cy, a, b = 10.0001, 5.0001, 60.0, 40.0
+    ring = np.array([(cx - a, cy), (cx, cy - b), (cx + a, cy), (cx, cy + b), (cx - a, cy)])
+    mask = W.encode_polygon([ring])
+    return read_table(spark, _docs_geo(spark, sf), mask=mask).select("doc_id", "lon", "lat")
+
+
+def q_geo_tile_assignment(spark, sf):
+    return assign_tiles(_docs_geo(spark, sf), res=TILE_RES, lon_col="lon", lat_col="lat").select("doc_id", "tile_id")
+
+
+def q_geo_pip_join(spark, sf):
+    cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    return point_in_polygon_join(_docs_geo(spark, sf), cover, zone_key="zone_id", keep_doc_cols=["doc_id"])
+
+
+def q_geo_pip_join_salted(spark, sf):
+    cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    return point_in_polygon_join(
+        _docs_geo(spark, sf), cover, zone_key="zone_id", keep_doc_cols=["doc_id"], broadcast_cover=False, salt=4
+    )
+
+
+def q_geo_knn(spark, sf):
+    docs = _docs_geo(spark, sf)
+    probes = docs.filter("doc_id < 40").select(F.col("doc_id").alias("probe_id"), "lon", "lat")
+    out = knn_join(probes, docs, k=5, res=GEO_RES)
+    return out.select("probe_id", "doc_id", "dist", F.col("rank").alias("rnk"))
+
+
+def q_geo_range_join(spark, sf):
+    cover = boxes_cell_cover(spark, _boxes_pd(), res=GEO_RES)
+    return bbox_range_join(_docs_geo(spark, sf), cover).select("doc_id", "box_id")
+
+
+def q_geo_zonal(spark, sf):
+    tiles = spark.range(180 * 90).select(
+        (F.col("id") % 180 - 90).cast("int").alias("tile_x"),
+        (F.col("id") / 180).cast("int").__sub__(F.lit(45)).cast("int").alias("tile_y"),
+    )
+    tiles = tiles.withColumn(
+        "value", ((F.col("tile_x").cast("bigint") * 31 + F.col("tile_y").cast("bigint") * 17) % 97).cast("double")
+    )
+    tiles = tiles_with_centers(tiles, tile_deg=2.0, res=GEO_RES)
+    cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    out = zonal_stats(tiles, cover, zone_key="zone_id")
+    return out.select(
+        "zone_id", "tile_count", "value_sum", F.col("value_mean").alias("value_mean"), "value_min", "value_max"
+    )
+
+
+ORACLE_ZONAL = f"""
+WITH tiles AS (
+  SELECT tile_x, tile_y,
+         CAST((tile_x * 31 + tile_y * 17) % 97 AS DOUBLE) AS value,
+         (tile_x + 0.5) * 2.0 AS cx, (tile_y + 0.5) * 2.0 AS cy
+  FROM (SELECT unnest(generate_series(-90, 89)) AS tile_x) a
+  CROSS JOIN (SELECT unnest(generate_series(-45, 44)) AS tile_y) b
+)
+SELECT z.zone_id,
+       count(*) AS tile_count,
+       sum(t.value) AS value_sum,
+       sum(t.value) / count(*) AS value_mean,
+       min(t.value) AS value_min,
+       max(t.value) AS value_max
+FROM tiles t JOIN {ZONES_SQL} z
+  ON t.cx > z.zx0 AND t.cx < z.zx1 AND t.cy > z.zy0 AND t.cy < z.zy1
+GROUP BY z.zone_id
+"""
+
+
+def q_spans_explode(spark, sf):
+    """Synthesize interleaved spans from text deterministically, push the
+    array<struct> through a shuffle, then explode back to flat columns —
+    the span-sequence invariant as an oracle-checkable query."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
+
+    def mk_span(i):
+        is_media = (F.col("doc_id") + i) % 4 == 0
+        return F.struct(
+            F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.when(is_media, F.lit(None).cast("string"))
+            .otherwise(F.concat_ws(" ", F.slice(F.col("_toks"), i * 5 + 1, 5)))
+            .alias("text"),
+            F.when(
+                is_media, F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string"))
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), F.col("_ns") - 1), mk_span)
+    with_spans = docs.withColumn("spans", spans).repartition(16, "doc_id")
+    ex = with_spans.select("doc_id", F.explode("spans").alias("s"))
+    return ex.select(
+        "doc_id",
+        F.col("s.offset").alias("span_idx"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+ORACLE_SPANS = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b2 AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 5.0) AS INT) AS ns FROM base),
+ex AS (SELECT doc_id, toks, unnest(generate_series(0, ns - 1)) AS i FROM b2)
+SELECT doc_id,
+       i AS span_idx,
+       CASE WHEN (doc_id + i) % 4 = 0 THEN 'media' ELSE 'text' END AS kind,
+       CASE WHEN (doc_id + i) % 4 = 0 THEN NULL
+            ELSE array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ') END AS span_text,
+       CASE WHEN (doc_id + i) % 4 = 0 THEN 'media://' || doc_id || '/' || i ELSE NULL END AS media_ref
+FROM ex
+"""
+
+
+# ============================================================ dedup queries
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
+def q_minhash_signatures(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sig = minhash_signature(docs.select("doc_id", "text"), n_hashes=8)
+    return sig.select("doc_id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(8)])
+
+
+def _oracle_sig_cte(n_hashes: int) -> str:
+    # mirrors minhash_signature: one md5 per shingle, h_i = min(a + i*b)
+    hcols = ",\n    ".join(f"min(a + {i} * b) AS h{i}" for i in range(n_hashes))
+    return f"""
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(tokens) >= 3
+              THEN list_transform(range(1, len(tokens) - 1), i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+              ELSE [array_to_string(tokens, ' ')] END AS shingles
+       FROM tok),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ab AS (SELECT doc_id,
+         ('0x' || substring(md5(s), 1, 15))::BIGINT AS a,
+         ('0x' || substring(md5(s), 17, 14))::BIGINT AS b
+       FROM ex),
+sig AS (SELECT doc_id, {hcols} FROM ab GROUP BY doc_id)"""
+
+
+ORACLE_MINHASH_SIG = "WITH " + _oracle_sig_cte(8) + "\nSELECT * FROM sig"
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.5, max_bucket=64)
+
+
+def _oracle_minhash_pairs() -> str:
+    n, bands, rows = 16, 4, 4
+    band_key = " ".join(
+        "WHEN %d THEN md5(concat_ws(',', %s))" % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    matches = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(n))
+    return f"""WITH {_oracle_sig_cte(n)},
+banded AS (
+  SELECT doc_id, {', '.join(f'h{i}' for i in range(n))}, band,
+         CASE band {band_key} END AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+  QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) <= 64
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, ({matches}) / 16.0 AS est_jaccard
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE ({matches}) / 16.0 >= 0.5"""
+
+
+def q_simhash(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_column(docs, use_md5=True)
+
+
+def _oracle_simhash() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(60)
+    )
+    recompose = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(60))
+    return f"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tokk FROM documents),
+h AS (SELECT doc_id, ('0x' || substring(md5(tokk), 1, 15))::BIGINT AS hh FROM tok),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, ({recompose}) AS simhash FROM votes"""
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+ORACLE_NGRAM = """
+WITH tok AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS tokens FROM documents),
+sh AS (SELECT doc_id, lang,
+         list_distinct(CASE WHEN len(tokens) >= 3
+              THEN list_transform(range(1, len(tokens) - 1), i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+              ELSE [array_to_string(tokens, ' ')] END) AS s,
+         floor(log2(greatest(length(text), 1))) AS lenb
+       FROM tok)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.lenb - b.lenb) <= 1
+WHERE len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+def q_text_features(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint_md5")
+    return docs.select(
+        "doc_id", token_count(), word_piece_count(), lang_id(), F.round(quality_score(), 6).alias("quality"), fp
+    )
+
+
+def _oracle_text_features() -> str:
+    lang_scores = ",\n    ".join(
+        "len(list_intersect(list_distinct(toks200), [%s])) AS s_%s"
+        % (", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in LANG_PROFILES.items()
+    )
+    # tie-break mirrors Spark's array_max over struct(score, lang):
+    # highest score, then lexicographically greatest lang
+    pred = (
+        "CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' "
+        "WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh' "
+        "WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' "
+        "WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' "
+        "WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' "
+        "ELSE 'de' END"
+    )
+    en_words = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         list_slice(string_split_regex(lower(text), '\\s+'), 1, 200) AS toks200
+  FROM documents),
+feat AS (
+  SELECT doc_id, text, n_chars, toks,
+         len(toks) AS token_count,
+         len(regexp_extract_all(text, '\\w+')) + len(regexp_extract_all(text, '[^\\w\\s]')) AS word_piece_count,
+         {lang_scores},
+         len(regexp_extract_all(text, '[A-Za-z]')) / greatest(n_chars, 1) AS alpha_ratio,
+         len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(n_chars, 1) AS punct_ratio,
+         n_chars / greatest(len(toks), 1) AS mean_wlen,
+         len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))), [{en_words}])) AS stop_hits
+  FROM base)
+SELECT doc_id, token_count, word_piece_count,
+       {pred} AS lang_pred,
+       round(
+         (CASE WHEN token_count >= 10 AND token_count <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+         + (CASE WHEN mean_wlen >= 2.5 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         + (CASE WHEN stop_hits >= 2 THEN 1.0 ELSE 0.5 END) * 0.2
+         + least(alpha_ratio * 1.25, 1.0) * 0.2
+         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.1, 6) AS quality,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+FROM feat"""
+
+
+# ======================================================= similarity queries
+
+def q_sim_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
+    out = cosine_topk_bruteforce(emb, probes, k=5)
+    return out.select("probe_id", "vec_id", F.col("rank").alias("rnk"))
+
+
+ORACLE_SIM_TOPK = """
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT p.probe_id, e.vec_id,
+         list_inner_product(p.pe, e.embedding)
+           / (sqrt(list_inner_product(p.pe, p.pe)) * sqrt(list_inner_product(e.embedding, e.embedding))) AS cos
+  FROM probes p CROSS JOIN embeddings e),
+r AS (SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk FROM pairs)
+SELECT probe_id, vec_id, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def q_ivf_topk(spark, sf):  # rows-only check (approximate by design)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = make_centroids(64, 8)
+    bucketed = ivf_assign(emb, cents)
+    probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
+    return ivf_topk(bucketed, probes, cents, k=5, nprobe=4).select("probe_id", "vec_id", "rank")
+
+
+def q_adaptive_tile_map(spark, sf):  # rows-only (driver checks stability)
+    docs = _docs_geo(spark, sf)
+    tmap = adaptive_tiles(docs, base_res=3, max_res=9, target_rows=200, lon_col="lon", lat_col="lat")
+    return spark.createDataFrame(tmap, schema="tile_id long, res int, row_count long")
+
+
+def q_media_features(spark, sf):  # rows-only (stubbed decode)
+    from pyogrio_spark.operators.multimodal import extract_media_features
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
+    spans = F.transform(
+        F.sequence(F.lit(0), ns - 1),
+        lambda i: F.struct(
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string")).alias(
+                "media_ref"
+            ),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    with_spans = docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    return extract_media_features(with_spans)
+
+
+# ============================================================= sql / events
+
+def q_tpch_q1(spark, sf):
+    _register_views(spark, sf, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf):
+    _register_views(spark, sf, ("lineitem", "orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               o.o_orderdate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """
+    )
+
+
+ORACLE_Q3 = """
+SELECT o.o_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_rollup(spark, sf):
+    _register_views(spark, sf, ("customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT r_name, count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+ORACLE_REGION = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_hourly(spark, sf):
+    _register_views(spark, sf, ("events",))
+    return spark.sql(
+        """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 3) AS value_sum,
+               min(value) AS value_min, max(value) AS value_max
+        FROM events GROUP BY 1, 2
+        """
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 3) AS value_sum,
+       min(value) AS value_min, max(value) AS value_max
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf):
+    _register_views(spark, sf, ("events",))
+    return spark.sql(
+        """
+        WITH l AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR to_unix_timestamp(ts) - to_unix_timestamp(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM l)
+        SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        FROM s GROUP BY user_id, sess_id
+        """
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH l AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM l)
+SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+# ================================================================= registry
+
+QUERIES = {
+    "scan_where_project": q_scan_where_project,
+    "scan_skip_max": q_scan_skip_max,
+    "geo_bbox_filter": q_geo_bbox,
+    "geo_mask_filter": q_geo_mask,
+    "geo_tile_assignment": q_geo_tile_assignment,
+    "geo_pip_join": q_geo_pip_join,
+    "geo_pip_join_salted": q_geo_pip_join_salted,
+    "geo_knn_join": q_geo_knn,
+    "geo_range_join": q_geo_range_join,
+    "geo_zonal_stats": q_geo_zonal,
+    "spans_explode": q_spans_explode,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_simhash": q_simhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "text_features": q_text_features,
+    "sim_cosine_topk": q_sim_topk,
+    "sim_ivf_topk": q_ivf_topk,
+    "adaptive_tile_map": q_adaptive_tile_map,
+    "media_features": q_media_features,
+    "tpch_q1_pricing": q_tpch_q1,
+    "tpch_q3_top_orders": q_tpch_q3,
+    "region_rollup": q_region_rollup,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES = {
+    "scan_where_project": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 200",
+    "scan_skip_max": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 50 OFFSET 100"
+    ),
+    "geo_bbox_filter": f"""SELECT doc_id, lon, lat FROM {DOCS_GEO_SQL} d
+        WHERE lon >= -50.000003 AND lon <= 30.000003 AND lat >= -20.000003 AND lat <= 40.000003""",
+    "geo_mask_filter": f"""SELECT doc_id, lon, lat FROM {DOCS_GEO_SQL} d
+        WHERE abs((lon - 10.0001) / 60.0) + abs((lat - 5.0001) / 40.0) < 1""",
+    "geo_tile_assignment": f"SELECT doc_id, {cell_expr_sql('lon', 'lat', TILE_RES)} AS tile_id FROM {DOCS_GEO_SQL} d",
+    "geo_pip_join": f"""SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
+        ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
+    "geo_pip_join_salted": f"""SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
+        ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
+    "geo_knn_join": f"""
+        WITH pts AS (SELECT * FROM {DOCS_GEO_SQL} d),
+        probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM pts WHERE doc_id < 40),
+        pairs AS (SELECT p.probe_id, d.doc_id,
+                         sqrt((p.plon - d.lon) * (p.plon - d.lon) + (p.plat - d.lat) * (p.plat - d.lat)) AS dist
+                  FROM probes p CROSS JOIN pts d),
+        r AS (SELECT probe_id, doc_id, dist,
+                     row_number() OVER (PARTITION BY probe_id ORDER BY dist, doc_id) AS rnk FROM pairs)
+        SELECT probe_id, doc_id, dist, rnk FROM r WHERE rnk <= 5""",
+    "geo_range_join": f"""SELECT DISTINCT d.doc_id, b.box_id FROM {DOCS_GEO_SQL} d JOIN {BOXES_SQL} b
+        ON d.lon >= b.bx0 AND d.lon <= b.bx1 AND d.lat >= b.by0 AND d.lat <= b.by1""",
+    "geo_zonal_stats": ORACLE_ZONAL,
+    "spans_explode": ORACLE_SPANS,
+    "dedup_exact": (
+        "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_minhash_signatures": ORACLE_MINHASH_SIG,
+    "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
+    "dedup_simhash": _oracle_simhash(),
+    "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "text_features": _oracle_text_features(),
+    "sim_cosine_topk": ORACLE_SIM_TOPK,
+    "tpch_q1_pricing": ORACLE_Q1,
+    "tpch_q3_top_orders": ORACLE_Q3,
+    "region_rollup": ORACLE_REGION,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_sessionize": ORACLE_SESSIONIZE,
+    # sim_ivf_topk, adaptive_tile_map, media_features: rows-only by design
+    # (approximate / stubbed / driver-internal determinism checks)
+}

@@ -40,12 +40,17 @@ def test_exact_dedup(spark, corpus):
 def test_minhash_signature_is_deterministic_and_md5_based(spark, corpus):
     sig = minhash_signature(corpus, n_hashes=8).select("doc_id", "sig").toPandas()
     row = sig[sig.doc_id == "d0"].iloc[0]
-    # reproduce hash 0 for one shingle by hand: min over shingles of md5-prefix
+    # reproduce by hand: one md5 per shingle, h_i = a + i*b over its hex
     text = "the quick brown fox jumps over the lazy dog"
     toks = text.split(" ")
     shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
-    h0 = min(int(hashlib.md5(f"{s}#0".encode()).hexdigest()[:15], 16) for s in shingles)
-    assert row.sig[0] == h0
+
+    def h(s, i):
+        m = hashlib.md5(s.encode()).hexdigest()
+        return int(m[:15], 16) + i * int(m[16:30], 16)
+
+    for i in (0, 3, 7):
+        assert row.sig[i] == min(h(s, i) for s in shingles)
     # identical docs -> identical signatures
     assert list(sig[sig.doc_id == "d1"].iloc[0].sig) == list(row.sig)
 

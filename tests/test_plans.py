@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises.
+
+These tests read `.explain` output — they fail if a change silently
+drops predicate pushdown, de-broadcasts the dimension side, or sneaks a
+Python UDF into a hot path that must stay in whole-stage codegen.
+"""
+
+import pytest
+
+from pyogrio_spark.fixtures import DOCS_SPARK_SCHEMA, make_docs, make_zones
+from pyogrio_spark.io.reader import read_table
+from pyogrio_spark.operators.spatial_join import point_in_polygon_join, zones_cell_cover
+from pyogrio_spark.operators.tiling import assign_tiles
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs")
+    spark.createDataFrame(make_docs(500), schema=DOCS_SPARK_SCHEMA).write.parquet(p)
+    return p
+
+
+def test_where_pushes_to_parquet_scan(spark, docs_parquet):
+    df = read_table(spark, docs_parquet, where="cell_id = 12345 AND xmin > 0", read_geometry=False)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(cell_id)" in plan or "EqualTo(cell_id" in plan
+
+
+def test_projection_prunes_scan_columns(spark, docs_parquet):
+    df = read_table(spark, docs_parquet, columns=["doc_id", "cell_id"], read_geometry=False)
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    # spans (the widest column) must not be read
+    assert "spans" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_tile_assignment_is_pure_codegen(spark, docs_parquet):
+    df = assign_tiles(spark.read.parquet(docs_parquet).select("doc_id", "xmin", "ymin"), res=9)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage codegen marker in executedPlan strings
+
+
+def test_pip_join_broadcasts_cover_side(spark, docs_parquet):
+    docs = spark.read.parquet(docs_parquet)
+    cover = zones_cell_cover(spark, make_zones(50))
+    out = point_in_polygon_join(docs, cover, keep_doc_cols=["doc_id"])
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the docs side must never shuffle
+
+
+def test_knn_candidate_stage_has_no_python(spark, docs_parquet):
+    from pyogrio_spark.operators.knn import knn_join
+
+    docs = spark.read.parquet(docs_parquet)
+    probes = spark.createDataFrame(
+        [("p0", 10.0, 20.0)], "probe_id string, lon double, lat double"
+    )
+    out = knn_join(probes, docs, k=3, initial_ring=2, max_rounds=3)
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
