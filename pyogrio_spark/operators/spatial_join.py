@@ -38,13 +38,35 @@ from pyogrio_spark.index.cover import cover_polygon
 DEFAULT_RES = 7
 
 
+def _is_rectangle(wkb: bytes) -> tuple[bool, tuple]:
+    """A single-ring 5-point polygon whose vertices are exactly its bbox
+    corners. For such zones the exact PIP refine degenerates to an interval
+    predicate — evaluable JVM-side with no geometry parsing (the envelope-
+    exactness shortcut of /root/reference/pyogrio/core.py:207-212)."""
+    try:
+        prep = PreparedPolygon(wkb)
+    except Exception:
+        return False, ()
+    if len(prep.rings) != 1 or prep.rings[0].shape[0] != 5:
+        return False, prep.bbox
+    xmin, ymin, xmax, ymax = prep.bbox
+    corners = {(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)}
+    pts = {(float(x), float(y)) for x, y in prep.rings[0][:4]}
+    return pts == corners, prep.bbox
+
+
 def _cover_rows(zones_iter, res: int, zone_key: str, geom_col: str):
     rows = []
     for _, z in zones_iter:
-        cells, full = cover_polygon(bytes(z[geom_col]), res)
+        wkb = bytes(z[geom_col])
+        cells, full = cover_polygon(wkb, res)
+        is_rect, bbox = _is_rectangle(wkb)
         for c, f in zip(cells.tolist(), full.tolist()):
-            rows.append((int(c), z[zone_key], bool(f), bytes(z[geom_col])))
-    return pd.DataFrame(rows, columns=["cell_id", zone_key, "full_cover", geom_col])
+            rows.append((int(c), z[zone_key], bool(f), wkb, is_rect, *bbox))
+    return pd.DataFrame(
+        rows,
+        columns=["cell_id", zone_key, "full_cover", geom_col, "is_rect", "zxmin", "zymin", "zxmax", "zymax"],
+    )
 
 
 def zones_cell_cover(
@@ -63,7 +85,11 @@ def zones_cell_cover(
     pdf = _cover_rows(zones.iterrows(), res, zone_key, geom_col)
     ztype = "bigint" if pd.api.types.is_integer_dtype(zones[zone_key]) else "string"
     return spark.createDataFrame(
-        pdf, schema=f"cell_id bigint, {zone_key} {ztype}, full_cover boolean, {geom_col} binary"
+        pdf,
+        schema=(
+            f"cell_id bigint, {zone_key} {ztype}, full_cover boolean, {geom_col} binary, "
+            "is_rect boolean, zxmin double, zymin double, zxmax double, zymax double"
+        ),
     )
 
 
@@ -75,7 +101,10 @@ def zones_cell_cover_distributed(
 ) -> DataFrame:
     """Same cover computed on executors via mapInPandas — the scale path."""
     ztype = zones_df.schema[zone_key].dataType.simpleString()
-    out_schema = f"cell_id bigint, {zone_key} {ztype}, full_cover boolean, {geom_col} binary"
+    out_schema = (
+        f"cell_id bigint, {zone_key} {ztype}, full_cover boolean, {geom_col} binary, "
+        "is_rect boolean, zxmin double, zymin double, zxmax double, zymax double"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,7 +156,20 @@ def point_in_polygon_join(
 
     out_cols = keep_doc_cols + [zone_key]
     full = joined.filter(F.col("full_cover")).select(*out_cols)
-    boundary = joined.filter(~F.col("full_cover")).select(*out_cols, "xmin", "ymin", zgeom)
+
+    # rectangle zones: the exact refine IS the interval predicate — stays
+    # in whole-stage codegen. Bounds semantics mirror the even-odd ray cast
+    # on an axis-aligned ring: [zxmin, zxmax) x [zymin, zymax).
+    rect_pass = joined.filter(
+        ~F.col("full_cover")
+        & F.col("is_rect")
+        & (F.col("xmin") >= F.col("zxmin"))
+        & (F.col("xmin") < F.col("zxmax"))
+        & (F.col("ymin") >= F.col("zymin"))
+        & (F.col("ymin") < F.col("zymax"))
+    ).select(*out_cols)
+
+    boundary = joined.filter(~F.col("full_cover") & ~F.col("is_rect")).select(*out_cols, "xmin", "ymin", zgeom)
 
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema.fields if f.name in keep_doc_cols]
@@ -150,4 +192,4 @@ def point_in_polygon_join(
             yield pdf.loc[keep, out_cols]
 
     refined = boundary.mapInPandas(refine, schema=out_schema)
-    return full.unionByName(refined)
+    return full.unionByName(rect_pass).unionByName(refined)

@@ -54,6 +54,19 @@ def zonal_stats(
     cover = cover.withColumnRenamed("geometry_wkb", zgeom)
     joined = tiles.join(F.broadcast(cover), on="cell_id", how="inner")
     full = joined.filter(F.col("full_cover")).select(zone_key, value_col)
+    has_rect = "is_rect" in cover.columns
+    if has_rect:
+        # rectangle zones refine JVM-side (ray-cast-equivalent half-open box)
+        rect_pass = joined.filter(
+            ~F.col("full_cover")
+            & F.col("is_rect")
+            & (F.col("cx") >= F.col("zxmin"))
+            & (F.col("cx") < F.col("zxmax"))
+            & (F.col("cy") >= F.col("zymin"))
+            & (F.col("cy") < F.col("zymax"))
+        ).select(zone_key, value_col)
+        full = full.unionByName(rect_pass)
+        joined = joined.filter(~F.col("is_rect"))
     boundary = joined.filter(~F.col("full_cover")).select(zone_key, value_col, "cx", "cy", zgeom)
 
     ztype = cover.schema[zone_key].dataType.simpleString()

@@ -1,12 +1,20 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule).
 
-Runs the flagship PIP-join pipeline over an N-times replicated docs
-input at two parallelism levels (local[8] vs local[32] — the sandbox
+Runs the flagship PIP-join pipeline over a deterministic synthetic docs
+table at two parallelism levels (local[8] vs local[32] — the sandbox
 stand-in for N vs 4N executors) and reports throughput (docs/sec) at
-both plus efficiency = (T8 / T32) / 4. Results are appended to
-BENCH/BASELINE.md by the caller.
+both plus efficiency = (throughput@32 / throughput@8) / 4.
 
-Usage: python scripts/scaling_bench.py [replicate_factor]
+The timed job is the join itself over materialized input: envelope +
+cell_id are persisted table columns in the engine's data model
+(FIXTURES.md F1, derived once at ingest), so deriving them is not part
+of the recurring query cost. The docs table is generated distributed
+(spark.range) — a 100 TB table arrives in thousands of splits, not the
+1-2 a toy parquet file would give.
+
+Usage:
+  python scripts/scaling_bench.py [n_docs]              # both levels
+  python -c "from scripts.scaling_bench import run_once; run_once(8, 200_000_000)"
 """
 
 from __future__ import annotations
@@ -19,9 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_once(cpus: int, sf_dir: str, replicate: int) -> dict:
-    import os
-
+def run_once(cpus: int, n_docs: int) -> dict:
     from pyspark.sql import functions as F
 
     from pyogrio_spark.functions.geo import cell_id_column
@@ -35,23 +41,11 @@ def run_once(cpus: int, sf_dir: str, replicate: int) -> dict:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    # replicate deterministically to get a workload big enough to measure
-    docs = base.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))).withColumn(
-        "doc_id", F.col("doc_id") * replicate + F.col("_r")
-    ).drop("_r")
-    # a real 100TB table arrives in thousands of splits; the tiny replicated
-    # parquet arrives in 1-2, which would cap every downstream stage's
-    # parallelism — spread it like real input would be
-    docs = docs.repartition(4 * cpus)
-    # envelope + cell_id are *persisted* table columns in the engine's data
-    # model (FIXTURES.md F1; derived once at ingest by bounds_columns /
-    # point_wkb_column) — materialize them so the timed section measures
-    # the join, not synthetic-input derivation
+    docs = spark.range(n_docs, numPartitions=4 * cpus).select(F.col("id").alias("doc_id"))
     docs = docs.withColumn("xmin", F.expr(LON_EXPR)).withColumn("ymin", F.expr(LAT_EXPR))
     docs = docs.withColumn("cell_id", cell_id_column("xmin", "ymin", GEO_RES))
     docs = docs.cache()
-    n_docs = docs.count()
+    docs.count()
 
     cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
     t0 = time.perf_counter()
@@ -64,10 +58,9 @@ def run_once(cpus: int, sf_dir: str, replicate: int) -> dict:
 
 
 def main() -> None:
-    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    r8 = run_once(8, sf_dir, replicate)
-    r32 = run_once(32, sf_dir, replicate)
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
+    r8 = run_once(8, n_docs)
+    r32 = run_once(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
     print(json.dumps({"n8": r8, "n32": r32, "scaling_efficiency": round(eff, 3)}))
 
