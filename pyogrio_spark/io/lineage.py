@@ -45,12 +45,17 @@ class StageCheckpoint:
 
     def pending(self, unit_keys: list[str]) -> list[str]:
         done = self.completed()
-        return [k for k in unit_keys if k not in done]
+        return [
+            k for k in unit_keys
+            if k not in done or done[k].get("input_snapshot") != self.input_snapshot
+        ]
 
     def run_unit(self, unit_key: str, produce: Callable[[], DataFrame]) -> dict:
-        """Execute one unit if not already committed; returns its lineage row."""
+        """Execute one unit if not already committed *for this input
+        snapshot*; a completed unit whose recorded input_snapshot differs
+        is stale (input drifted since the kill) and re-runs."""
         done = self.completed()
-        if unit_key in done:
+        if unit_key in done and done[unit_key].get("input_snapshot") == self.input_snapshot:
             return done[unit_key]
         out = produce()
         unit_dir = os.path.join(self.root, "units", unit_key.replace("/", "_"))

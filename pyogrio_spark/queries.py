@@ -608,6 +608,52 @@ FROM s GROUP BY user_id, sess_id
 """
 
 
+def q_read_bounds(spark, sf):
+    """read_bounds surface (envelope-only scan, 5-column projection)."""
+    from pyogrio_spark.io.reader import read_bounds
+
+    return read_bounds(spark, _docs_geo(spark, sf))
+
+
+def q_total_bounds(spark, sf):
+    """extent aggregate (reference get_total_bounds, _io.pyx:584-610)."""
+    docs = _docs_geo(spark, sf)
+    return docs.agg(
+        F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+        F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_events_json_props(spark, sf):
+    """JSON field parse (reference OFSTJSON -> json.loads, geopandas.py:508-518)."""
+    _register_views(spark, sf, ("events",))
+    return spark.sql(
+        """
+        SELECT cast(get_json_object(props, '$.k') as bigint) AS k,
+               count(*) AS n_events,
+               min(event_id) AS first_event
+        FROM events GROUP BY 1
+        """
+    )
+
+
+def q_window_top_orders_per_segment(spark, sf):
+    """window-function surface: top-3 orders by price per market segment."""
+    _register_views(spark, sf, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH j AS (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM j) WHERE rnk <= 3
+        """
+    )
+
+
 # ================================================================= registry
 
 QUERIES = {
@@ -637,6 +683,10 @@ QUERIES = {
     "region_rollup": q_region_rollup,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "read_bounds": q_read_bounds,
+    "total_bounds": q_total_bounds,
+    "events_json_props": q_events_json_props,
+    "window_top_orders": q_window_top_orders_per_segment,
 }
 
 ORACLES = {
@@ -681,6 +731,21 @@ ORACLES = {
     "region_rollup": ORACLE_REGION,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_SESSIONIZE,
+    "read_bounds": f"SELECT doc_id, lon AS xmin, lat AS ymin, lon AS xmax, lat AS ymax FROM {DOCS_GEO_SQL} d",
+    "total_bounds": f"""SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax,
+        count(*) AS n FROM {DOCS_GEO_SQL} d""",
+    "events_json_props": """
+        SELECT cast(json_extract_string(props, '$.k') as bigint) AS k,
+               count(*) AS n_events, min(event_id) AS first_event
+        FROM events GROUP BY 1""",
+    "window_top_orders": """
+        WITH j AS (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM j) t WHERE rnk <= 3""",
     # sim_ivf_topk, adaptive_tile_map, media_features: rows-only by design
     # (approximate / stubbed / driver-internal determinism checks)
 }
