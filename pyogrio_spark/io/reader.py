@@ -218,7 +218,19 @@ def read_info(
     force_total_bounds: bool = False,
     crs: str = "EPSG:4326",
 ) -> LayerInfo:
-    df = _load(spark, source)
+    # committed tables carry CRS as a table property
+    # (the reference stores CRS per layer, /root/reference/pyogrio/_io.pyx:426-478)
+    df = None
+    if isinstance(source, str):
+        import os as _os
+
+        from pyogrio_spark.io.writer import _read_manifest, read_committed
+
+        if _os.path.exists(_os.path.join(source, "_manifest.json")):
+            crs = _read_manifest(source)["properties"].get("crs", crs)
+            df = read_committed(spark, source)
+    if df is None:
+        df = _load(spark, source)
     non_geom = [f for f in df.schema.fields if f.name != GEOMETRY_COL]
     geom_type = None
     if GEOMETRY_COL in df.columns:

@@ -113,6 +113,23 @@ def zones_cell_cover_distributed(
     return zones_df.select(zone_key, geom_col).mapInPandas(gen, schema=out_schema)
 
 
+def plan_salt_factors(
+    docs: DataFrame, threshold_rows: int, max_salt: int = 64, cell_col: str = "cell_id"
+) -> pd.DataFrame:
+    """Deterministic per-cell salt plan from a count sketch (SURVEY.md §7
+    hard part 4): one cheap groupBy(cell).count(); cells above the
+    per-reducer row budget get salt_k = ceil(count/threshold). The plan is
+    a pure function of the input snapshot, so a resumed job reproduces the
+    identical physical partitioning."""
+    counts = (
+        docs.groupBy(cell_col).count().filter(F.col("count") > threshold_rows).toPandas()
+    )
+    if counts.empty:
+        return pd.DataFrame(columns=["cell_id", "salt_k"])
+    counts["salt_k"] = np.minimum(np.ceil(counts["count"] / threshold_rows), max_salt).astype(int)
+    return counts[[cell_col, "salt_k"]].rename(columns={cell_col: "cell_id"})
+
+
 def point_in_polygon_join(
     docs: DataFrame,
     cover: DataFrame,
@@ -120,6 +137,7 @@ def point_in_polygon_join(
     geom_col: str = "geometry_wkb",
     broadcast_cover: bool = True,
     salt: int = 0,
+    salt_plan: pd.DataFrame | None = None,
     keep_doc_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join point docs to polygons (PIP / intersects semantics).
@@ -145,6 +163,28 @@ def point_in_polygon_join(
 
     if broadcast_cover:
         joined = docs_sel.join(F.broadcast(cover), on="cell_id", how="inner")
+    elif salt_plan is not None and len(salt_plan):
+        # targeted skew salting: only cells in the plan fan out, and each
+        # by its own factor — cold cells pay nothing
+        spark = docs_sel.sparkSession
+        plan = F.broadcast(
+            spark.createDataFrame(salt_plan[["cell_id", "salt_k"]], schema="cell_id bigint, salt_k int")
+        )
+        cover = (
+            cover.join(plan, on="cell_id", how="left")
+            .withColumn("_k", F.coalesce(F.col("salt_k"), F.lit(1)))
+            .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_k") - 1)))
+            .drop("salt_k", "_k")
+        )
+        docs_sel = (
+            docs_sel.join(plan, on="cell_id", how="left")
+            .withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(keep_doc_cols[0])), F.coalesce(F.col("salt_k"), F.lit(1))).cast("int"),
+            )
+            .drop("salt_k")
+        )
+        joined = docs_sel.join(cover, on=["cell_id", "_salt"], how="inner").drop("_salt")
     elif salt > 1:
         cover = cover.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         docs_sel = docs_sel.withColumn(

@@ -28,6 +28,17 @@ def test_write_commit_append_overwrite(spark, tmp_path):
     assert read_committed(spark, path).count() == 5
 
 
+def test_crs_roundtrip_through_table_properties(spark, tmp_path):
+    from pyogrio_spark.io.reader import read_info
+
+    docs = spark.createDataFrame(make_docs(30), schema=DOCS_SPARK_SCHEMA)
+    path = str(tmp_path / "crs_t")
+    write_table(docs, path, mode="overwrite", properties={"crs": "EPSG:3857"})
+    info = read_info(spark, path)
+    assert info.crs == "EPSG:3857"
+    assert info.geometry_type == "Point"
+
+
 def test_failed_write_leaves_previous_snapshot(spark, tmp_path):
     docs = spark.createDataFrame(make_docs(50), schema=DOCS_SPARK_SCHEMA)
     path = str(tmp_path / "t2")

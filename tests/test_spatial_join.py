@@ -40,13 +40,26 @@ def test_pip_join_matches_oracle(spark, docs_df, docs_pd, zones_pd):
 
 
 def test_pip_join_shuffle_salted_same_result(spark, docs_df, docs_pd, zones_pd):
+    from pyogrio_spark.operators.spatial_join import plan_salt_factors
+
     cover = zones_cell_cover(spark, zones_pd)
     base = pairs(point_in_polygon_join(docs_df, cover, keep_doc_cols=["doc_id"]))
     salted = pairs(
         point_in_polygon_join(docs_df, cover, keep_doc_cols=["doc_id"], broadcast_cover=False, salt=4)
     )
     plain_shuffle = pairs(point_in_polygon_join(docs_df, cover, keep_doc_cols=["doc_id"], broadcast_cover=False))
-    assert base == salted == plain_shuffle
+    # targeted per-hot-cell plan (hotspot fixture guarantees hot cells exist)
+    plan = plan_salt_factors(docs_df, threshold_rows=20)
+    assert len(plan) > 0 and (plan.salt_k > 1).any()
+    planned = pairs(
+        point_in_polygon_join(
+            docs_df, cover, keep_doc_cols=["doc_id"], broadcast_cover=False, salt_plan=plan
+        )
+    )
+    # plan determinism: same input -> identical plan
+    plan2 = plan_salt_factors(docs_df, threshold_rows=20)
+    assert plan.sort_values("cell_id").values.tolist() == plan2.sort_values("cell_id").values.tolist()
+    assert base == salted == plain_shuffle == planned
 
 
 def test_distributed_cover_matches_driver_cover(spark, zones_pd):
