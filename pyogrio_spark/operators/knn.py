@@ -91,7 +91,7 @@ def knn_join(
     pending = pending.cache()
     round_results: list[DataFrame] = []
     results = None
-    for _ in range(max_rounds):
+    for round_i in range(max_rounds):
         # window cells: clamped (2r+1)^2 square around the probe cell
         cand_cells = (
             pending.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
@@ -143,6 +143,10 @@ def knn_join(
         if window_covers_grid or n_left == 0:
             break
         r *= 2
+        # correctness net: on the final allowed round, force the window to
+        # span the grid so every remaining probe terminates exactly
+        if round_i == max_rounds - 2:
+            r = n
     results = round_results[0]
     for extra in round_results[1:]:
         results = results.unionByName(extra)

@@ -72,6 +72,37 @@ def _centroid_scores(vec_col, centroids: np.ndarray):
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 29,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) on the corpus: assignment is the same
+    JVM expression as ivf_assign; the update is one posexplode +
+    groupBy(bucket, dim) avg per iteration — two shuffles total per
+    round, no per-row Python. Deterministic (seeded init, fixed iters)."""
+    cents = make_centroids(dim, n_centroids, seed)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, vec_col)
+        sums = (
+            assigned.select("ivf_bucket", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("ivf_bucket", "pos")
+            .agg(F.avg("v").alias("m"))
+            .toPandas()
+        )
+        new = cents.copy()
+        for b, grp in sums.groupby("ivf_bucket"):
+            vec = grp.sort_values("pos")["m"].to_numpy()
+            norm = np.linalg.norm(vec)
+            if norm > 0:
+                new[int(b)] = vec / norm
+        cents = new
+    return cents
+
+
 def ivf_assign(corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
     """Adds ``ivf_bucket`` = argmax-cosine centroid. One pass, persisted
     alongside the corpus (the analogue of the persisted cell_id column)."""

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyogrio_spark.fixtures import DEFAULT_RES as GEO_RES
@@ -638,6 +638,54 @@ def q_events_json_props(spark, sf):
     )
 
 
+def q_corpus_curation(spark, sf):
+    """Composed training-data pipeline: exact-dedup -> quality gate ->
+    language filter -> per-language token budget accounting. One query
+    exercising dedup + text features + aggregation together."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w = F.row_number().over(Window.partitionBy(fp).orderBy("doc_id"))
+    deduped = docs.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+    kept = deduped.filter(F.round(quality_score(), 6) >= 0.5).filter(F.col("lang").isin("en", "es", "fr"))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count()).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_CURATION = f"""
+WITH fp AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+dd AS (SELECT * FROM fp WHERE rn = 1),
+q AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+')) AS token_count,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+         len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) AS punct_ratio,
+         length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mean_wlen,
+         len(list_intersect(list_distinct(list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t))),
+             [{', '.join("'" + w + "'" for w in LANG_PROFILES['en'])}])) AS stop_hits
+  FROM dd),
+scored AS (
+  SELECT doc_id, lang, token_count,
+         round(
+           (CASE WHEN token_count >= 10 AND token_count <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+           + (CASE WHEN mean_wlen >= 2.5 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+           + (CASE WHEN stop_hits >= 2 THEN 1.0 ELSE 0.5 END) * 0.2
+           + least(alpha_ratio * 1.25, 1.0) * 0.2
+           + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.1, 6) AS quality
+  FROM q)
+SELECT lang, count(*) AS n_docs, sum(token_count) AS total_tokens, min(doc_id) AS first_doc
+FROM scored WHERE quality >= 0.5 AND lang IN ('en', 'es', 'fr')
+GROUP BY lang
+"""
+
+
 def q_window_top_orders_per_segment(spark, sf):
     """window-function surface: top-3 orders by price per market segment."""
     _register_views(spark, sf, ("orders", "customer"))
@@ -687,6 +735,7 @@ QUERIES = {
     "total_bounds": q_total_bounds,
     "events_json_props": q_events_json_props,
     "window_top_orders": q_window_top_orders_per_segment,
+    "corpus_curation": q_corpus_curation,
 }
 
 ORACLES = {
@@ -746,6 +795,7 @@ ORACLES = {
           SELECT *, row_number() OVER (PARTITION BY c_mktsegment
                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
           FROM j) t WHERE rnk <= 3""",
+    "corpus_curation": ORACLE_CURATION,
     # sim_ivf_topk, adaptive_tile_map, media_features: rows-only by design
     # (approximate / stubbed / driver-internal determinism checks)
 }

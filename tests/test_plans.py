@@ -55,6 +55,25 @@ def test_pip_join_broadcasts_cover_side(spark, docs_parquet):
     assert "SortMergeJoin" not in plan  # the docs side must never shuffle
 
 
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The Iceberg-partitioning stand-in: lay the table out partitioned by
+    the coarse parent cell; a cell-range predicate then prunes whole
+    directories (PartitionFilters), the scan never opens cold regions."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.index.grid import cell_expr_sql
+
+    docs = spark.createDataFrame(make_docs(2000), schema=DOCS_SPARK_SCHEMA)
+    docs = docs.withColumn("cell_p", F.expr(cell_expr_sql("xmin", "ymin", 3)))
+    path = str(tmp_path / "part_docs")
+    docs.write.partitionBy("cell_p").parquet(path)
+    hot = docs.groupBy("cell_p").count().orderBy(F.desc("count")).head()["cell_p"]
+    out = spark.read.parquet(path).filter(F.col("cell_p") == hot)
+    plan = plan_of(out)
+    assert "PartitionFilters: [" in plan and "cell_p" in plan.split("PartitionFilters")[1][:120]
+    assert out.count() > 0
+
+
 def test_knn_candidate_stage_has_no_python(spark, docs_parquet):
     from pyogrio_spark.operators.knn import knn_join
 

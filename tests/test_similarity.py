@@ -63,6 +63,30 @@ def test_ivf_recall(spark, vecs, vecs_pd):
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
 
 
+def test_ivf_trained_beats_or_matches_random(spark, vecs, vecs_pd):
+    from pyogrio_spark.operators.similarity import ivf_train
+
+    cents_r = make_centroids(16, 8)
+    cents_t = ivf_train(vecs, dim=16, n_centroids=8, iters=2)
+    probes_pd = pd.DataFrame(
+        {"probe_id": [f"p{i}" for i in range(8)], "embedding": [vecs_pd.embedding[i * 11] for i in range(8)]}
+    )
+    probes = spark.createDataFrame(probes_pd, schema="probe_id string, embedding array<float>")
+    want = brute_oracle(vecs_pd, probes_pd, 10)
+
+    def recall(cents):
+        got = ivf_topk(ivf_assign(vecs, cents), probes, cents, k=10, nprobe=3).toPandas()
+        rs = [len(set(g.vec_id) & set(want[pid])) / 10 for pid, g in got.groupby("probe_id")]
+        return float(np.mean(rs))
+
+    r_rand, r_train = recall(cents_r), recall(cents_t)
+    assert r_train >= r_rand - 0.05  # trained never materially worse
+    assert r_train >= 0.6
+    # determinism
+    cents_t2 = ivf_train(vecs, dim=16, n_centroids=8, iters=2)
+    np.testing.assert_allclose(cents_t, cents_t2)
+
+
 def test_embedding_near_dup(spark, vecs):
     pairs = embedding_near_dup_pairs(vecs, threshold=0.999).toPandas()
     got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False, name=None)))
