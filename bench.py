@@ -29,6 +29,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "tpch_q1_pricing",
     "events_sessionize",
+    "corpus_curation",
 ]
 
 
