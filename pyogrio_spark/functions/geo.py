@@ -101,6 +101,27 @@ def point_wkb_column(lon_col: str, lat_col: str) -> Column:
     return _point_wkb_udf()(F.col(lon_col), F.col(lat_col))
 
 
+@lru_cache(maxsize=1)
+def _rect_wkb_udf():
+    @pandas_udf("binary")
+    def rect_wkb_udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            W.encode_rects(
+                xmin.to_numpy(np.float64), ymin.to_numpy(np.float64),
+                xmax.to_numpy(np.float64), ymax.to_numpy(np.float64),
+            )
+        )
+
+    return rect_wkb_udf
+
+
+def rect_wkb_column(xmin_col: str, ymin_col: str, xmax_col: str, ymax_col: str) -> Column:
+    """Encode envelope corners into rectangle-polygon WKB (vectorized)."""
+    return _rect_wkb_udf()(F.col(xmin_col), F.col(ymin_col), F.col(xmax_col), F.col(ymax_col))
+
+
 def span_digest(spans_col: str = "spans") -> Column:
     """Canonical digest of the interleaved span sequence. Stage-boundary
     checks compare this digest to prove the per-row invariant (kind, text,

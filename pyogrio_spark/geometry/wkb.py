@@ -166,6 +166,27 @@ def encode_points(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     return np.array([raw[i * 21 : (i + 1) * 21] for i in range(n)], dtype=object)
 
 
+def encode_rects(xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Vectorized: (n,) envelope corners -> object ndarray of 93-byte WKB
+    axis-aligned rectangle polygons (1 ring, 5 CCW points, closed)."""
+    xmin = np.asarray(xmin, dtype="<f8")
+    ymin = np.asarray(ymin, dtype="<f8")
+    xmax = np.asarray(xmax, dtype="<f8")
+    ymax = np.asarray(ymax, dtype="<f8")
+    n = xmin.shape[0]
+    out = np.empty((n, 93), dtype=np.uint8)
+    out[:, 0:13] = np.frombuffer(b"\x01\x03\x00\x00\x00" + struct.pack("<II", 1, 5), dtype=np.uint8)
+    ring = np.empty((n, 10), dtype="<f8")
+    ring[:, 0], ring[:, 1] = xmin, ymin
+    ring[:, 2], ring[:, 3] = xmax, ymin
+    ring[:, 4], ring[:, 5] = xmax, ymax
+    ring[:, 6], ring[:, 7] = xmin, ymax
+    ring[:, 8], ring[:, 9] = xmin, ymin
+    out[:, 13:93] = ring.view(np.uint8).reshape(n, 80)
+    raw = out.tobytes()
+    return np.array([raw[i * 93 : (i + 1) * 93] for i in range(n)], dtype=object)
+
+
 def decode_points(wkbs, on_invalid: str = "raise") -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch decode of 2-D point WKB -> (lon, lat) float64.
 

@@ -174,6 +174,43 @@ def q_geo_pip_join_salted(spark, sf):
     )
 
 
+# rect half-extents derived from doc_id: 0.1..0.7 x 0.1..0.5 degrees.
+# Integer-scaled arithmetic (grid 1e-5) keeps corners off zone edges
+# (zones carry the +-5e-6 offset).
+RECT_W_EXPR = "(1 + doc_id % 7) / 1e1"
+RECT_H_EXPR = "(1 + doc_id % 5) / 1e1"
+
+
+def q_geo_intersects_join(spark, sf):
+    """Generic geometry-geometry ST_Intersects theta-join — the
+    reference's canonical SQL spatial-join example
+    (/root/reference/docs/source/introduction.md:291-307) with non-point
+    left geometries (rectangles around each doc point)."""
+    from pyogrio_spark.functions.geo import rect_wkb_column
+    from pyogrio_spark.operators.intersects_join import intersects_join
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = docs.withColumn("lon", F.expr(LON_EXPR)).withColumn("lat", F.expr(LAT_EXPR))
+    docs = (
+        docs.withColumn("xmin", F.expr(f"lon - ({RECT_W_EXPR})"))
+        .withColumn("xmax", F.expr(f"lon + ({RECT_W_EXPR})"))
+        .withColumn("ymin", F.expr(f"lat - ({RECT_H_EXPR})"))
+        .withColumn("ymax", F.expr(f"lat + ({RECT_H_EXPR})"))
+    )
+    docs = docs.withColumn("geometry_wkb", rect_wkb_column("xmin", "ymin", "xmax", "ymax"))
+    cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    return intersects_join(docs, cover, res=GEO_RES, zone_key="zone_id", left_key="doc_id").select(
+        "doc_id", "zone_id"
+    )
+
+
+ORACLE_INTERSECTS = f"""
+SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
+ON d.lon - ((1 + d.doc_id % 7) / 1e1) <= z.zx1 AND d.lon + ((1 + d.doc_id % 7) / 1e1) >= z.zx0
+AND d.lat - ((1 + d.doc_id % 5) / 1e1) <= z.zy1 AND d.lat + ((1 + d.doc_id % 5) / 1e1) >= z.zy0
+"""
+
+
 def q_geo_knn(spark, sf):
     docs = _docs_geo(spark, sf)
     probes = docs.filter("doc_id < 40").select(F.col("doc_id").alias("probe_id"), "lon", "lat")
@@ -727,6 +764,7 @@ QUERIES = {
     "geo_tile_assignment": q_geo_tile_assignment,
     "geo_pip_join": q_geo_pip_join,
     "geo_pip_join_salted": q_geo_pip_join_salted,
+    "geo_intersects_join": q_geo_intersects_join,
     "geo_knn_join": q_geo_knn,
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
@@ -767,6 +805,7 @@ ORACLES = {
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
     "geo_pip_join_salted": f"""SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
+    "geo_intersects_join": ORACLE_INTERSECTS,
     "geo_knn_join": f"""
         WITH pts AS (SELECT * FROM {DOCS_GEO_SQL} d),
         probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM pts WHERE doc_id < 40),

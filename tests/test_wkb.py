@@ -77,3 +77,17 @@ def test_invalid_policies():
 def test_decode_points_mixed_with_null():
     lon, lat = W.decode_points([None, W.encode_point(3, 4)], on_invalid="ignore")
     assert np.isnan(lon[0]) and lon[1] == 3.0 and lat[1] == 4.0
+
+
+def test_encode_rects_matches_encode_polygon():
+    xmin = np.array([-1.5, 10.0])
+    ymin = np.array([-2.5, 20.0])
+    xmax = np.array([3.5, 11.0])
+    ymax = np.array([4.5, 21.5])
+    got = W.encode_rects(xmin, ymin, xmax, ymax)
+    for i in range(2):
+        ring = np.array(
+            [(xmin[i], ymin[i]), (xmax[i], ymin[i]), (xmax[i], ymax[i]), (xmin[i], ymax[i]), (xmin[i], ymin[i])]
+        )
+        assert bytes(got[i]) == W.encode_polygon([ring])
+        assert W.bounds(bytes(got[i])) == (xmin[i], ymin[i], xmax[i], ymax[i])
