@@ -1,0 +1,66 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+A 100-TB corpus is split train/val/test by *content-stable hashing*, not
+randomness: the assignment of a document must never depend on partition
+layout, cluster size, or execution order (the same guarantee the
+reference gives for FID-addressed reads, /root/reference/pyogrio/
+_io.pyx:1429-1525 — a row's identity, not its position, selects it).
+
+md5 is used (not xxhash64) so an independent engine can re-derive every
+assignment — the shared-hash rule of the oracle gate. The 60-bit prefix
+keeps values < 2^61 (Spark ANSI-safe).
+
+Everything here is pure JVM expression — whole-stage codegen, no
+shuffle: a split assignment is a map-side stamp, and a filter on it
+pushes into the scan of any table that persists the column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key_col: str, salt: str = "split") -> Column:
+    """Stable bucket in [0, BUCKETS) from md5(salt || key)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15), 16, 10)
+    return (h.cast("bigint") % BUCKETS).alias("bucket")
+
+
+def split_column(key_col: str, weights: dict[str, float], salt: str = "split") -> Column:
+    """CASE expression assigning each row to a named split by cumulative
+    weight thresholds over the hash bucket. Weights must sum to ~1."""
+    names = list(weights)
+    edges = []
+    acc = 0.0
+    for n in names:
+        acc += weights[n]
+        edges.append(int(round(acc * BUCKETS)))
+    edges[-1] = BUCKETS  # absorb float residue
+    b = hash_bucket(key_col, salt)
+    expr = F.when(b < edges[0], F.lit(names[0]))
+    for n, e in zip(names[1:], edges[1:]):
+        expr = expr.when(b < e, F.lit(n))
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Stamp a deterministic split column. Filtering a persisted split
+    column prunes at the scan; re-running with the same salt reproduces
+    the exact assignment on any cluster size."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    return df.withColumn(split_col, split_column(key_col, weights, salt))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Deterministic fraction sample (content-stable, unlike df.sample
+    which depends on partition layout)."""
+    return df.filter(hash_bucket(key_col, salt) < int(round(fraction * BUCKETS)))

@@ -738,6 +738,63 @@ GROUP BY lang
 """
 
 
+def q_dataset_split(spark, sf):
+    """Deterministic train/val/test assignment by content-stable md5
+    bucketing — per (lang, split) counts. Pure codegen, no shuffle
+    before the aggregate."""
+    from pyogrio_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = hash_split(docs, key_col="doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("lang", "split").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+
+
+ORACLE_SPLIT = """
+SELECT lang,
+       CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM (SELECT lang, doc_id,
+             ('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def q_token_budget(spark, sf):
+    """Per-language token-budget selection via the distributed prefix
+    sum (two-phase, no single-reducer window) — longest docs first."""
+    from pyogrio_spark.operators.budget import budget_filter
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = docs.withColumn("token_count", token_count())
+    # longest-first order needs an ascending sortable column for the range shuffle
+    docs = docs.withColumn("neg_tokens", -F.col("token_count"))
+    kept = budget_filter(
+        docs, budget=5000, group_col="lang", value_col="token_count",
+        order_cols=("neg_tokens", "doc_id"), num_partitions=16,
+    ).drop("neg_tokens")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("token_count").alias("tokens_kept"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_BUDGET = """
+WITH t AS (
+  SELECT lang, doc_id, len(string_split_regex(trim(text), '\\s+')) AS token_count
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, token_count,
+         sum(token_count) OVER (PARTITION BY lang ORDER BY token_count DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT lang, count(*) AS n_docs, CAST(sum(token_count) AS BIGINT) AS tokens_kept, min(doc_id) AS first_doc
+FROM c WHERE cum - token_count < 5000
+GROUP BY lang
+"""
+
+
 def q_window_top_orders_per_segment(spark, sf):
     """window-function surface: top-3 orders by price per market segment."""
     _register_views(spark, sf, ("orders", "customer"))
@@ -789,6 +846,8 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "window_top_orders": q_window_top_orders_per_segment,
     "corpus_curation": q_corpus_curation,
+    "dataset_split": q_dataset_split,
+    "token_budget": q_token_budget,
 }
 
 ORACLES = {
@@ -850,6 +909,8 @@ ORACLES = {
                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
           FROM j) t WHERE rnk <= 3""",
     "corpus_curation": ORACLE_CURATION,
+    "dataset_split": ORACLE_SPLIT,
+    "token_budget": ORACLE_BUDGET,
     # sim_ivf_topk, adaptive_tile_map, media_features: rows-only by design
     # (approximate / stubbed / driver-internal determinism checks)
 }
