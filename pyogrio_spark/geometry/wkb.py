@@ -187,6 +187,27 @@ def encode_rects(xmin, ymin, xmax, ymax) -> np.ndarray:
     return np.array([raw[i * 93 : (i + 1) * 93] for i in range(n)], dtype=object)
 
 
+def _uniform_point_matrix(items) -> np.ndarray | None:
+    """(n, 21) uint8 matrix iff every item is a 21-byte LE 2-D point WKB,
+    else None. The scan is C-level (map(len) + one join + one vectorized
+    header compare) — no per-item Python bytecode."""
+    n = len(items)
+    if not n:
+        return None
+    try:
+        lens = np.fromiter(map(len, items), count=n, dtype=np.int64)
+        if not (lens == 21).all():
+            return None
+        joined = b"".join(items)
+    except TypeError:  # None or non-bytes in the batch
+        return None
+    arr = np.frombuffer(joined, dtype=np.uint8).reshape(n, 21)
+    hdr = np.frombuffer(_POINT_LE_2D, dtype=np.uint8)
+    if not (arr[:, :5] == hdr).all():
+        return None
+    return arr
+
+
 def decode_points(wkbs, on_invalid: str = "raise") -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch decode of 2-D point WKB -> (lon, lat) float64.
 
@@ -197,8 +218,8 @@ def decode_points(wkbs, on_invalid: str = "raise") -> tuple[np.ndarray, np.ndarr
     """
     items = list(wkbs)
     n = len(items)
-    if n and all(isinstance(b, (bytes, bytearray)) and len(b) == 21 and b[:5] == _POINT_LE_2D for b in items):
-        arr = np.frombuffer(b"".join(items), dtype=np.uint8).reshape(n, 21)
+    arr = _uniform_point_matrix(items)
+    if arr is not None:
         lon = arr[:, 5:13].copy().view("<f8").ravel()
         lat = arr[:, 13:21].copy().view("<f8").ravel()
         return lon, lat
@@ -290,8 +311,10 @@ def bounds_many(wkbs) -> np.ndarray:
     """(n, 4) envelope array; vectorized fast path for point batches."""
     items = list(wkbs)
     n = len(items)
-    if n and all(isinstance(b, (bytes, bytearray)) and len(b) == 21 and b[:5] == _POINT_LE_2D for b in items):
-        lon, lat = decode_points(items)
+    arr = _uniform_point_matrix(items)
+    if arr is not None:
+        lon = arr[:, 5:13].copy().view("<f8").ravel()
+        lat = arr[:, 13:21].copy().view("<f8").ravel()
         return np.stack([lon, lat, lon, lat], axis=1)
     out = np.empty((n, 4))
     for i, b in enumerate(items):

@@ -86,6 +86,39 @@ def test_lineage_resume_skips_completed_units(spark, tmp_path):
     assert out.count() == docs.count()  # every row exactly once
 
 
+def test_lineage_resume_after_mid_unit_kill(spark, tmp_path):
+    """Kill DURING a unit: its data files exist but neither the unit's
+    manifest-swapped snapshot nor its lineage row was committed. Resume
+    must re-run exactly that unit and output every row exactly once."""
+    docs = spark.createDataFrame(make_docs(400), schema=DOCS_SPARK_SCHEMA).cache()
+    root = str(tmp_path / "ckpt_kill")
+    units = cell_range_units(docs, n_units=4)
+    assert len(units) >= 3
+
+    ck = StageCheckpoint(spark, root, "s", input_snapshot="snapA")
+    key0, lo0, hi0 = units[0]
+    ck.run_unit(key0, lambda: unit_filter(docs, lo0, hi0, False).select("doc_id", "cell_id"))
+
+    # mid-unit kill on unit 1: parquet files land in the unit dir but the
+    # snapshot manifest swap never happens (simulated by writing raw files)
+    key1, lo1, hi1 = units[1]
+    dead_dir = os.path.join(root, "s", "units", key1.replace("/", "_"), "data", "halfdone")
+    unit_filter(docs, lo1, hi1, False).select("doc_id", "cell_id").write.mode("overwrite").parquet(dead_dir)
+    assert key1 not in ck.completed()  # the kill left no lineage row
+
+    # resume re-runs unit 1 (and the rest); unit 0 is not recomputed
+    ck2 = StageCheckpoint(spark, root, "s", input_snapshot="snapA")
+    pend = ck2.pending([u[0] for u in units])
+    assert pend == [u[0] for u in units[1:]]
+    for i, (key, lo, hi) in enumerate(units):
+        if key in pend:
+            last = i == len(units) - 1
+            ck2.run_unit(key, lambda lo=lo, hi=hi, last=last: unit_filter(docs, lo, hi, last).select("doc_id", "cell_id"))
+    out = ck2.read_output()
+    assert out.count() == docs.count()  # exactly once, no double-count from the dead files
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
 def test_media_span_extraction_and_features(spark):
     docs = spark.createDataFrame(make_docs(300), schema=DOCS_SPARK_SCHEMA)
     media = explode_media_spans(docs)
