@@ -112,12 +112,15 @@ def knn_join(
         # doc_key identically to any oracle ranking by true distance
         dist = F.sqrt(dx * dx + dy * dy)
         w = Window.partitionBy(probe_key).orderBy(F.col("_dist").asc(), F.col(doc_key).asc())
+        # cache: BOTH the satisfied-keys check and the round's result rows
+        # derive from topk; without the barrier the candidate join + window
+        # (the round's expensive work) executes twice per round
         topk = (
             cand.withColumn("_dist", dist)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(probe_key, doc_key, F.col("_dist").alias("dist"), "rank")
-        )
+        ).cache()
         # a probe is satisfied when its k-th neighbor is provably inside
         # the explored window, or the window already covers the grid
         guarantee = r * cell_h
@@ -135,9 +138,11 @@ def knn_join(
         # materialize the round: without cache every later round would lazily
         # re-execute the whole prior lineage (quadratic recompute)
         sat = topk.join(F.broadcast(satisfied_keys), on=probe_key, how="inner").cache()
+        sat.count()  # reads cached topk; pins this round's rows
         round_results.append(sat)
         new_pending = pending.join(F.broadcast(satisfied_keys), on=probe_key, how="left_anti").cache()
-        n_left = new_pending.count()
+        n_left = new_pending.count()  # satisfied_keys still reads cached topk here
+        topk.unpersist()
         pending.unpersist()
         pending = new_pending
         if window_covers_grid or n_left == 0:
