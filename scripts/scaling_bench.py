@@ -57,12 +57,45 @@ def run_once(cpus: int, n_docs: int) -> dict:
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
+def run_once_shuffle(cpus: int, n_docs: int) -> dict:
+    """Shuffle-heavy counterpart: exact dedup where ~every key is
+    distinct — no broadcast, no map-side combine relief; the full row
+    stream crosses the wire. This is the worst-case shuffle the engine's
+    groupBy-family operators (dedup, zonal, budget) can see."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.operators.dedup import exact_dedup
+    from pyogrio_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(
+        f"scaling_shuffle_{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.range(n_docs, numPartitions=4 * cpus).select(
+        F.col("id").alias("doc_id"),
+        # ~2% duplicate content, rest unique: realistic dedup shape with
+        # no combine relief (every group is size 1-2)
+        F.concat(F.lit("doc "), ((F.col("id") * 48271) % (n_docs * 49 // 50)).cast("string")).alias("text"),
+    ).cache()
+    docs.count()
+    t0 = time.perf_counter()
+    n_groups = exact_dedup(docs).count()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {"cpus": cpus, "docs": n_docs, "groups": n_groups, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
-    r8 = run_once(8, n_docs)
-    r32 = run_once(32, n_docs)
+    job = sys.argv[2] if len(sys.argv) > 2 else "pip"
+    runner = run_once if job == "pip" else run_once_shuffle
+    r8 = runner(8, n_docs)
+    r32 = runner(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
-    print(json.dumps({"n8": r8, "n32": r32, "scaling_efficiency": round(eff, 3)}))
+    print(json.dumps({"job": job, "n8": r8, "n32": r32, "scaling_efficiency": round(eff, 3)}))
 
 
 if __name__ == "__main__":
