@@ -30,6 +30,9 @@ HEADLINE = [
     "tpch_q1_pricing",
     "events_sessionize",
     "corpus_curation",
+    "geo_intersects_join",
+    "dataset_split",
+    "token_budget",
 ]
 
 
