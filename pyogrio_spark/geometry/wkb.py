@@ -208,6 +208,36 @@ def _uniform_point_matrix(items) -> np.ndarray | None:
     return arr
 
 
+_RECT_HDR = b"\x01\x03\x00\x00\x00" + struct.pack("<II", 1, 5)
+
+
+def rect_mask(items) -> np.ndarray:
+    """(n,) bool — True where the WKB is an axis-aligned closed
+    rectangle polygon (1 ring, 5 points, LE). For such geometries the
+    envelope IS the geometry, so envelope predicates are exact.
+    Vectorized; no per-item Python beyond one length scan."""
+    n = len(items)
+    out = np.zeros(n, dtype=bool)
+    if not n:
+        return out
+    lens = np.fromiter((len(b) if isinstance(b, (bytes, bytearray)) else -1 for b in items), count=n, dtype=np.int64)
+    cand = np.flatnonzero(lens == 93)
+    if not cand.size:
+        return out
+    mat = np.frombuffer(b"".join(items[i] for i in cand), dtype=np.uint8).reshape(-1, 93)
+    hdr_ok = (mat[:, :13] == np.frombuffer(_RECT_HDR, dtype=np.uint8)).all(axis=1)
+    ring = mat[:, 13:].copy().view("<f8").reshape(-1, 5, 2)
+    closed = (ring[:, 0] == ring[:, 4]).all(axis=1)
+    axis_aligned = (
+        (ring[:, 0, 1] == ring[:, 1, 1])
+        & (ring[:, 1, 0] == ring[:, 2, 0])
+        & (ring[:, 2, 1] == ring[:, 3, 1])
+        & (ring[:, 3, 0] == ring[:, 0, 0])
+    )
+    out[cand] = hdr_ok & closed & axis_aligned
+    return out
+
+
 def decode_points(wkbs, on_invalid: str = "raise") -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch decode of 2-D point WKB -> (lon, lat) float64.
 

@@ -89,6 +89,9 @@ def intersects_join(
             & (F.col("ymax") >= F.col("zymin"))
         )
 
+    coarse_checked = {"zxmin", "zymin", "zxmax", "zymax"}.issubset(set(cover.columns))
+    has_is_rect = "is_rect" in cover.columns
+
     out_cols = [*keep, zone_key]
     # full-cover shortcut is only sound when the ENTIRE envelope sits in
     # this one full cell (then every point of the geometry is inside the
@@ -99,25 +102,44 @@ def intersects_join(
     y0e, y1e = _cell_component("ymin", "ymax", LAT0, SPAN_LAT, n)
     env_in_one_cell = (x0e == x1e) & (y0e == y1e)
     full = joined.filter(F.col("full_cover") & env_in_one_cell).select(*out_cols)
-    rest = joined.filter(~(F.col("full_cover") & env_in_one_cell)).select(*out_cols, geom_col, zgeom)
+    rest_cols = [*out_cols, geom_col, zgeom] + (["is_rect"] if has_is_rect and coarse_checked else [])
+    rest = joined.filter(~(F.col("full_cover") & env_in_one_cell)).select(*rest_cols)
 
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields if f.name in keep]
         + [f"`{zone_key}` {ztype}"]
     )
 
+    rect_fast = has_is_rect and coarse_checked
+
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyogrio_spark.geometry.wkb import rect_mask
+
         prep_cache: dict[bytes, PreparedPolygon] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
             hit = np.zeros(len(pdf), dtype=bool)
-            for zwkb, idx in pdf.groupby(zgeom, sort=False).indices.items():
+            geoms = pdf[geom_col].to_numpy()
+            todo = np.ones(len(pdf), dtype=bool)
+            if rect_fast:
+                # rect left x rect zone: the JVM coarse filter already
+                # proved envelope overlap, and for axis-aligned rects the
+                # envelope IS the geometry — intersects without any
+                # geometry test (vectorized header/coord pattern check)
+                fast = rect_mask(list(geoms)) & pdf["is_rect"].to_numpy(dtype=bool)
+                hit[fast] = True
+                todo = ~fast
+            todo_pos = np.flatnonzero(todo)
+            sub = pdf.iloc[todo_pos]
+            sub_geoms = geoms[todo_pos]
+            for zwkb, idx in sub.groupby(zgeom, sort=False).indices.items():
                 prep = prep_cache.get(zwkb)
                 if prep is None:
                     prep = prep_cache[zwkb] = PreparedPolygon(bytes(zwkb))
-                geoms = pdf[geom_col].to_numpy()
-                hit[idx] = [g is not None and prep.intersects_geom(bytes(g)) for g in (geoms[i] for i in idx)]
+                hit[todo_pos[idx]] = [
+                    g is not None and prep.intersects_geom(bytes(g)) for g in (sub_geoms[i] for i in idx)
+                ]
             yield pdf.loc[hit, out_cols]
 
     refined = rest.mapInPandas(refine, schema=schema)

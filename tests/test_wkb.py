@@ -91,3 +91,13 @@ def test_encode_rects_matches_encode_polygon():
         )
         assert bytes(got[i]) == W.encode_polygon([ring])
         assert W.bounds(bytes(got[i])) == (xmin[i], ymin[i], xmax[i], ymax[i])
+
+
+def test_rect_mask():
+    rects = W.encode_rects(np.array([0.0]), np.array([1.0]), np.array([2.0]), np.array([3.0]))
+    point = W.encode_point(1, 2)
+    # 5-point closed but NOT axis-aligned (rotated quad): must be rejected
+    ring = np.array([(0, 1), (2, 0), (4, 1), (2, 2), (0, 1)], dtype=float)
+    quad = W.encode_polygon([ring])
+    m = W.rect_mask([bytes(rects[0]), point, quad, None])
+    assert m.tolist() == [True, False, False, False]
