@@ -84,3 +84,43 @@ def test_knn_candidate_stage_has_no_python(spark, docs_parquet):
     out = knn_join(probes, docs, k=3, initial_ring=2, max_rounds=3)
     plan = plan_of(out)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_budget_filter_is_jvm_only(spark, docs_parquet):
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.operators.budget import budget_filter
+
+    docs = (
+        spark.read.parquet(docs_parquet)
+        .withColumn("v", (F.col("cell_id") % 100).cast("bigint"))
+        .withColumn("grp", F.concat(F.lit("g"), (F.col("cell_id") % 4).cast("string")))
+    )
+    out = budget_filter(docs.select("doc_id", "grp", "v"), budget=500,
+                        group_col="grp", value_col="v", order_cols=("doc_id",), num_partitions=8)
+    plan = plan_of(out)
+    assert "Python" not in plan and "MapInPandas" not in plan
+    # broadcast of the tiny offset table, range shuffle of the stream
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hash_split_adds_no_shuffle(spark, docs_parquet):
+    from pyogrio_spark.operators.sampling import hash_split
+
+    out = hash_split(spark.read.parquet(docs_parquet).select("doc_id", "cell_id"))
+    plan = plan_of(out)
+    assert "Exchange" not in plan  # a split stamp is map-side only
+    assert "Python" not in plan
+
+
+def test_intersects_join_full_branch_has_no_python(spark):
+    from pyogrio_spark.operators.intersects_join import intersects_join
+
+    docs = spark.createDataFrame(make_docs(300), schema=DOCS_SPARK_SCHEMA)
+    cover = zones_cell_cover(spark, make_zones(40))
+    out = intersects_join(docs, cover)
+    plan = plan_of(out)
+    # exactly one Python stage: the boundary refine; the full-cover
+    # union branch and candidate generation stay in codegen
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
