@@ -251,10 +251,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs blocked by cheap keys
     (language + log-length bucket). Jaccard via array_intersect /
-    array_union sizes — JVM-side set algebra."""
-    sh = F.array_distinct(shingles_col(tokens_col(text_col), shingle_k)).alias("sh")
+    array_union sizes — JVM-side set algebra. Distinct shingle sets come
+    from the codegen shingle_rows plan + collect_set (set algebra is
+    order-free), not the interpreted HOF form."""
+    sets = shingle_rows(df, key_col, text_col, shingle_k).groupBy(key_col).agg(
+        F.collect_set("_s").alias("sh")
+    )
     lenb = F.floor(F.log2(F.greatest(F.length(text_col), F.lit(1)))).alias("_lenb")
-    base = df.select(key_col, *block_cols, sh, lenb)
+    base = df.select(key_col, *block_cols, lenb).join(sets, key_col)
     a, b = base.alias("a"), base.alias("b")
     block_pred = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     # adjacent length buckets can still be near-dups; same bucket only keeps it tight

@@ -49,6 +49,7 @@ def knn_join(
     doc_lat: str = "ymin",
     max_rounds: int = 16,
     initial_ring: int | None = None,
+    broadcast_cap_rows: int = 4_000_000,
 ) -> DataFrame:
     """-> (probe_key, doc_key, dist, rank) with exactly k rows per probe
     (fewer iff the docs table has < k rows). Deterministic tie-break on
@@ -85,12 +86,43 @@ def knn_join(
         lam = max(n_docs / (SPAN_LON * SPAN_LAT), 1e-12)  # docs per deg^2
         exp_rk = math.sqrt(k / (math.pi * lam))
         r = max(1, min(n // 2, int(math.ceil(1.5 * exp_rk / cell_h))))
+        # map-side distance cut: a probe is only declared satisfied when
+        # its k-th distance is strictly under the round threshold, so
+        # candidates at or beyond it can never appear in a satisfied
+        # result — filter them BEFORE the ranking shuffle. 3x the
+        # expected k-th-neighbor radius keeps the miss probability
+        # negligible (expected ~9k points inside); a dense-region miss
+        # just re-probes at 4x the area like any unsatisfied probe.
+        # At 200M docs this cuts the rank shuffle from 115M rows to ~100k.
+        beta = 3.0 * exp_rk
     else:
         r = max(1, int(initial_ring))
+        beta = float("inf")  # explicit ring: threshold = cell guarantee
 
     pending = pending.cache()
+    # AQE partition coalescing collapses the per-round rank exchange to a
+    # handful of partitions (its size estimate, not core count, drives
+    # it), flat-lining 8->32-core scaling at 100M docs. The ranking
+    # window wants one partition per core; restore the conf after.
+    spark = probes.sparkSession
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _coalesce_prev = spark.conf.get(_coalesce_key, "true")
+    spark.conf.set(_coalesce_key, "false")
+    try:
+        return _knn_rounds(
+            pending, docs_pts, k, r, beta, n, cell_h, base, res, max_rounds,
+            probe_key, doc_key, broadcast_cap_rows,
+        )
+    finally:
+        spark.conf.set(_coalesce_key, _coalesce_prev)
+
+
+def _knn_rounds(
+    pending, docs_pts, k, r, beta, n, cell_h, base, res, max_rounds,
+    probe_key, doc_key, broadcast_cap_rows,
+):
+    n_pending = pending.count()
     round_results: list[DataFrame] = []
-    results = None
     for round_i in range(max_rounds):
         # window cells: clamped (2r+1)^2 square around the probe cell
         cand_cells = (
@@ -102,6 +134,13 @@ def knn_join(
             .select(probe_key, "_plon", "_plat", "_cell")
             .dropDuplicates([probe_key, "_cell"])
         )
+        # Catalyst cannot estimate the exploded probe side (filter + explode
+        # over a cached relation), so left alone it picks a SortMergeJoin
+        # that exchanges AND sorts the full corpus — measured 0.26 scaling
+        # efficiency at 100M docs. Probe sets are usually dimension-sized:
+        # broadcast them and stream the corpus cache untouched.
+        if n_pending * (2 * r + 1) ** 2 <= broadcast_cap_rows:
+            cand_cells = F.broadcast(cand_cells)
         cand = cand_cells.join(docs_pts, cand_cells["_cell"] == docs_pts["_dcell"], "inner")
         # dx*dx, not pow(dx, 2): plain multiplication is bit-reproducible
         # across engines (oracle parity) and cheaper in codegen
@@ -112,19 +151,28 @@ def knn_join(
         # doc_key identically to any oracle ranking by true distance
         dist = F.sqrt(dx * dx + dy * dy)
         w = Window.partitionBy(probe_key).orderBy(F.col("_dist").asc(), F.col(doc_key).asc())
+        # a probe is satisfied when its k-th neighbor is provably inside
+        # the explored window, or the window already covers the grid.
+        # The explored window guarantees r*cell_h; the density cut beta
+        # may tighten it further (satisfaction then demands dk < beta,
+        # which the pre-shuffle filter below enforces symmetrically).
+        guarantee = min(r * cell_h, beta)
+        window_covers_grid = (2 * r + 1) >= n
+        cand = cand.withColumn("_dist", dist)
+        if not window_covers_grid:
+            # map-side cut: rows at/over the satisfaction threshold can
+            # never be in a satisfied probe's top-k — drop them before
+            # the ranking shuffle (this, not the ranking, is what makes
+            # the round scale: shuffle volume ~ ring area, not corpus)
+            cand = cand.filter(F.col("_dist") < F.lit(guarantee))
         # cache: BOTH the satisfied-keys check and the round's result rows
         # derive from topk; without the barrier the candidate join + window
         # (the round's expensive work) executes twice per round
         topk = (
-            cand.withColumn("_dist", dist)
-            .withColumn("rank", F.row_number().over(w))
+            cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(probe_key, doc_key, F.col("_dist").alias("dist"), "rank")
         ).cache()
-        # a probe is satisfied when its k-th neighbor is provably inside
-        # the explored window, or the window already covers the grid
-        guarantee = r * cell_h
-        window_covers_grid = (2 * r + 1) >= n
         stats = topk.groupBy(probe_key).agg(F.count("*").alias("_cnt"), F.max("dist").alias("_dk"))
         if window_covers_grid:
             satisfied_keys = stats.select(probe_key)
@@ -141,15 +189,17 @@ def knn_join(
         sat.count()  # reads cached topk; pins this round's rows
         round_results.append(sat)
         new_pending = pending.join(F.broadcast(satisfied_keys), on=probe_key, how="left_anti").cache()
-        n_left = new_pending.count()  # satisfied_keys still reads cached topk here
+        n_left = n_pending = new_pending.count()  # satisfied_keys still reads cached topk here
         topk.unpersist()
         pending.unpersist()
         pending = new_pending
         if window_covers_grid or n_left == 0:
             break
         r *= 2
+        beta *= 4.0  # re-probe with 4x the radius cut (16x the area)
         # correctness net: on the final allowed round, force the window to
         # span the grid so every remaining probe terminates exactly
+        # (window_covers_grid then disables the distance cut entirely)
         if round_i == max_rounds - 2:
             r = n
     results = round_results[0]

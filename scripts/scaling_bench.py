@@ -88,10 +88,52 @@ def run_once_shuffle(cpus: int, n_docs: int) -> dict:
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
+def run_once_knn(cpus: int, n_docs: int) -> dict:
+    """Iterative-operator counterpart: kNN join of 100k probes against
+    the full corpus (cell-window expansion rounds, density distance cut,
+    window ranking).
+
+    Index resolution is matched to corpus density — cells should hold
+    O(100) docs (res ~ log4(n_docs/100)); at res 7 a 200M-doc corpus
+    piles 12k docs into every cell and each doc matches ~55 probe
+    windows, a bandwidth-bound 11-billion-row expansion. At res 10 the
+    same join expands ~1:1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.functions.geo import cell_id_column
+    from pyogrio_spark.operators.knn import knn_join
+    from pyogrio_spark.queries import LAT_EXPR, LON_EXPR
+    from pyogrio_spark.session import get_spark
+
+    res = max(5, min(14, int(math.log(max(n_docs, 1) / 100, 4)) + 1))
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(
+        f"scaling_knn_{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.range(n_docs, numPartitions=4 * cpus).select(F.col("id").alias("doc_id"))
+    docs = docs.withColumn("xmin", F.expr(LON_EXPR)).withColumn("ymin", F.expr(LAT_EXPR))
+    docs = docs.withColumn("cell_id", cell_id_column("xmin", "ymin", res)).cache()
+    docs.count()
+    probes = docs.filter(F.col("doc_id") < 100_000).select(
+        F.col("doc_id").alias("probe_id"), F.col("xmin").alias("lon"), F.col("ymin").alias("lat")
+    )
+    t0 = time.perf_counter()
+    n_out = knn_join(probes, docs, k=10, res=res).count()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {"cpus": cpus, "docs": n_docs, "knn_rows": n_out, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
     job = sys.argv[2] if len(sys.argv) > 2 else "pip"
-    runner = run_once if job == "pip" else run_once_shuffle
+    runner = {"pip": run_once, "dedup": run_once_shuffle, "knn": run_once_knn}[job]
     r8 = runner(8, n_docs)
     r32 = runner(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
