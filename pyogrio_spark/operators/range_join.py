@@ -29,12 +29,18 @@ def boxes_cell_cover(
     res: int = DEFAULT_RES,
     box_key: str = "box_id",
 ) -> DataFrame:
+    # itertuples, not iterrows: iterrows upcasts mixed int/float rows to
+    # float64, turning an int64 box_id into 0.0 and failing the bigint
+    # schema check in createDataFrame.
+    key_is_int = pd.api.types.is_integer_dtype(boxes[box_key])
     rows = []
-    for _, b in boxes.iterrows():
+    for b in boxes.itertuples(index=False):
+        key = getattr(b, box_key)
+        key = int(key) if key_is_int else str(key)
         for c in cover_bbox(b.xmin, b.ymin, b.xmax, b.ymax, res).tolist():
-            rows.append((int(c), b[box_key], float(b.xmin), float(b.ymin), float(b.xmax), float(b.ymax)))
+            rows.append((int(c), key, float(b.xmin), float(b.ymin), float(b.xmax), float(b.ymax)))
     pdf = pd.DataFrame(rows, columns=["cell_id", box_key, "bxmin", "bymin", "bxmax", "bymax"])
-    ktype = "bigint" if pd.api.types.is_integer_dtype(boxes[box_key]) else "string"
+    ktype = "bigint" if key_is_int else "string"
     return spark.createDataFrame(
         pdf, schema=f"cell_id bigint, {box_key} {ktype}, bxmin double, bymin double, bxmax double, bymax double"
     )

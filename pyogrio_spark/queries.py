@@ -627,7 +627,7 @@ def q_events_sessionize(spark, sf):
         WITH l AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
-                           OR to_unix_timestamp(ts) - to_unix_timestamp(lag(ts) OVER w) > 1800
+                           OR timestampdiff(MICROSECOND, lag(ts) OVER w, ts) > 1800000000
                       THEN 1 ELSE 0 END AS new_sess
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -636,17 +636,23 @@ def q_events_sessionize(spark, sf):
                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sess_id
           FROM l)
-        SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        SELECT user_id, sess_id,
+               timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', min(ts)) AS session_start_us,
+               timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', max(ts)) AS session_end_us,
+               count(*) AS n_events
         FROM s GROUP BY user_id, sess_id
         """
     )
 
 
+# Gap test and session bounds in epoch-MICROseconds on both engines so
+# fractional-second timestamps can neither diverge on the 1800 s boundary
+# nor hash differently in the driver's canonicalization.
 ORACLE_SESSIONIZE = """
 WITH l AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -655,7 +661,10 @@ s AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM l)
-SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+SELECT user_id, sess_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*) AS n_events
 FROM s GROUP BY user_id, sess_id
 """
 
