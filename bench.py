@@ -31,6 +31,7 @@ HEADLINE = [
     "events_sessionize",
     "corpus_curation",
     "geo_intersects_join",
+    "geo_intersects_join_poly",
     "dataset_split",
     "token_budget",
 ]

@@ -122,6 +122,26 @@ def rect_wkb_column(xmin_col: str, ymin_col: str, xmax_col: str, ymax_col: str) 
     return _rect_wkb_udf()(F.col(xmin_col), F.col(ymin_col), F.col(xmax_col), F.col(ymax_col))
 
 
+@lru_cache(maxsize=1)
+def _tri_wkb_udf():
+    @pandas_udf("binary")
+    def tri_wkb_udf(
+        x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            W.encode_triangles(*(s.to_numpy(np.float64) for s in (x0, y0, x1, y1, x2, y2)))
+        )
+
+    return tri_wkb_udf
+
+
+def tri_wkb_column(x0, y0, x1, y1, x2, y2) -> Column:
+    """Encode per-row triangle vertices into polygon WKB (vectorized)."""
+    return _tri_wkb_udf()(F.col(x0), F.col(y0), F.col(x1), F.col(y1), F.col(x2), F.col(y2))
+
+
 def span_digest(spans_col: str = "spans") -> Column:
     """Canonical digest of the interleaved span sequence. Stage-boundary
     checks compare this digest to prove the per-row invariant (kind, text,

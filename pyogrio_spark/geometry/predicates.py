@@ -101,6 +101,192 @@ def segs_intersect_segs(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> bool:
     return bool((proper | (collinear_touch & bb)).any())
 
 
+def _flatten_batch(geoms):
+    """Parse a batch of WKB once and flatten into contiguous arrays.
+
+    Returns (vert_xy, vert_row, edge_arr, edge_row, poly_edge_arr,
+    poly_edge_row, is_valid) where ``edge_arr``/``poly_edge_arr`` are
+    (m, 4) float64 [x0, y0, x1, y1]. ``poly_edge_*`` is the subset of
+    edges that belong to polygon rings (used for point-in-candidate
+    parity tests); rows with None/empty WKB are marked invalid.
+    """
+    verts, vrows = [], []
+    edges, erows = [], []
+    pedges, prows = [], []
+    valid = np.zeros(len(geoms), dtype=bool)
+
+    def visit(g: Geom, i: int):
+        if g.type == "Point":
+            verts.append(g.coords[None, :2])
+            vrows.append(np.full(1, i, dtype=np.int64))
+        elif g.type == "LineString":
+            pts = g.coords
+            if len(pts):
+                verts.append(pts[:, :2])
+                vrows.append(np.full(len(pts), i, dtype=np.int64))
+            if len(pts) > 1:
+                e = np.concatenate([pts[:-1, :2], pts[1:, :2]], axis=1)
+                edges.append(e)
+                erows.append(np.full(len(e), i, dtype=np.int64))
+        elif g.type == "Polygon":
+            for ring in g.coords:
+                if len(ring) == 0:
+                    continue
+                verts.append(ring[:, :2])
+                vrows.append(np.full(len(ring), i, dtype=np.int64))
+                if len(ring) > 1:
+                    e = np.concatenate([ring[:-1, :2], ring[1:, :2]], axis=1)
+                    edges.append(e)
+                    erows.append(np.full(len(e), i, dtype=np.int64))
+                    pedges.append(e)
+                    prows.append(np.full(len(e), i, dtype=np.int64))
+        else:  # Multi* / GeometryCollection
+            for part in g.coords:
+                visit(part, i)
+
+    for i, b in enumerate(geoms):
+        if b is None:
+            continue
+        g = parse_wkb(bytes(b), force_2d=True)
+        valid[i] = True
+        visit(g, i)
+
+    def cat(parts, rows, width):
+        if not parts:
+            return np.empty((0, width), dtype=np.float64), np.empty(0, dtype=np.int64)
+        return np.concatenate(parts, axis=0), np.concatenate(rows)
+
+    vert_xy, vert_row = cat(verts, vrows, 2)
+    edge_arr, edge_row = cat(edges, erows, 4)
+    poly_edge_arr, poly_edge_row = cat(pedges, prows, 4)
+    return vert_xy, vert_row, edge_arr, edge_row, poly_edge_arr, poly_edge_row, valid
+
+
+def _point_in_flat_rings(tx, ty, e, erow, nrows) -> np.ndarray:
+    """Even-odd parity of ONE test point vs many candidates' ring edges
+    (flattened with per-edge row ids) -> bool per row. One vectorized
+    pass over all edges of the batch."""
+    if len(e) == 0:
+        return np.zeros(nrows, dtype=bool)
+    x0, y0, x1, y1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    cond = (y0 > ty) != (y1 > ty)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = x0 + (ty - y0) * (x1 - x0) / (y1 - y0)
+    cross = cond & (tx < xi)
+    counts = np.bincount(erow[cross], minlength=nrows)
+    return counts % 2 == 1
+
+
+_EDGE_CHUNK_CELLS = 4_000_000  # cap on the (cand_edges x prep_edges) work matrix
+
+
+def _edges_cross_edges(ce, cerow, pe, nrows) -> np.ndarray:
+    """Does any candidate edge intersect any prepared-polygon edge?
+    -> bool per row. Chunked (cand x prep) matrix so memory stays
+    bounded regardless of batch size."""
+    out = np.zeros(nrows, dtype=bool)
+    if len(ce) == 0 or len(pe) == 0:
+        return out
+    bx0, by0, bx1, by1 = (pe[:, j][None, :] for j in range(4))
+    step = max(1, _EDGE_CHUNK_CELLS // len(pe))
+    for s in range(0, len(ce), step):
+        c = ce[s : s + step]
+        ax0, ay0, ax1, ay1 = (c[:, j][:, None] for j in range(4))
+        d1 = (ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0)
+        d2 = (ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0)
+        d3 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)
+        d4 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+        bb = (
+            (np.minimum(ax0, ax1) <= np.maximum(bx0, bx1))
+            & (np.maximum(ax0, ax1) >= np.minimum(bx0, bx1))
+            & (np.minimum(ay0, ay1) <= np.maximum(by0, by1))
+            & (np.maximum(ay0, ay1) >= np.minimum(by0, by1))
+        )
+        hit = (proper | (touch & bb)).any(axis=1)
+        rows = cerow[s : s + step][hit]
+        if len(rows):
+            out[np.unique(rows)] = True
+    return out
+
+
+def batch_intersects(prep: "PreparedPolygon", geoms) -> np.ndarray:
+    """Vectorized ``intersects`` of ONE prepared polygon against a batch
+    of arbitrary WKB geometries -> bool per row.
+
+    Row-level Python is confined to the WKB parse; all predicate math
+    (vertex-in-polygon, containment parity, edge-vs-edge) runs as
+    whole-batch numpy ops. Same semantics as
+    ``PreparedPolygon.intersects_geom`` row by row:
+
+    A. any candidate vertex inside the prepared polygon (even-odd); or
+    B. the prepared polygon sits inside the candidate: one test vertex
+       per prepared ring vs the candidate's ring parity — when no
+       boundaries cross, every vertex of a ring is in the same face of
+       the candidate, so one test point per ring is exact (crossing
+       cases are caught by C); or
+    C. any candidate edge intersects any prepared-ring edge
+       (proper or touching).
+    """
+    n = len(geoms)
+    vert_xy, vert_row, edge_arr, edge_row, poly_edge_arr, poly_edge_row, valid = _flatten_batch(geoms)
+    out = np.zeros(n, dtype=bool)
+    # A: candidate vertices inside prep (covers Point rows exactly like
+    # contains_points does — batch composition can no longer change
+    # point semantics)
+    if len(vert_xy):
+        hits = prep.contains_points(vert_xy[:, 0], vert_xy[:, 1])
+        if hits.any():
+            out[np.unique(vert_row[hits])] = True
+    # B: prep-inside-candidate parity, one test point per prep ring
+    if len(poly_edge_arr):
+        for ring in prep.rings:
+            tx, ty = float(ring[0, 0]), float(ring[0, 1])
+            out |= _point_in_flat_rings(tx, ty, poly_edge_arr, poly_edge_row, n)
+    # C: boundary crossings (only for rows still undecided)
+    todo = valid & ~out
+    if todo.any() and len(edge_arr):
+        keep = todo[edge_row]
+        pe = np.concatenate(
+            [np.concatenate([r[:-1, :2], r[1:, :2]], axis=1) for r in prep.rings], axis=0
+        )
+        out |= _edges_cross_edges(edge_arr[keep], edge_row[keep], pe, n)
+    return out & valid
+
+
+def batch_intersects_box(xmin, ymin, xmax, ymax, geoms) -> np.ndarray:
+    """Vectorized CLOSED-interval ``intersects`` of one axis-aligned box
+    against a batch of WKB geometries -> bool per row.
+
+    Boundary-inclusive like GEOS (the reference's bbox filter keeps
+    features touching the box edge, /root/reference/pyogrio/core.py:207-212):
+    vertex on the box edge counts, edge touching the box counts. Point
+    rows get the same closed-interval test regardless of what else is
+    in the batch.
+    """
+    n = len(geoms)
+    vert_xy, vert_row, edge_arr, edge_row, poly_edge_arr, poly_edge_row, valid = _flatten_batch(geoms)
+    out = np.zeros(n, dtype=bool)
+    if len(vert_xy):
+        px, py = vert_xy[:, 0], vert_xy[:, 1]
+        hits = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        if hits.any():
+            out[np.unique(vert_row[hits])] = True
+    # box corner inside a polygonal candidate (candidate swallows the box)
+    if len(poly_edge_arr):
+        out |= _point_in_flat_rings(float(xmin), float(ymin), poly_edge_arr, poly_edge_row, n)
+    # candidate edge crosses the box boundary (closed: touching counts)
+    todo = valid & ~out
+    if todo.any() and len(edge_arr):
+        keep = todo[edge_row]
+        e, er = edge_arr[keep], edge_row[keep]
+        hits = seg_intersects_box(e[:, 0], e[:, 1], e[:, 2], e[:, 3], xmin, ymin, xmax, ymax)
+        if hits.any():
+            out[np.unique(er[hits])] = True
+    return out & valid
+
+
 class PreparedPolygon:
     """Pre-parsed polygon for repeated point tests and box classification
     (the Spark-side analogue of a prepared GEOS geometry behind

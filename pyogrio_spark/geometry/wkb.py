@@ -187,6 +187,23 @@ def encode_rects(xmin, ymin, xmax, ymax) -> np.ndarray:
     return np.array([raw[i * 93 : (i + 1) * 93] for i in range(n)], dtype=object)
 
 
+def encode_triangles(x0, y0, x1, y1, x2, y2) -> np.ndarray:
+    """Vectorized: (n,) triangle vertices -> object ndarray of 77-byte WKB
+    polygons (1 ring, 4 points, closed)."""
+    arrs = [np.asarray(a, dtype="<f8") for a in (x0, y0, x1, y1, x2, y2)]
+    n = arrs[0].shape[0]
+    out = np.empty((n, 77), dtype=np.uint8)
+    out[:, 0:13] = np.frombuffer(b"\x01\x03\x00\x00\x00" + struct.pack("<II", 1, 4), dtype=np.uint8)
+    ring = np.empty((n, 8), dtype="<f8")
+    ring[:, 0], ring[:, 1] = arrs[0], arrs[1]
+    ring[:, 2], ring[:, 3] = arrs[2], arrs[3]
+    ring[:, 4], ring[:, 5] = arrs[4], arrs[5]
+    ring[:, 6], ring[:, 7] = arrs[0], arrs[1]
+    out[:, 13:77] = ring.view(np.uint8).reshape(n, 64)
+    raw = out.tobytes()
+    return np.array([raw[i * 77 : (i + 1) * 77] for i in range(n)], dtype=object)
+
+
 def _uniform_point_matrix(items) -> np.ndarray | None:
     """(n, 21) uint8 matrix iff every item is a 21-byte LE 2-D point WKB,
     else None. The scan is C-level (map(len) + one join + one vectorized

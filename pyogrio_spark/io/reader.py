@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from pyogrio_spark.geometry import wkb as W
-from pyogrio_spark.geometry.predicates import PreparedPolygon
+from pyogrio_spark.geometry.predicates import PreparedPolygon, batch_intersects, batch_intersects_box
 from pyogrio_spark.index.cover import cover_polygon
 
 DEFAULT_RES = 7
@@ -132,18 +132,18 @@ def _apply_bbox(df: DataFrame, bbox) -> DataFrame:
     if GEOMETRY_COL not in df.columns:
         return df
 
-    box_ring = np.array([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)])
-    box_wkb = W.encode_polygon([box_ring])
-
     @pandas_udf("boolean")
     def _refine(wkb: pd.Series) -> pd.Series:
-        prep = PreparedPolygon(box_wkb)
         vals = wkb.to_numpy()
-        # point fast path: envelope test already exact
+        # point fast path: skip the parse loop for uniform 2-D point batches
         if all(isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in vals):
             lon, lat = W.decode_points(vals, on_invalid="ignore")
             return pd.Series((lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax))
-        return pd.Series([b is not None and prep.intersects_geom(bytes(b)) for b in vals])
+        # generic path: vectorized CLOSED-interval box intersects — point
+        # rows get the identical closed test as the fast path (result no
+        # longer depends on the Arrow batch's composition), non-points
+        # are boundary-inclusive like GEOS intersects
+        return pd.Series(batch_intersects_box(xmin, ymin, xmax, ymax, vals))
 
     return df.filter(_refine(F.col(GEOMETRY_COL)))
 
@@ -164,7 +164,10 @@ def _apply_mask(df: DataFrame, mask_wkb: bytes, res: int) -> DataFrame:
         if all(isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in vals):
             lon, lat = W.decode_points(vals, on_invalid="ignore")
             return pd.Series(prep.contains_points(lon, lat))
-        return pd.Series([b is not None and prep.intersects_geom(bytes(b)) for b in vals])
+        # batch kernel: point rows go through the same contains_points
+        # ray-cast as the uniform fast path; lines/polygons are refined
+        # with whole-batch numpy ops, no per-row Python
+        return pd.Series(batch_intersects(prep, vals))
 
     if GEOMETRY_COL in df.columns:
         df = df.filter(_refine(F.col(GEOMETRY_COL)))

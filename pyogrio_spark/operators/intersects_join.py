@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyogrio_spark.geometry.predicates import PreparedPolygon
+from pyogrio_spark.geometry.predicates import PreparedPolygon, batch_intersects
 from pyogrio_spark.index.grid import LAT0, LON0, SPAN_LAT, SPAN_LON, _RES_SHIFT
 
 DEFAULT_RES = 7
@@ -137,9 +137,10 @@ def intersects_join(
                 prep = prep_cache.get(zwkb)
                 if prep is None:
                     prep = prep_cache[zwkb] = PreparedPolygon(bytes(zwkb))
-                hit[todo_pos[idx]] = [
-                    g is not None and prep.intersects_geom(bytes(g)) for g in (sub_geoms[i] for i in idx)
-                ]
+                # one vectorized kernel per zone group: vertices/edges of
+                # ALL candidates flattened into batch arrays, predicates
+                # as whole-batch numpy ops (no per-row Python)
+                hit[todo_pos[idx]] = batch_intersects(prep, sub_geoms[idx])
             yield pdf.loc[hit, out_cols]
 
     refined = rest.mapInPandas(refine, schema=schema)

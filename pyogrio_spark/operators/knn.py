@@ -75,6 +75,19 @@ def knn_join(
         doc_key, F.col(doc_lon).alias("_dlon"), F.col(doc_lat).alias("_dlat"), F.col("cell_id").alias("_dcell")
     )
 
+    # cell_id carries its resolution in the top bits, so a docs table
+    # indexed at a different res than ``res`` would match ZERO window
+    # cells and silently return empty/short results. One-row probe
+    # (limit-1 scan, O(1)) catches the systematic mismatch up front.
+    first_cell = docs_pts.select("_dcell").first()
+    if first_cell is not None and first_cell[0] is not None:
+        doc_res = int(first_cell[0]) >> _RES_SHIFT
+        if doc_res != res:
+            raise ValueError(
+                f"docs.cell_id was built at res={doc_res} but knn_join was called with res={res}; "
+                "re-index the docs table or pass the matching res"
+            )
+
     # start radius from corpus density: the expected k-th-neighbor distance
     # for a Poisson field of intensity lambda is ~sqrt(k/(pi*lambda)); the
     # window must cover 1.5x that for the guarantee check to pass on the
@@ -157,7 +170,11 @@ def _knn_rounds(
         # may tighten it further (satisfaction then demands dk < beta,
         # which the pre-shuffle filter below enforces symmetrically).
         guarantee = min(r * cell_h, beta)
-        window_covers_grid = (2 * r + 1) >= n
+        # the window is CLAMPED to the grid (no lon wrap), so from an
+        # edge probe [px-r, px+r] spans [0, n-1] only when r >= n-1;
+        # (2r+1) >= n would declare coverage with up to half the grid
+        # unexplored from a corner probe and skip the guarantee check
+        window_covers_grid = r >= n - 1
         cand = cand.withColumn("_dist", dist)
         if not window_covers_grid:
             # map-side cut: rows at/over the satisfaction threshold can

@@ -211,6 +211,48 @@ AND d.lat - ((1 + d.doc_id % 5) / 1e1) <= z.zy1 AND d.lat + ((1 + d.doc_id % 5) 
 """
 
 
+def q_geo_intersects_join_poly(spark, sf):
+    """Non-rectangle left geometries through the SAME operator — exercises
+    the generic vectorized refine (``batch_intersects``), which the
+    all-rect query above never reaches (its rect fast path short-circuits).
+    Left: right triangles with axis-aligned legs (lon,lat)-(lon+w,lat)-
+    (lon,lat+h); a closed triangle intersects a closed rect iff their
+    bboxes overlap AND the rect's lower-left-most feasible corner sits
+    under the hypotenuse — exactly expressible in the SQL oracle."""
+    from pyogrio_spark.functions.geo import tri_wkb_column
+    from pyogrio_spark.operators.intersects_join import intersects_join
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = (
+        docs.withColumn("lon", F.expr(LON_EXPR))
+        .withColumn("lat", F.expr(LAT_EXPR))
+        .withColumn("x1", F.expr(f"lon + ({RECT_W_EXPR})"))
+        .withColumn("y2", F.expr(f"lat + ({RECT_H_EXPR})"))
+        .withColumn("xmin", F.col("lon"))
+        .withColumn("ymin", F.col("lat"))
+        .withColumn("xmax", F.col("x1"))
+        .withColumn("ymax", F.col("y2"))
+    )
+    docs = docs.withColumn("geometry_wkb", tri_wkb_column("lon", "lat", "x1", "lat", "lon", "y2"))
+    cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    return intersects_join(docs, cover, res=GEO_RES, zone_key="zone_id", left_key="doc_id").select(
+        "doc_id", "zone_id"
+    )
+
+
+# triangle {x>=lon, y>=lat, (x-lon)/w + (y-lat)/h <= 1} vs rect
+# [zx0,zx1]x[zy0,zy1]: both convex; intersection nonempty iff the
+# clipped bbox is nonempty and its lower-left corner (where the
+# hypotenuse constraint is minimal) satisfies the constraint.
+ORACLE_INTERSECTS_POLY = f"""
+SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
+ON greatest(d.lon, z.zx0) <= least(d.lon + ((1 + d.doc_id % 7) / 1e1), z.zx1)
+AND greatest(d.lat, z.zy0) <= least(d.lat + ((1 + d.doc_id % 5) / 1e1), z.zy1)
+AND (greatest(d.lon, z.zx0) - d.lon) / ((1 + d.doc_id % 7) / 1e1)
+  + (greatest(d.lat, z.zy0) - d.lat) / ((1 + d.doc_id % 5) / 1e1) <= 1
+"""
+
+
 def q_geo_knn(spark, sf):
     docs = _docs_geo(spark, sf)
     probes = docs.filter("doc_id < 40").select(F.col("doc_id").alias("probe_id"), "lon", "lat")
@@ -831,6 +873,7 @@ QUERIES = {
     "geo_pip_join": q_geo_pip_join,
     "geo_pip_join_salted": q_geo_pip_join_salted,
     "geo_intersects_join": q_geo_intersects_join,
+    "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "geo_knn_join": q_geo_knn,
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
@@ -874,6 +917,7 @@ ORACLES = {
     "geo_pip_join_salted": f"""SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
     "geo_intersects_join": ORACLE_INTERSECTS,
+    "geo_intersects_join_poly": ORACLE_INTERSECTS_POLY,
     "geo_knn_join": f"""
         WITH pts AS (SELECT * FROM {DOCS_GEO_SQL} d),
         probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM pts WHERE doc_id < 40),

@@ -41,3 +41,36 @@ def test_knn_k_larger_than_cell_population(spark, docs_pd, probes_pd):
     got = knn_join(probes, docs, k=25).toPandas()
     want = oracle_knn(probes_pd.head(8), docs_pd, k=25)
     assert _norm(got) == _norm(want)
+
+
+def test_knn_clamped_window_edge_probe_is_exact(spark):
+    # Regression: window_covers_grid used (2r+1) >= n, but the window is
+    # clamped — from a corner probe r=2 at res=2 (n=4) explores only
+    # cells [0,2]^2, yet 2r+1=5 >= 4 fired the shortcut and returned a
+    # window doc (~294 deg away) over the true nearest in unexplored
+    # cell (3,0) (~274 deg away). r >= n-1 is the sound condition.
+    from pyogrio_spark.index.grid import cell_of
+
+    probes = spark.createDataFrame(
+        [("p0", -179.0, -89.0)], schema="probe_id string, lon double, lat double"
+    )
+    pts = pd.DataFrame(
+        {
+            "doc_id": ["far_in_window", "near_outside_window"],
+            "xmin": [85.0, 95.0],
+            "ymin": [40.0, -89.0],
+        }
+    )
+    pts["cell_id"] = cell_of(pts.xmin.to_numpy(), pts.ymin.to_numpy(), 2)
+    docs = spark.createDataFrame(pts, schema="doc_id string, xmin double, ymin double, cell_id long")
+    got = knn_join(probes, docs, k=1, res=2, initial_ring=2).toPandas()
+    assert got.doc_id.tolist() == ["near_outside_window"]
+
+
+def test_knn_res_mismatch_raises(spark, docs_pd, probes_pd):
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SPARK_SCHEMA)  # indexed at res=7
+    probes = spark.createDataFrame(
+        probes_pd[["probe_id", "lon", "lat"]].head(2), schema="probe_id string, lon double, lat double"
+    )
+    with pytest.raises(ValueError, match="res=7"):
+        knn_join(probes, docs, k=1, res=6)

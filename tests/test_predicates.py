@@ -85,3 +85,85 @@ def test_cover_polygon_flags_agree_with_pip():
     pc = cell_of(px[inside], py[inside], res)
     cellset = set(cells.tolist())
     assert all(int(c) in cellset for c in pc)
+
+
+def _zoo(rng):
+    """Random mixed-type WKB batch around the unit-ish square."""
+    geoms = []
+    for i in range(240):
+        kind = i % 6
+        cx, cy = rng.uniform(-3, 3, 2)
+        if kind == 0:  # point
+            geoms.append(W.encode_point(cx, cy))
+        elif kind == 1:  # linestring
+            pts = np.column_stack([cx + rng.uniform(-1, 1, 4), cy + rng.uniform(-1, 1, 4)])
+            geoms.append(W.encode_linestring(pts))
+        elif kind == 2:  # triangle
+            ang = rng.uniform(0, 2 * np.pi, 3)
+            r = rng.uniform(0.2, 1.2, 3)
+            ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+            ring = np.vstack([ring, ring[:1]])
+            geoms.append(W.encode_polygon([ring]))
+        elif kind == 3:  # polygon with hole
+            s = rng.uniform(0.5, 1.5)
+            outer = np.array([(cx - s, cy - s), (cx + s, cy - s), (cx + s, cy + s), (cx - s, cy + s), (cx - s, cy - s)])
+            h = s / 3
+            inner = np.array([(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h), (cx - h, cy + h), (cx - h, cy - h)])
+            geoms.append(W.encode_polygon([outer, inner]))
+        elif kind == 4:  # multipoint
+            pts = np.column_stack([cx + rng.uniform(-1, 1, 3), cy + rng.uniform(-1, 1, 3)])
+            geoms.append(W.encode_multipoint(pts))
+        else:  # multipolygon of two small squares
+            polys = []
+            for dx in (-0.8, 0.8):
+                s = 0.3
+                x, y = cx + dx, cy
+                polys.append([np.array([(x - s, y - s), (x + s, y - s), (x + s, y + s), (x - s, y + s), (x - s, y - s)])])
+            geoms.append(W.encode_multipolygon(polys))
+    geoms.append(None)
+    return np.array(geoms, dtype=object)
+
+
+def test_batch_intersects_matches_per_row():
+    from pyogrio_spark.geometry.predicates import batch_intersects
+
+    rng = np.random.default_rng(7)
+    # concave pentagon-ish prep polygon with a hole
+    outer = np.array([(-2, -2), (2, -2), (2.5, 0.5), (0, 2.2), (-2.4, 1.0), (-2, -2)], dtype=float)
+    hole = np.array([(-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5), (-0.5, -0.5)], dtype=float)
+    prep = PreparedPolygon(W.encode_polygon([outer, hole]))
+    geoms = _zoo(rng)
+    got = batch_intersects(prep, geoms)
+    want = np.array([g is not None and prep.intersects_geom(bytes(g)) for g in geoms])
+    assert (got == want).all(), f"{np.flatnonzero(got != want)[:10]}"
+    assert want.any() and not want.all()  # the zoo actually exercises both sides
+
+
+def test_batch_intersects_box_point_semantics_batch_independent():
+    from pyogrio_spark.geometry.predicates import batch_intersects_box
+
+    # point exactly ON the max edge of the box: closed-interval semantics
+    # must keep it whether the batch is all-points or mixed
+    on_edge = W.encode_point(1.0, 0.5)
+    tri = W.encode_polygon([np.array([(5.0, 5.0), (6.0, 5.0), (5.5, 6.0), (5.0, 5.0)])])
+    mixed = np.array([on_edge, tri], dtype=object)
+    got = batch_intersects_box(0.0, 0.0, 1.0, 1.0, mixed)
+    assert got[0], "boundary point must be kept in mixed batches (closed interval)"
+    assert not got[1]
+    # polygon swallowing the box entirely (no vertex in box, no edge cross)
+    big = W.encode_polygon([np.array([(-9, -9), (9, -9), (9, 9), (-9, 9), (-9, -9)], dtype=float)])
+    assert batch_intersects_box(0.0, 0.0, 1.0, 1.0, np.array([big], dtype=object))[0]
+
+
+def test_batch_intersects_prep_inside_candidate():
+    from pyogrio_spark.geometry.predicates import batch_intersects
+
+    prep = PreparedPolygon(W.encode_polygon([np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], dtype=float)]))
+    big = W.encode_polygon([np.array([(-5, -5), (5, -5), (5, 5), (-5, 5), (-5, -5)], dtype=float)])
+    ring_far = W.encode_polygon([  # candidate with hole containing prep entirely inside the hole
+        np.array([(-5, -5), (5, -5), (5, 5), (-5, 5), (-5, -5)], dtype=float),
+        np.array([(-2, -2), (2, -2), (2, 2), (-2, 2), (-2, -2)], dtype=float),
+    ])
+    got = batch_intersects(prep, np.array([big, ring_far], dtype=object))
+    assert got[0], "candidate swallowing prep must intersect"
+    assert not got[1], "prep inside candidate's hole must NOT intersect"
