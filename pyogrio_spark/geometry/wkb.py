@@ -38,6 +38,22 @@ GEOM_TYPE_NAMES = {
     7: "GeometryCollection",
 }
 
+# Non-linear types are linearized at parse, mirroring the reference's
+# scan-time OGR_G_GetLinearGeometry (/root/reference/pyogrio/_io.pyx:1015-1017)
+# and the documented downgrades (tests/test_core.py:311-316: Curve ->
+# LineString, CurvePolygon -> Polygon, MultiSurface -> MultiPolygon).
+CURVE_TYPE_DOWNGRADE = {
+    8: "LineString",   # CircularString
+    9: "LineString",   # CompoundCurve
+    10: "Polygon",     # CurvePolygon
+    11: "MultiLineString",  # MultiCurve
+    12: "MultiPolygon",     # MultiSurface
+}
+
+# GDAL's default arc step (OGR_ARC_STEPSIZE): one vertex per 4 degrees
+# of arc, which OGR_G_GetLinearGeometry(geom, 0, NULL) falls back to.
+ARC_STEP_DEG = 4.0
+
 _POINT_LE_2D = b"\x01\x01\x00\x00\x00"  # little-endian 2-D point header
 
 
@@ -129,7 +145,128 @@ def _parse(mv: memoryview, off: int, force_2d: bool) -> tuple[Geom, int]:
             parts.append(g)
         name = GEOM_TYPE_NAMES[base]
         return Geom(name, parts, any(p.has_z for p in parts)), off
+    if base == 8:  # CircularString -> linearized LineString
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        pts, off = read_coords(n, off + 4)
+        return Geom("LineString", _linearize_circularstring(pts), keep_z), off
+    if base == 9:  # CompoundCurve -> LineString (concatenate components)
+        (nparts,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        paths = []
+        for _ in range(nparts):
+            g, off = _parse(mv, off, force_2d)
+            if g.type != "LineString":
+                raise WKBError(f"CompoundCurve component is {g.type}")
+            paths.append(g.coords)
+        return Geom("LineString", _join_paths(paths), keep_z), off
+    if base == 10:  # CurvePolygon -> Polygon (linearized rings)
+        (nrings,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            g, off = _parse(mv, off, force_2d)
+            if g.type != "LineString":
+                raise WKBError(f"CurvePolygon ring is {g.type}")
+            rings.append(g.coords)
+        return Geom("Polygon", rings, keep_z), off
+    if base == 11:  # MultiCurve -> MultiLineString
+        (nparts,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _parse(mv, off, force_2d)
+            parts.append(g)
+        return Geom("MultiLineString", parts, any(p.has_z for p in parts)), off
+    if base == 12:  # MultiSurface -> MultiPolygon
+        (nparts,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _parse(mv, off, force_2d)
+            parts.append(g)
+        return Geom("MultiPolygon", parts, any(p.has_z for p in parts)), off
     raise WKBError(f"unsupported WKB type code {raw_type}")
+
+
+def _join_paths(paths: list[np.ndarray]) -> np.ndarray:
+    """Concatenate curve components, dropping duplicated join vertices."""
+    paths = [p for p in paths if len(p)]
+    if not paths:
+        return np.empty((0, 2), dtype=np.float64)
+    out = [paths[0]]
+    for p in paths[1:]:
+        if np.array_equal(p[0], out[-1][-1]):
+            p = p[1:]
+        out.append(p)
+    return np.concatenate(out, axis=0)
+
+
+def _linearize_circularstring(pts: np.ndarray, step_deg: float = ARC_STEP_DEG) -> np.ndarray:
+    """CircularString points (odd count: arcs over consecutive triples)
+    -> polyline vertices at <= ``step_deg`` of arc per segment, endpoints
+    kept verbatim (so envelopes of arcs ending on an axis are exact)."""
+    n = len(pts)
+    if n < 3 or n % 2 == 0:
+        raise WKBError(f"CircularString needs an odd point count >= 3, got {n}")
+    out = [pts[:1]]
+    for i in range(0, n - 2, 2):
+        seg = _linearize_arc(pts[i], pts[i + 1], pts[i + 2], step_deg)
+        out.append(seg[1:])
+    return np.concatenate(out, axis=0)
+
+
+def _linearize_arc(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray, step_deg: float) -> np.ndarray:
+    """One circular arc through (p0, p1, p2) -> sampled polyline.
+
+    p0 == p2 means a full circle with p1 antipodal (GPKG convention).
+    Collinear points degrade to the straight segments. Z (if present)
+    interpolates linearly along the sweep.
+    """
+    import math
+
+    # translate to a local origin before the circumcenter solve: the
+    # q = x^2 + y^2 terms cancel catastrophically at |coord| ~ 180
+    # (center error ~1e-11 deg, enough to flip atan2(+-pi) and add a
+    # phantom 46th segment to a semicircle); in local coords the error
+    # scales with the arc radius instead
+    ox, oy = float(p0[0]), float(p0[1])
+    x0, y0 = 0.0, 0.0
+    x1, y1 = float(p1[0]) - ox, float(p1[1]) - oy
+    x2, y2 = float(p2[0]) - ox, float(p2[1]) - oy
+    dim = p0.shape[0]
+    full_circle = x2 == 0.0 and y2 == 0.0
+    if full_circle:
+        cx, cy = x1 / 2.0, y1 / 2.0
+    else:
+        d = 2.0 * (x1 * y2 - x2 * y1)
+        scale = max(abs(x1), abs(y1), abs(x2), abs(y2), 1.0)
+        if abs(d) < 1e-12 * scale * scale:
+            return np.vstack([p0, p1, p2])  # collinear: straight segments
+        q1, q2 = x1 * x1 + y1 * y1, x2 * x2 + y2 * y2
+        cx = (q1 * y2 - q2 * y1) / d
+        cy = (q2 * x1 - q1 * x2) / d
+    a0 = math.atan2(y0 - cy, x0 - cx)
+    a1 = math.atan2(y1 - cy, x1 - cx)
+    a2 = math.atan2(y2 - cy, x2 - cx)
+    two_pi = 2.0 * math.pi
+    if full_circle:
+        sweep = two_pi  # point set is direction-independent
+    else:
+        ccw = (a2 - a0) % two_pi
+        mid = (a1 - a0) % two_pi
+        sweep = ccw if mid <= ccw else ccw - two_pi
+    # epsilon guard: |sweep|/step lands on integers for common arcs
+    # (semicircle / quarter arc); fp noise must not add a segment
+    nseg = max(1, math.ceil(abs(sweep) / math.radians(step_deg) - 1e-9))
+    radius = math.hypot(x0 - cx, y0 - cy)
+    ts = np.arange(1, nseg) / nseg
+    ang = a0 + sweep * ts
+    mids = np.empty((len(ts), dim), dtype=np.float64)
+    mids[:, 0] = ox + cx + radius * np.cos(ang)
+    mids[:, 1] = oy + cy + radius * np.sin(ang)
+    if dim == 3:
+        mids[:, 2] = float(p0[2]) + (float(p2[2]) - float(p0[2])) * ts
+    return np.vstack([p0, mids, p2])
 
 
 def geom_type_name(buf: bytes | None) -> str | None:
@@ -139,7 +276,10 @@ def geom_type_name(buf: bytes | None) -> str | None:
     bo = "<" if buf[0] == 1 else ">"
     (raw,) = struct.unpack_from(bo + "I", buf, 1)
     base, has_z, _ = _base_type(raw)
-    name = GEOM_TYPE_NAMES.get(base)
+    # curve/surface headers report the type the scan downgrades them to
+    # (reference: list_layers shows LineString for curve.gpkg etc.,
+    # /root/reference/pyogrio/tests/test_core.py:311-316)
+    name = GEOM_TYPE_NAMES.get(base) or CURVE_TYPE_DOWNGRADE.get(base)
     if name is None:
         return None
     return name + (" Z" if has_z else "")
@@ -324,6 +464,48 @@ def encode_multilinestring(lines) -> bytes:
 
 def encode_collection(wkbs: list[bytes]) -> bytes:
     return b"\x01\x07\x00\x00\x00" + struct.pack("<I", len(wkbs)) + b"".join(wkbs)
+
+
+def encode_geom(g: Geom) -> bytes:
+    """Re-encode a parsed Geom as (always linear, little-endian) WKB."""
+    if g.type == "Point":
+        c = g.coords
+        return encode_point(float(c[0]), float(c[1]), float(c[2]) if len(c) > 2 else None)
+    if g.type == "LineString":
+        return encode_linestring(g.coords)
+    if g.type == "Polygon":
+        return encode_polygon(g.coords)
+    if g.type == "MultiPoint":
+        return encode_multipoint([p.coords[:2] for p in g.coords])
+    if g.type == "MultiLineString":
+        return encode_multilinestring([p.coords for p in g.coords])
+    if g.type == "MultiPolygon":
+        return encode_multipolygon([p.coords for p in g.coords])
+    if g.type == "GeometryCollection":
+        return encode_collection([encode_geom(p) for p in g.coords])
+    raise WKBError(f"cannot encode geometry type {g.type}")
+
+
+def linearize_wkb(buf: bytes, force_2d: bool = False) -> bytes:
+    """Ingest normalizer: curve/surface WKB -> linearized linear WKB
+    (parse already linearizes; this re-encodes). Linear inputs
+    round-trip through parse+encode unchanged in content."""
+    return encode_geom(parse_wkb(buf, force_2d=force_2d))
+
+
+def encode_circularstrings(x0, y0, x1, y1, x2, y2) -> np.ndarray:
+    """Vectorized: (n,) single-arc vertices -> object ndarray of 57-byte
+    CircularString WKB (type code 8, 3 points)."""
+    arrs = [np.asarray(a, dtype="<f8") for a in (x0, y0, x1, y1, x2, y2)]
+    n = arrs[0].shape[0]
+    out = np.empty((n, 57), dtype=np.uint8)
+    out[:, 0:9] = np.frombuffer(b"\x01\x08\x00\x00\x00" + struct.pack("<I", 3), dtype=np.uint8)
+    pts = np.empty((n, 6), dtype="<f8")
+    for j, a in enumerate(arrs):
+        pts[:, j] = a
+    out[:, 9:57] = pts.view(np.uint8).reshape(n, 48)
+    raw = out.tobytes()
+    return np.array([raw[i * 57 : (i + 1) * 57] for i in range(n)], dtype=object)
 
 
 # ---------------------------------------------------------------- bounds

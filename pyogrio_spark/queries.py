@@ -253,6 +253,47 @@ AND (greatest(d.lon, z.zx0) - d.lon) / ((1 + d.doc_id % 7) / 1e1)
 """
 
 
+def q_curve_linearize(spark, sf):
+    """Non-linear geometry ingest: per-doc CircularString arcs (semicircle
+    of radius r over each point) are linearized at parse — the engine's
+    analogue of the reference's scan-time OGR_G_GetLinearGeometry
+    (/root/reference/pyogrio/_io.pyx:1015-1017). The oracle checks the
+    downgraded type, the 4-deg sampling density (ceil(180/4)+1 = 46
+    vertices), and the exact envelope (endpoints are kept verbatim, so
+    a top semicircle's xmin/ymin/xmax are closed-form)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("gtype string, n_pts bigint, xmin double, ymin double, xmax double")
+    def lin_desc(lon: pd.Series, lat: pd.Series, r: pd.Series) -> pd.DataFrame:
+        lo, la, rr = (s.to_numpy(np.float64) for s in (lon, lat, r))
+        arcs = W.encode_circularstrings(lo - rr, la, lo, la + rr, lo + rr, la)
+        rows = []
+        for b in arcs:
+            g = W.parse_wkb(bytes(b))
+            pts = g.coords
+            rows.append((g.type, len(pts), pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max()))
+        return pd.DataFrame(rows, columns=["gtype", "n_pts", "xmin", "ymin", "xmax"])
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = (
+        docs.withColumn("lon", F.expr(LON_EXPR))
+        .withColumn("lat", F.expr(LAT_EXPR))
+        .withColumn("r", F.expr("(1 + doc_id % 9) / 1e1"))
+    )
+    out = docs.withColumn("_d", lin_desc("lon", "lat", "r"))
+    return out.select(
+        "doc_id", F.col("_d.gtype").alias("gtype"), F.col("_d.n_pts").alias("n_pts"),
+        F.col("_d.xmin").alias("xmin"), F.col("_d.ymin").alias("ymin"), F.col("_d.xmax").alias("xmax"),
+    )
+
+
+ORACLE_CURVE = f"""
+SELECT doc_id, 'LineString' AS gtype, CAST(46 AS BIGINT) AS n_pts,
+       lon - r AS xmin, lat AS ymin, lon + r AS xmax
+FROM (SELECT doc_id, lon, lat, (1 + doc_id % 9) / 1e1 AS r FROM {DOCS_GEO_SQL} d)
+"""
+
+
 def q_geo_knn(spark, sf):
     docs = _docs_geo(spark, sf)
     probes = docs.filter("doc_id < 40").select(F.col("doc_id").alias("probe_id"), "lon", "lat")
@@ -874,6 +915,7 @@ QUERIES = {
     "geo_pip_join_salted": q_geo_pip_join_salted,
     "geo_intersects_join": q_geo_intersects_join,
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
+    "curve_linearize": q_curve_linearize,
     "geo_knn_join": q_geo_knn,
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
@@ -918,6 +960,7 @@ ORACLES = {
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
     "geo_intersects_join": ORACLE_INTERSECTS,
     "geo_intersects_join_poly": ORACLE_INTERSECTS_POLY,
+    "curve_linearize": ORACLE_CURVE,
     "geo_knn_join": f"""
         WITH pts AS (SELECT * FROM {DOCS_GEO_SQL} d),
         probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM pts WHERE doc_id < 40),
