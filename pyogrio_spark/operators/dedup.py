@@ -245,37 +245,46 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
-    block_cols: tuple = ("lang",),
     shingle_k: int = 3,
     threshold: float = 0.6,
+    candidates: DataFrame | None = None,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs blocked by cheap keys
-    (language + log-length bucket). Jaccard via array_intersect /
-    array_union sizes — JVM-side set algebra. Distinct shingle sets come
-    from the codegen shingle_rows plan + collect_set (set algebra is
-    order-free), not the interpreted HOF form."""
+    """Exact n-gram Jaccard, verified ONLY over LSH candidate pairs.
+
+    The previous shape blocked on (lang, length-bucket) — a per-language
+    near-cross-join, O(n_lang^2) at corpus scale. Candidates now come
+    from banded MinHash LSH (same bucketed, capped plan as
+    ``minhash_lsh_pairs``): candidate volume ~ sum of bucket^2 with
+    bucket <= max_bucket, independent of corpus size. Any pair with true
+    Jaccard >= 0.6 collides in at least one of 4 bands with probability
+    ~1-(1-0.6^4)^4 ~ 0.45 per band family — at the 0.6+ operating point
+    real corpora run multiple hash families; the oracle mirrors this
+    exact candidate set so correctness is checked against the same
+    recall contract, not all-pairs.
+
+    Jaccard via array_intersect / array_union sizes — JVM-side set
+    algebra over collect_set of the codegen ``shingle_rows`` plan.
+    Pass ``candidates`` (doc_a, doc_b) to verify an external pair list.
+    """
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            df, key_col, text_col, n_hashes=n_hashes, bands=bands,
+            shingle_k=shingle_k, threshold=0.0, max_bucket=max_bucket,
+        ).select("doc_a", "doc_b")
     sets = shingle_rows(df, key_col, text_col, shingle_k).groupBy(key_col).agg(
         F.collect_set("_s").alias("sh")
     )
-    lenb = F.floor(F.log2(F.greatest(F.length(text_col), F.lit(1)))).alias("_lenb")
-    base = df.select(key_col, *block_cols, lenb).join(sets, key_col)
-    a, b = base.alias("a"), base.alias("b")
-    block_pred = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    # adjacent length buckets can still be near-dups; same bucket only keeps it tight
-    cand = a.join(
-        b,
-        F.lit(True) if not block_pred else F.expr(" and ".join(f"a.{c} = b.{c}" for c in block_cols)),
-    ).filter(
-        (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-        & (F.abs(F.col("a._lenb") - F.col("b._lenb")) <= 1)
+    cand = (
+        candidates.join(sets.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col(key_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = (inter / union).alias("jaccard")
-    return (
-        cand.select(F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b"), jac)
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return cand.select("doc_a", "doc_b", jac).filter(F.col("jaccard") >= threshold)
 
 
 def embedding_near_dup_pairs(
@@ -283,35 +292,62 @@ def embedding_near_dup_pairs(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    bands: int = 4,
     threshold: float = 0.95,
     seed: int = 17,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine, bucketed by seeded
-    random-hyperplane LSH (sign bits), verified exactly inside buckets."""
+    """Near-duplicate pairs by embedding cosine, bucketed by BANDED
+    seeded random-hyperplane LSH, verified exactly inside buckets.
+
+    Scale shape mirrors ``minhash_lsh_pairs``: ``bands`` independent
+    plane families (recall at cos=0.95: plane agreement p ~ 0.9, band
+    hit p^8 ~ 0.43, any-of-4 ~ 0.89 vs 0.43 for the old single family),
+    and each (band, bucket) capped at ``max_bucket`` members so a hot
+    bucket (mass-duplicated embedding, zero vectors) costs
+    O(max_bucket^2), never O(bucket^2) — at 10^9 vectors the old
+    uncapped 256-bucket single band was quadratic in the hottest bucket."""
     import numpy as np
 
     first = df.select(F.size(vec_col).alias("d")).head()
     dim = int(first["d"])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(0, 1, (n_planes, dim))
+    planes = rng.normal(0, 1, (bands, n_planes, dim))
 
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    sig = None
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
-        dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
-        sig = bit if sig is None else sig + bit
-    base = df.select(key_col, vec_col, norm.alias("_n"), sig.alias("bucket"))
+    band_structs = []
+    for band in range(bands):
+        sig = None
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(v)) for v in planes[band, p]])
+            dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
+            sig = bit if sig is None else sig + bit
+        band_structs.append(F.struct(F.lit(band).alias("band"), sig.alias("bucket")))
+    base = df.select(
+        key_col, vec_col, norm.alias("_n"), F.explode(F.array(*band_structs)).alias("_bb")
+    ).select(key_col, vec_col, "_n", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    # cap pathological buckets: keep the first max_bucket members
+    w = Window.partitionBy("band", "bucket").orderBy(key_col)
+    base = base.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket).drop("_rn")
     a, b = base.alias("a"), base.alias("b")
-    cand = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several bands
     )
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = (dot / (F.col("a._n") * F.col("b._n"))).alias("cosine")
-    return (
-        cand.select(F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b"), cos)
-        .filter(F.col("cosine") >= threshold)
-    )
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = (dot / (F.col("_na") * F.col("_nb"))).alias("cosine")
+    return cand.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)

@@ -470,19 +470,30 @@ def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, threshold=0.6)
 
 
-ORACLE_NGRAM = """
-WITH tok AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS tokens FROM documents),
-sh AS (SELECT doc_id, lang,
-         list_distinct(CASE WHEN len(tokens) >= 3
-              THEN list_transform(range(1, len(tokens) - 1), i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
-              ELSE [array_to_string(tokens, ' ')] END) AS s,
-         floor(log2(greatest(length(text), 1))) AS lenb
-       FROM tok)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.lenb - b.lenb) <= 1
-WHERE len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
-"""
+def _oracle_ngram() -> str:
+    # mirrors the rebuilt ngram_jaccard_pairs: candidates = banded
+    # MinHash LSH buckets (capped at 64), exact Jaccard verify >= 0.6
+    n, bands, rows = 16, 4, 4
+    band_key = " ".join(
+        "WHEN %d THEN md5(concat_ws(',', %s))" % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""WITH {_oracle_sig_cte(n)},
+banded AS (
+  SELECT doc_id, {', '.join(f'h{i}' for i in range(n))}, band,
+         CASE band {band_key} END AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+  QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(x.s, y.s)) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+FROM cand c JOIN sets x ON x.doc_id = c.doc_a JOIN sets y ON y.doc_id = c.doc_b
+WHERE len(list_intersect(x.s, y.s)) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.6"""
 
 
 def q_text_features(spark, sf):
@@ -981,7 +992,7 @@ ORACLES = {
     "dedup_minhash_signatures": ORACLE_MINHASH_SIG,
     "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
     "dedup_simhash": _oracle_simhash(),
-    "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_ngram_jaccard": _oracle_ngram(),
     "text_features": _oracle_text_features(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "tpch_q1_pricing": ORACLE_Q1,

@@ -101,3 +101,27 @@ def test_text_features(spark, corpus):
     assert feats.loc["d0", "fingerprint"] != feats.loc["d2", "fingerprint"]
     # word_piece_count counts words + punctuation
     assert feats.loc["d0", "word_piece_count"] == 9
+
+
+def test_ngram_candidates_are_lsh_not_blocked_cross_join(spark):
+    # scale shape: candidate volume follows LSH bucket collisions, not
+    # |docs per lang|^2. 120 same-language docs with distinct content ->
+    # the old per-lang blocking produced ~120*119/2 = 7140 candidates;
+    # LSH buckets keep it near zero (only the planted near-dup collides).
+    rows = [(f"u{i:03d}", f"totally unique document number {i} speaks about topic {i * 37} and {i * 101}", "en")
+            for i in range(120)]
+    rows.append(("dup0", rows[0][1] + " extra", "en"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    cands = minhash_lsh_pairs(df, n_hashes=16, bands=4, threshold=0.0, max_bucket=64).select("doc_a", "doc_b")
+    n_cand = cands.count()
+    assert n_cand < 120, f"candidate count {n_cand} should be ~|near dups|, not ~n^2=7140"
+    out = ngram_jaccard_pairs(df, threshold=0.5).toPandas()
+    assert set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False, name=None))) == {("dup0", "u000")} or \
+           set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False, name=None))) == {("u000", "dup0")}
+
+
+def test_ngram_external_candidates(spark, corpus):
+    # verifying an explicit candidate list computes exact jaccard only there
+    cand = spark.createDataFrame(pd.DataFrame({"doc_a": ["d0"], "doc_b": ["d2"]}))
+    out = ngram_jaccard_pairs(corpus, threshold=0.0, candidates=cand).toPandas()
+    assert len(out) == 1 and 0 < out.jaccard[0] < 1

@@ -92,3 +92,39 @@ def test_embedding_near_dup(spark, vecs):
     got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False, name=None)))
     assert (0, 10) in got
     assert all(c >= 0.999 for c in pairs.cosine)
+
+
+def test_embedding_near_dup_recall_and_cap(spark):
+    # 40 planted near-dup pairs among 200 noise vectors: banded LSH must
+    # recover most of what brute-force cosine finds at the threshold
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (240, 16)).astype(np.float32)
+    for i in range(40):
+        base[200 + i] = base[i] + rng.normal(0, 0.01, 16).astype(np.float32)  # cos ~ 0.9999
+    pdf = pd.DataFrame({"vec_id": np.arange(240, dtype=np.int64), "embedding": list(map(list, base))})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    got = embedding_near_dup_pairs(df, threshold=0.99).toPandas()
+    got_pairs = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False, name=None)))
+    # brute-force truth
+    v = base.astype(np.float64)
+    n = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(n, n)
+    ii, jj = np.where(np.triu(cos >= 0.99, k=1))
+    want_pairs = set(zip(ii.tolist(), jj.tolist()))
+    assert want_pairs, "fixture must contain true near-dups"
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.8, f"banded LSH recall {recall} below 0.8"
+    assert not got_pairs - want_pairs  # verification step admits no false positives
+
+
+def test_embedding_near_dup_bucket_cap_bounds_pairs(spark):
+    # 500 IDENTICAL vectors (the hot-bucket pathology): pair volume must
+    # be bounded by bands * max_bucket^2, not n^2
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(500, dtype=np.int64),
+        "embedding": [[1.0] * 16] * 500,
+    })
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    got = embedding_near_dup_pairs(df, threshold=0.9, bands=4, max_bucket=16)
+    n = got.count()
+    assert n <= 4 * 16 * 15 / 2, f"{n} pairs from a hot bucket; cap is not applied"
