@@ -177,18 +177,31 @@ def _apply_mask(df: DataFrame, mask_wkb: bytes, res: int) -> DataFrame:
 def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
     order = _order_cols(df)
     if skip:
+        # distributed global rank (two-phase, same shape as budget_filter):
+        # range-shuffle into ordered partitions, count per partition (one
+        # tiny collect), broadcast the prefix offsets back, rank locally.
+        # Replaces the former Window.orderBy(...) global row_number whose
+        # single-partition sort serialized the whole table through one task.
         from pyspark.sql import Window
 
-        w = Window.orderBy(*[F.col(c) for c in order])
+        parts = df.repartitionByRange(*[F.col(c) for c in order]).withColumn("_pid", F.spark_partition_id())
+        counts = parts.groupBy("_pid").count().collect()  # one row per partition
+        counts.sort(key=lambda r: r["_pid"])
+        offsets, acc = [], 0
+        for r in counts:
+            offsets.append((r["_pid"], acc))
+            acc += r["count"]
+        off_df = df.sparkSession.createDataFrame(offsets, schema="_pid int, _offset bigint")
+        w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order])
         df = (
-            df.withColumn("_rn", F.row_number().over(w))
+            parts.join(F.broadcast(off_df), "_pid")
+            .withColumn("_rn", F.row_number().over(w) + F.col("_offset"))
             .filter(F.col("_rn") > skip)
-            .drop("_rn")
+            .drop("_rn", "_pid", "_offset")
         )
-        # NOTE: global row_number is a single-partition sort — acceptable for
-        # the pyogrio-parity offset API only; at scale callers use
-        # deterministic id ranges instead (SURVEY.md §4 fast-offset row).
     if maxf is not None:
+        # sort+limit compiles to TakeOrderedAndProject: per-partition top-M
+        # then a single M-row merge — no full global sort
         df = df.sort(*_order_cols(df)).limit(int(maxf))
     return df
 

@@ -124,3 +124,21 @@ def test_intersects_join_full_branch_has_no_python(spark):
     # union branch and candidate generation stay in codegen
     assert plan.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_skip_features_has_no_single_partition_exchange(spark, docs_parquet):
+    # distributed skip: range repartition + per-partition rank + broadcast
+    # offsets — never a SinglePartition global-window exchange
+    df = read_table(spark, docs_parquet, skip_features=100, read_geometry=False)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, "skip_features fell back to the one-reducer global window"
+    assert "rangepartitioning" in plan.lower()
+    # correctness: same rows as the semantic-reference global window
+    from pyspark.sql import Window, functions as F
+
+    base = spark.read.parquet(docs_parquet)
+    w = Window.orderBy("cell_id", "doc_id")
+    want = base.withColumn("_rn", F.row_number().over(w)).filter("_rn > 100").drop("_rn")
+    got_ids = sorted(r.doc_id for r in df.select("doc_id").collect())
+    want_ids = sorted(r.doc_id for r in want.select("doc_id").collect())
+    assert got_ids == want_ids
