@@ -269,6 +269,55 @@ def _linearize_arc(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray, step_deg: flo
     return np.vstack([p0, mids, p2])
 
 
+POLICIES = ("raise", "warn", "ignore", "fix")
+
+
+def _validate_rings(g: Geom, fix: bool) -> Geom:
+    """Ring-closure validation — the one class of invalidity the
+    reference's ``on_invalid='fix'`` repairs ("currently just unclosed
+    rings", /root/reference/pyogrio/geopandas.py:284-285). Raises
+    WKBError when not fixing; closes rings in place when fixing."""
+    if g.type == "Polygon":
+        rings = []
+        for ring in g.coords:
+            if len(ring) >= 3 and not np.array_equal(ring[0], ring[-1]):
+                if not fix:
+                    raise WKBError("unclosed polygon ring")
+                ring = np.vstack([ring, ring[:1]])
+            elif len(ring) < 4:
+                raise WKBError(f"degenerate polygon ring ({len(ring)} points)")
+            rings.append(ring)
+        return Geom("Polygon", rings, g.has_z)
+    if g.type in ("MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return Geom(g.type, [_validate_rings(p, fix) for p in g.coords], g.has_z)
+    return g
+
+
+def from_wkb(buf: bytes | None, force_2d: bool = False, on_invalid: str = "raise") -> Geom | None:
+    """Parse WKB under the reference's on_invalid policy
+    (/root/reference/pyogrio/geopandas.py:273-285):
+
+    - raise: invalid WKB raises WKBError;
+    - warn: invalid rows -> None with a warning;
+    - ignore: invalid rows -> None silently;
+    - fix: repair what is repairable (unclosed rings); otherwise None
+      silently.
+    """
+    if on_invalid not in POLICIES:
+        raise ValueError(f"on_invalid must be one of {POLICIES}, got {on_invalid!r}")
+    if buf is None:
+        return None
+    try:
+        g = parse_wkb(bytes(buf), force_2d=force_2d)
+        return _validate_rings(g, fix=(on_invalid == "fix"))
+    except (WKBError, struct.error) as e:
+        if on_invalid == "raise":
+            raise
+        if on_invalid == "warn":
+            warnings.warn(f"invalid WKB: {e}", stacklevel=2)
+        return None  # ignore and unfixable-fix
+
+
 def geom_type_name(buf: bytes | None) -> str | None:
     """Cheap header peek, no full parse (cf. /root/reference/pyogrio/_io.pyx:3073-3086)."""
     if buf is None or len(buf) < 5:
@@ -400,9 +449,12 @@ def decode_points(wkbs, on_invalid: str = "raise") -> tuple[np.ndarray, np.ndarr
 
     Fast path when every row is a uniform 21-byte LE point (the engine's
     own encoding); falls back to the generic parser per row otherwise.
-    Invalid rows -> NaN under policy ignore/warn, exception under raise
+    Invalid rows -> NaN under policy ignore/warn/fix (a broken point has
+    nothing to fix), exception under raise
     (policy contract: /root/reference/pyogrio/geopandas.py:273-285).
     """
+    if on_invalid not in POLICIES:
+        raise ValueError(f"on_invalid must be one of {POLICIES}, got {on_invalid!r}")
     items = list(wkbs)
     n = len(items)
     arr = _uniform_point_matrix(items)
@@ -425,6 +477,7 @@ def decode_points(wkbs, on_invalid: str = "raise") -> tuple[np.ndarray, np.ndarr
                 raise
             if on_invalid == "warn":
                 warnings.warn(f"invalid WKB at row {i}: {e}", stacklevel=2)
+            # ignore / fix: a broken point is not repairable -> NaN silently
     return lon, lat
 
 

@@ -74,8 +74,16 @@ def read_table(
     max_features: int | None = None,
     sql: str | None = None,
     res: int = DEFAULT_RES,
+    force_2d: bool = False,
+    on_invalid: str = "raise",
 ) -> DataFrame:
-    """Bulk columnar scan with pyogrio's filter semantics (see module doc)."""
+    """Bulk columnar scan with pyogrio's filter semantics (see module doc).
+
+    ``force_2d`` strips Z at read (reference _io.pyx:1012-1013) by
+    re-encoding the geometry column (2-D point rows pass through
+    untouched); ``on_invalid`` is the raise/warn/ignore/fix policy of
+    /root/reference/pyogrio/geopandas.py:273-285 applied during that
+    normalization."""
     if bbox is not None and mask is not None:
         # mirror /root/reference/pyogrio/_io.pyx:1682-1683
         raise ValueError("cannot set both 'bbox' and 'mask'")
@@ -104,6 +112,9 @@ def read_table(
     if skip_features or max_features is not None:
         df = _apply_range(df, skip_features, max_features)
 
+    if force_2d and GEOMETRY_COL in df.columns:
+        df = df.withColumn(GEOMETRY_COL, _normalize_2d_udf(on_invalid)(F.col(GEOMETRY_COL)))
+
     if columns is not None:
         # exact-name match, source order, dedup (reference _io.pyx:1741-1763)
         seen: set[str] = set()
@@ -114,6 +125,29 @@ def read_table(
         df = df.drop(GEOMETRY_COL)
 
     return df
+
+
+def _normalize_2d_udf(on_invalid: str):
+    """Geometry-column normalizer for force_2d: 2-D points (21-byte WKB)
+    pass through untouched; everything else re-encodes without Z, with
+    curve linearization for free (parse linearizes). Invalid rows follow
+    the on_invalid policy (fix closes unclosed rings)."""
+
+    @pandas_udf("binary")
+    def _norm(wkb: pd.Series) -> pd.Series:
+        vals = wkb.to_numpy()
+        out = []
+        for b in vals:
+            if b is None:
+                out.append(None)
+            elif len(b) == 21 and bytes(b[:5]) == W._POINT_LE_2D:
+                out.append(bytes(b))
+            else:
+                g = W.from_wkb(bytes(b), force_2d=True, on_invalid=on_invalid)
+                out.append(None if g is None else W.encode_geom(g))
+        return pd.Series(out)
+
+    return _norm
 
 
 def _coarse_bbox_pred(xmin, ymin, xmax, ymax):

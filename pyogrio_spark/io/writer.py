@@ -10,16 +10,45 @@ leaves no torn table. If a real Iceberg catalog is present this module is
 replaced by ``df.writeTo(tbl)`` — the API is kept 1:1 (SURVEY.md §7 hard
 part 7).
 
-Snapshot ids are deterministic (content-derived), never wall-clock.
+Concurrent writers serialize on an O_EXCL lock file around the
+manifest read-modify-write; snapshot ids carry a pid+nonce so data
+dirs never collide.
 """
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def _manifest_lock(path: str, timeout: float = 30.0):
+    """O_EXCL lock file around the read-manifest/commit critical section:
+    two concurrent writers would otherwise both read the old manifest and
+    the later os.replace would silently drop the earlier snapshot (lost
+    update). Only the manifest update is held under the lock — data files
+    are written before acquiring it."""
+    lock_p = os.path.join(path, "_manifest.lock")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock_p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(f"could not acquire manifest lock at {lock_p} within {timeout}s")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock_p)
 
 
 def _manifest_path(path: str) -> str:
@@ -60,12 +89,14 @@ def write_table(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(path, exist_ok=True)
-    manifest = _read_manifest(path)
 
+    # expensive data write happens OUTSIDE the lock under a unique dir;
+    # the id mixes in pid+monotonic nonce so two concurrent writers with
+    # identical content never collide on a data dir
     count = df.count()
-    seq = len(manifest["snapshots"])
     schema_json = df.schema.json()
-    snap_id = hashlib.sha256(f"{seq}:{count}:{schema_json}:{mode}".encode()).hexdigest()[:16]
+    nonce = f"{os.getpid()}:{time.monotonic_ns()}"
+    snap_id = hashlib.sha256(f"{nonce}:{count}:{schema_json}:{mode}".encode()).hexdigest()[:16]
     data_dir = os.path.join(path, "data", snap_id)
 
     writer = df.write.mode("overwrite")
@@ -73,20 +104,24 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
 
-    parents = [] if mode == "overwrite" else list(manifest["current"]["data_dirs"]) if manifest["current"] else []
-    entry = {
-        "id": snap_id,
-        "sequence": seq,
-        "operation": mode,
-        "row_count": count,
-        "schema": json.loads(schema_json),
-        "data_dirs": parents + [os.path.join("data", snap_id)],
-        "partition_by": partition_by or [],
-    }
-    manifest["snapshots"].append({k: entry[k] for k in ("id", "sequence", "operation", "row_count")})
-    manifest["current"] = entry
-    manifest["properties"].update(properties or {})
-    _atomic_write_manifest(path, manifest)
+    # read-modify-write of the manifest is the critical section
+    with _manifest_lock(path):
+        manifest = _read_manifest(path)
+        seq = len(manifest["snapshots"])
+        parents = [] if mode == "overwrite" else list(manifest["current"]["data_dirs"]) if manifest["current"] else []
+        entry = {
+            "id": snap_id,
+            "sequence": seq,
+            "operation": mode,
+            "row_count": count,
+            "schema": json.loads(schema_json),
+            "data_dirs": parents + [os.path.join("data", snap_id)],
+            "partition_by": partition_by or [],
+        }
+        manifest["snapshots"].append({k: entry[k] for k in ("id", "sequence", "operation", "row_count")})
+        manifest["current"] = entry
+        manifest["properties"].update(properties or {})
+        _atomic_write_manifest(path, manifest)
     return snap_id
 
 

@@ -163,3 +163,29 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     sess = sessionize_events(events).toPandas()
     assert len(sess) > 0 and (sess.n_events >= 1).all()
+
+
+def test_concurrent_appends_lose_no_snapshot(spark, tmp_path):
+    # two writers racing on one table: the manifest lock must serialize
+    # the read-modify-write so neither append is silently dropped
+    import threading
+
+    path = str(tmp_path / "tbl_race")
+    df = spark.range(10).withColumnRenamed("id", "v")
+    ids, errs = [], []
+
+    def go():
+        try:
+            ids.append(write_table(df, path, mode="append"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=go) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs and len(set(ids)) == 2
+    from pyogrio_spark.io.writer import _read_manifest
+
+    m = _read_manifest(path)
+    assert {s["id"] for s in m["snapshots"]} == set(ids)
+    assert read_committed(spark, path).count() == 20  # both appends visible
