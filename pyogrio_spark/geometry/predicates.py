@@ -11,7 +11,15 @@ no per-row Python.
 
 Boundary convention: ray-cast uses half-open edges ([ymin, ymax) in y,
 strict crossing in x), consistent between engine and in-repo oracle by
-construction (both call this module).
+construction (both call this module). This DIFFERS from GEOS
+``intersects``, which includes boundary points: a point exactly ON a
+polygon edge tests False here, True under GEOS. Fixture/oracle
+geometry keeps every point >= 5e-6 off any boundary so the two
+conventions are interior-equivalent on all checked data; the bbox
+filter path (``batch_intersects_box``) and edge-vs-edge crossing
+(``segs_intersect_segs``, touch counts) ARE boundary-inclusive like
+GEOS. Callers needing GEOS-exact boundary semantics on the PIP path
+should buffer inputs or treat on-edge points explicitly.
 """
 
 from __future__ import annotations

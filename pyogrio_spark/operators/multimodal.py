@@ -95,6 +95,87 @@ def extract_media_features(docs: DataFrame) -> DataFrame:
     return work.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, media_ref string, span_offset int, "
+    "sample_rate int, n_samples bigint, duration_ms double, rms double"
+)
+
+
+def synthesize_wav(doc_id: int, offset: int) -> bytes:
+    """Deterministic REAL RIFF/PCM16 WAV payload for (doc, span): mono,
+    8 kHz, constant amplitude a = 1000 + (doc*31 + off*7) % 20000 over
+    n = 64 + (doc + off) % 64 samples. Stands in for the object-store
+    fetch; the bytes are a fully valid WAV file, so the decoder below is
+    a real codec path, not a hash-based fake."""
+    import struct as _s
+
+    a = 1000 + (doc_id * 31 + offset * 7) % 20000
+    n = 64 + (doc_id + offset) % 64
+    rate, ch, bits = 8000, 1, 16
+    data = np.full(n, a, dtype="<i2").tobytes()
+    byte_rate = rate * ch * bits // 8
+    block = ch * bits // 8
+    hdr = (
+        b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 1, ch, rate, byte_rate, block, bits)
+        + b"data" + _s.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL WAV decode (pure stdlib/numpy): parse the RIFF container,
+    walk chunks to fmt/data, read PCM16 samples, derive rate / sample
+    count / duration / RMS. This is the production decode contract with
+    an actual codec behind it — only the fetch is synthesized."""
+    import struct as _s
+
+    rows = []
+    for b in payloads:
+        if b is None or len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+            rows.append((None, None, None, None))
+            continue
+        buf = bytes(b)
+        pos, rate, bits, ch, data = 12, None, None, None, None
+        while pos + 8 <= len(buf):
+            cid, clen = buf[pos : pos + 4], _s.unpack_from("<I", buf, pos + 4)[0]
+            body = buf[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                _, ch, rate, _, _, bits = _s.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)
+        if rate is None or data is None or bits != 16:
+            rows.append((None, None, None, None))
+            continue
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+        n = len(samples) // ch
+        rms = float(np.sqrt(np.mean(samples * samples))) if n else 0.0
+        rows.append((int(rate), int(n), n * 1000.0 / rate, rms))
+    return pd.DataFrame(rows, columns=["sample_rate", "n_samples", "duration_ms", "rms"])
+
+
+def extract_audio_features(docs: DataFrame) -> DataFrame:
+    """Media spans -> synthesized WAV fetch -> REAL decode via
+    mapInPandas. Same partitioning rationale as extract_media_features."""
+    work = explode_media_spans(docs)
+    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = pd.Series(
+                [synthesize_wav(int(d), int(o)) for d, o in zip(pdf["doc_id"], pdf["span_offset"])]
+            )
+            feats = decode_wav_batch(payloads)
+            yield pd.concat(
+                [pdf[["doc_id", "media_ref", "span_offset"]].reset_index(drop=True), feats], axis=1
+            )
+
+    return work.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
     """STUB video frame-sampling *plan*: emits (media_ref, frame_index)
     work items deterministically; the decode of each frame would go

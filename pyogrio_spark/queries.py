@@ -606,6 +606,63 @@ def q_media_features(spark, sf):  # rows-only (stubbed decode)
     return extract_media_features(with_spans)
 
 
+def q_media_audio_features(spark, sf):
+    """REAL media decode path, fully oracle-checked: media spans ->
+    deterministic WAV payloads (valid RIFF/PCM16 files) -> actual codec
+    parse (chunk walk, PCM read) -> rate / samples / duration / RMS.
+    Constant-amplitude synthesis makes every feature closed-form in SQL:
+    rms == amplitude exactly (n*a^2/n and sqrt(a^2) are IEEE-exact)."""
+    from pyogrio_spark.operators.multimodal import extract_audio_features
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
+    spans = F.transform(
+        F.sequence(F.lit(0), ns - 1),
+        lambda i: F.struct(
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string")).alias(
+                "media_ref"
+            ),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    with_spans = docs.select("doc_id", spans.alias("spans"))
+    return extract_audio_features(with_spans)
+
+
+ORACLE_AUDIO = """
+WITH base AS (
+  SELECT doc_id, least(CAST(ceil(len(string_split(text, ' ')) / 2e1) AS INT), 4) AS ns FROM documents),
+spans AS (
+  SELECT doc_id, unnest(generate_series(0, ns - 1)) AS i FROM base),
+media AS (SELECT doc_id, i FROM spans WHERE (doc_id + i) % 3 = 0)
+SELECT doc_id,
+       'media://' || doc_id || '/' || i AS media_ref,
+       CAST(i AS INT) AS span_offset,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(64 + (doc_id + i) % 64 AS BIGINT) AS n_samples,
+       CAST((64 + (doc_id + i) % 64) * 1000 AS DOUBLE) / 8000 AS duration_ms,
+       CAST(1000 + (doc_id * 31 + i * 7) % 20000 AS DOUBLE) AS rms
+FROM media
+"""
+
+
+def q_ivf_topk_full(spark, sf):
+    """IVF with nprobe = n_centroids: every bucket is scanned, so the
+    result is provably EXACT top-k — the full oracle covers the whole
+    IVF machinery (assignment, bucket join, rank); the pruned-nprobe
+    recall is gated separately in tests/test_similarity.py."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = make_centroids(64, 8)
+    bucketed = ivf_assign(emb, cents)
+    probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
+    return ivf_topk(bucketed, probes, cents, k=5, nprobe=8).select(
+        "probe_id", "vec_id", F.col("rank").alias("rnk")
+    )
+
+
 # ============================================================= sql / events
 
 def q_tpch_q1(spark, sf):
@@ -939,8 +996,10 @@ QUERIES = {
     "text_features": q_text_features,
     "sim_cosine_topk": q_sim_topk,
     "sim_ivf_topk": q_ivf_topk,
+    "sim_ivf_topk_full": q_ivf_topk_full,
     "adaptive_tile_map": q_adaptive_tile_map,
     "media_features": q_media_features,
+    "media_audio_features": q_media_audio_features,
     "tpch_q1_pricing": q_tpch_q1,
     "tpch_q3_top_orders": q_tpch_q3,
     "region_rollup": q_region_rollup,
@@ -995,6 +1054,8 @@ ORACLES = {
     "dedup_ngram_jaccard": _oracle_ngram(),
     "text_features": _oracle_text_features(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
+    "sim_ivf_topk_full": ORACLE_SIM_TOPK,
+    "media_audio_features": ORACLE_AUDIO,
     "tpch_q1_pricing": ORACLE_Q1,
     "tpch_q3_top_orders": ORACLE_Q3,
     "region_rollup": ORACLE_REGION,
