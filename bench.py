@@ -33,6 +33,8 @@ HEADLINE = [
     "geo_intersects_join",
     "geo_intersects_join_poly",
     "dataset_split",
+    "curve_linearize",
+    "media_audio_features",
     "token_budget",
 ]
 

@@ -77,11 +77,13 @@ def knn_join(
 
     # cell_id carries its resolution in the top bits, so a docs table
     # indexed at a different res than ``res`` would match ZERO window
-    # cells and silently return empty/short results. One-row probe
-    # (limit-1 scan, O(1)) catches the systematic mismatch up front.
-    first_cell = docs_pts.select("_dcell").first()
-    if first_cell is not None and first_cell[0] is not None:
-        doc_res = int(first_cell[0]) >> _RES_SHIFT
+    # cells and silently return empty/short results. Validate up front;
+    # when the density heuristic below runs anyway, piggyback on its
+    # count job (one aggregate returns both), else a limit-1 probe.
+    def _check_res(sample_cell) -> None:
+        if sample_cell is None:
+            return
+        doc_res = int(sample_cell) >> _RES_SHIFT
         if doc_res != res:
             raise ValueError(
                 f"docs.cell_id was built at res={doc_res} but knn_join was called with res={res}; "
@@ -95,7 +97,9 @@ def knn_join(
     if initial_ring is None:
         import math
 
-        n_docs = docs_pts.count()
+        agg = docs_pts.agg(F.count("*").alias("n"), F.first("_dcell", ignorenulls=True).alias("c")).first()
+        n_docs = agg["n"]
+        _check_res(agg["c"])
         lam = max(n_docs / (SPAN_LON * SPAN_LAT), 1e-12)  # docs per deg^2
         exp_rk = math.sqrt(k / (math.pi * lam))
         r = max(1, min(n // 2, int(math.ceil(1.5 * exp_rk / cell_h))))
@@ -109,6 +113,8 @@ def knn_join(
         # At 200M docs this cuts the rank shuffle from 115M rows to ~100k.
         beta = 3.0 * exp_rk
     else:
+        first_cell = docs_pts.select("_dcell").first()
+        _check_res(first_cell[0] if first_cell is not None else None)
         r = max(1, int(initial_ring))
         beta = float("inf")  # explicit ring: threshold = cell guarantee
 

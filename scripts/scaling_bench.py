@@ -68,8 +68,14 @@ def run_once_shuffle(cpus: int, n_docs: int) -> dict:
     from pyogrio_spark.session import get_spark
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # shuffle partition COUNT is held fixed across cluster sizes: it is
+    # a data-sized tuning knob, not a cluster property (a real cluster
+    # job keeps spark.sql.shuffle.partitions as executors scale), so
+    # tying it to 2*cpus would conflate per-partition agg-state size
+    # with the core-scaling signal. NB: measured run-to-run variance on
+    # this GC-bound job is ~2x either way — see BENCH/BASELINE.md §2.
     spark = get_spark(
-        f"scaling_shuffle_{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+        f"scaling_shuffle_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
