@@ -210,9 +210,15 @@ def simhash_column(
     return agg.select(key_col, sim.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, key_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3, max_bucket: int = 256
+) -> DataFrame:
     """Hamming-distance blocking: equal 16-bit chunk => candidate
-    (any pair within hamming<=3 shares at least one of 4 chunks)."""
+    (any pair within hamming<=3 shares at least one of 4 chunks).
+    Each (chunk, value) bucket is capped at ``max_bucket`` members —
+    boilerplate corpora concentrate simhashes, and an uncapped hot
+    bucket is O(bucket^2) in the self-join (same guard as the minhash
+    and embedding LSH operators)."""
     sh = simhash_column(df, text_col, key_col)
     chunks = sh.select(
         key_col,
@@ -221,6 +227,8 @@ def simhash_near_pairs(df: DataFrame, key_col: str = "doc_id", text_col: str = "
             F.array(*[F.struct(F.lit(c).alias("chunk"), F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck")) for c in range(4)])
         ).alias("c"),
     ).select(key_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    w = Window.partitionBy("chunk", "ck").orderBy(key_col)
+    chunks = chunks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket).drop("_rn")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

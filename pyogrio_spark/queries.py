@@ -174,6 +174,48 @@ def q_geo_pip_join_salted(spark, sf):
     )
 
 
+def _diamond_zones_pd() -> pd.DataFrame:
+    """100 diamond (rotated-square) zones in 10x10 slots of 36x18 deg —
+    NON-rectangular polygons, so the PIP join's generic pandas ray-cast
+    refine runs (the rect zones above short-circuit to the JVM interval
+    predicate). Centers carry a 7e-6 offset off the 1e-5 coordinate
+    lattice so no synthesized point lands on a diamond edge."""
+    rows = []
+    for z in range(100):
+        cx = -180.0 + (z % 10) * 36 + 18.000007
+        cy = -90.0 + (z // 10) * 18 + 9.000007
+        a = 16.0 - (z * 3) % 5
+        b = 8.0 - (z * 5) % 4
+        ring = np.array([(cx - a, cy), (cx, cy - b), (cx + a, cy), (cx, cy + b), (cx - a, cy)])
+        rows.append({"zone_id": z, "geometry_wkb": W.encode_polygon([ring])})
+    return pd.DataFrame(rows)
+
+
+DIAMONDS_SQL = """(
+  SELECT z AS zone_id,
+         -180 + (z % 10) * 36 + 18.000007 AS cx,
+         -90 + (z // 10) * 18 + 9.000007 AS cy,
+         16 - (z * 3) % 5 AS a,
+         8 - (z * 5) % 4 AS b
+  FROM (SELECT unnest(generate_series(0, 99)) AS z)
+)"""
+
+
+def q_geo_pip_join_poly(spark, sf):
+    """PIP join against NON-rectangular zones: exercises the generic
+    per-polygon prepared ray-cast refine (mapInPandas) that the rect
+    zones of geo_pip_join bypass via the JVM interval fast path. Oracle:
+    the diamond interior is the linear inequality |dx|/a + |dy|/b < 1."""
+    cover = zones_cell_cover(spark, _diamond_zones_pd(), res=GEO_RES, zone_key="zone_id")
+    return point_in_polygon_join(_docs_geo(spark, sf), cover, zone_key="zone_id", keep_doc_cols=["doc_id"])
+
+
+ORACLE_PIP_POLY = f"""
+SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {DIAMONDS_SQL} z
+ON abs(d.lon - z.cx) / z.a + abs(d.lat - z.cy) / z.b < 1
+"""
+
+
 # rect half-extents derived from doc_id: 0.1..0.7 x 0.1..0.5 degrees.
 # Integer-scaled arithmetic (grid 1e-5) keeps corners off zone edges
 # (zones carry the +-5e-6 offset).
@@ -981,6 +1023,7 @@ QUERIES = {
     "geo_tile_assignment": q_geo_tile_assignment,
     "geo_pip_join": q_geo_pip_join,
     "geo_pip_join_salted": q_geo_pip_join_salted,
+    "geo_pip_join_poly": q_geo_pip_join_poly,
     "geo_intersects_join": q_geo_intersects_join,
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "curve_linearize": q_curve_linearize,
@@ -1028,6 +1071,7 @@ ORACLES = {
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
     "geo_pip_join_salted": f"""SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
+    "geo_pip_join_poly": ORACLE_PIP_POLY,
     "geo_intersects_join": ORACLE_INTERSECTS,
     "geo_intersects_join_poly": ORACLE_INTERSECTS_POLY,
     "curve_linearize": ORACLE_CURVE,
