@@ -1,0 +1,82 @@
+"""Shapefile source parity against the reference's own naturalearth_lowres
+fixture and the values its tests assert
+(/root/reference/pyogrio/tests/test_core.py:540-552 — 177 features,
+5 fields with dtypes [int64, object x3, float64], total_bounds
+(-180, -90, 180, 83.64513), EPSG:4326; :285-301 — MultiPolygon layer)."""
+
+import numpy as np
+import pytest
+
+from pyogrio_spark.geometry import wkb as W
+from pyogrio_spark.io.shapefile import read_shapefile, read_shapefile_pdf
+
+NE = "/root/reference/pyogrio/tests/fixtures/naturalearth_lowres/naturalearth_lowres.shp"
+
+
+@pytest.fixture(scope="module")
+def ne():
+    return read_shapefile_pdf(NE)
+
+
+def test_naturalearth_info_matches_reference(ne):
+    pdf, info = ne
+    assert info["features"] == 177 and len(pdf) == 177
+    assert info["fields"] == ["pop_est", "continent", "name", "iso_a3", "gdp_md_est"]
+    assert info["dtypes"] == ["int64", "object", "object", "object", "float64"]
+    assert np.allclose(info["total_bounds"], (-180, -90, 180, 83.64513))
+    assert info["geometry_type"] == "MultiPolygon"
+    assert info["crs"] == "EPSG:4326" and info["encoding"] == "UTF-8"
+
+
+def test_naturalearth_wkb_roundtrip_and_bounds(ne):
+    pdf, info = ne
+    gx0 = gy0 = np.inf
+    gx1 = gy1 = -np.inf
+    for b in pdf.geometry_wkb:
+        g = W.parse_wkb(b)
+        assert g.type in ("Polygon", "MultiPolygon")
+        # WKB round trip: re-encode and re-parse gives identical coords
+        g2 = W.parse_wkb(W.encode_geom(g))
+        assert g2.type == g.type
+        x0, y0, x1, y1 = W.bounds(b)
+        gx0, gy0 = min(gx0, x0), min(gy0, y0)
+        gx1, gy1 = max(gx1, x1), max(gy1, y1)
+        # every ring closed
+        def rings_of(gg):
+            if gg.type == "Polygon":
+                return gg.coords
+            return [r for p in gg.coords for r in p.coords]
+        for r in rings_of(g):
+            assert np.array_equal(r[0], r[-1])
+    assert np.allclose((gx0, gy0, gx1, gy1), info["total_bounds"])
+
+
+def test_naturalearth_attribute_values(ne):
+    pdf, _ = ne
+    fiji = pdf[pdf.name == "Fiji"].iloc[0]
+    assert fiji.continent == "Oceania" and fiji.iso_a3 == "FJI" and fiji.pop_est == 920938
+
+
+def test_read_shapefile_spark_filters_compose(spark):
+    # full read_table surface over the shapefile source
+    df = read_shapefile(spark, NE, where="continent = 'Africa'", columns=["name", "pop_est"])
+    rows = df.collect()
+    assert 0 < len(rows) < 177
+    assert set(df.columns) == {"name", "pop_est", "geometry_wkb"}
+    # bbox filter: countries intersecting a box around western Europe
+    eu = read_shapefile(spark, NE, bbox=(-10.0, 36.0, 20.0, 60.0))
+    names = {r["name"] for r in eu.select("name").collect()}
+    assert {"France", "Spain", "Germany"} <= names
+    assert "Brazil" not in names
+
+
+def test_shapefile_polygon_hole_assembly():
+    # synthesize a shapefile-style ring set: one CW outer + one CCW hole
+    from pyogrio_spark.io.shapefile import _assemble_polygons
+
+    outer = np.array([(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)], dtype=float)  # CW
+    hole = np.array([(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)], dtype=float)  # CCW
+    far_outer = np.array([(20, 0), (20, 5), (25, 5), (25, 0), (20, 0)], dtype=float)  # CW
+    groups = _assemble_polygons([outer, hole, far_outer])
+    assert len(groups) == 2
+    assert any(len(g) == 2 for g in groups)  # hole landed inside the first outer
