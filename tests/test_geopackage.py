@@ -1,0 +1,61 @@
+"""GeoPackage source parity against the reference's own fixtures:
+curve/curvepolygon/multisurface layer-type downgrades
+(/root/reference/pyogrio/tests/test_core.py:311-316) and the
+test_gpkg_nulls numeric-null typing matrix
+(/root/reference/pyogrio/tests/test_raw_io.py:968-979)."""
+
+import numpy as np
+import pytest
+
+from pyogrio_spark.geometry import wkb as W
+from pyogrio_spark.io.geopackage import list_layers, read_geopackage, read_geopackage_pdf
+
+FIX = "/root/reference/pyogrio/tests/fixtures"
+
+
+@pytest.mark.parametrize(
+    "f,want",
+    [("curve", "LineString"), ("curvepolygon", "Polygon"), ("multisurface", "MultiPolygon")],
+)
+def test_curve_layer_types_downgrade(f, want):
+    layers = list_layers(f"{FIX}/{f}.gpkg")
+    assert len(layers) == 1 and layers[0][1] == want
+    pdf, info = read_geopackage_pdf(f"{FIX}/{f}.gpkg")
+    assert info["geometry_type"] == want
+    for b in pdf.geometry_wkb:
+        assert W.parse_wkb(b).type == want  # curves linearized at parse
+
+
+def test_gpkg_nulls_typing_matrix():
+    pdf, info = read_geopackage_pdf(f"{FIX}/test_gpkg_nulls.gpkg")
+    assert info["features"] == 4  # 3 value rows + 1 all-null row
+    num_cols = [c for c in pdf.columns if c.startswith("col_")]
+    assert len(num_cols) == 11
+    for c in num_cols:
+        assert np.isnan(pdf[c].iloc[-1])  # last row is null everywhere
+        if c == "col_float32":
+            assert pdf[c].dtype == np.float32
+        else:
+            assert pdf[c].dtype == np.float64  # nullable numerics -> float64
+    assert pdf.col_int64.tolist()[:3] == [1.0, 2.0, 3.0]
+    assert pdf.col_float64.tolist()[:3] == [1.5, 2.5, 3.5]
+    # geometry: 2-D points (0,0) (1,1) (2,2) + null
+    pts = [W.parse_wkb(b).coords.tolist() if b is not None else None for b in pdf.geometry_wkb]
+    assert pts[:3] == [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]]
+    assert info["crs"] == "EPSG:4326"
+
+
+def test_read_geopackage_spark_composes(spark):
+    df = read_geopackage(spark, f"{FIX}/test_gpkg_nulls.gpkg", where="col_int64 = 2")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["col_float64"] == 2.5
+
+
+def test_line_zm_keeps_z_strips_m():
+    # reference: "Measured (M) geometry types are not supported ...
+    # converted to 'LineString Z'" (test_core.py:304-310)
+    pdf, info = read_geopackage_pdf(f"{FIX}/line_zm.gpkg")
+    assert info["geometry_type"] == "LineString Z"  # M stripped, Z kept — reference parity
+    g = W.parse_wkb(pdf.geometry_wkb.iloc[0])
+    assert g.type == "LineString" and g.has_z
+    assert g.coords.shape[1] == 3  # M gone, Z kept
