@@ -137,6 +137,106 @@ def read_geopackage_pdf(path: str, layer: str | None = None) -> tuple[pd.DataFra
     return pdf, info
 
 
+_DTYPE_TO_GPKG = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "MEDIUMINT", "int64": "INTEGER",
+    "uint8": "TINYINT", "uint16": "SMALLINT", "uint32": "MEDIUMINT", "uint64": "INTEGER",
+    "float32": "FLOAT", "float64": "REAL", "bool": "BOOLEAN", "object": "TEXT",
+}
+
+
+def write_geopackage(
+    pdf: pd.DataFrame,
+    path: str,
+    layer: str = "layer",
+    geom_col: str = "geometry_wkb",
+    geometry_type: str | None = None,
+    srs_id: int = 4326,
+) -> None:
+    """Write a frame with a WKB geometry column as a valid GeoPackage:
+    standard registry tables + GP-headered geometry blobs (envelope
+    indicator 1, little-endian). The write-side half of the reference's
+    round-trip contract — ``read_geopackage_pdf(write_geopackage(df))``
+    returns the same rows, and external GPKG readers see a conformant
+    file."""
+    geoms = list(pdf[geom_col])
+    if geometry_type is None:
+        seen = {W.geom_type_name(g) for g in geoms if g is not None}
+        geometry_type = next(iter(seen)).split(" ")[0].upper() if len(seen) == 1 else "GEOMETRY"
+
+    bounds = [W.bounds(g) for g in geoms if g is not None]
+    if bounds:
+        arr = np.array(bounds)
+        minx, miny = float(arr[:, 0].min()), float(arr[:, 1].min())
+        maxx, maxy = float(arr[:, 2].max()), float(arr[:, 3].max())
+    else:
+        minx = miny = maxx = maxy = 0.0
+
+    import struct as _s
+
+    def to_blob(wkb: bytes | None) -> bytes | None:
+        if wkb is None:
+            return None
+        x0, y0, x1, y1 = W.bounds(wkb)
+        # flags 0x03: little-endian header, envelope indicator 1 (xy)
+        return b"GP\x00\x03" + _s.pack("<i", srs_id) + _s.pack("<4d", x0, x1, y0, y1) + wkb
+
+    attrs = [c for c in pdf.columns if c != geom_col]
+    cols_sql = ", ".join(f'"{c}" {_DTYPE_TO_GPKG.get(str(pdf[c].dtype), "TEXT")}' for c in attrs if c != "fid")
+
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+        cur.execute("PRAGMA user_version = 10300")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)"
+        )
+        cur.executemany(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?, ?, ?, ?, ?, NULL)",
+            [
+                ("Undefined cartesian SRS", -1, "NONE", -1, "undefined"),
+                ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
+                ("WGS 84 geodetic", 4326, "EPSG", 4326, "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"]]"),
+            ],
+        )
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents (table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL, "
+            "identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME, "
+            "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+        )
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (table_name TEXT UNIQUE NOT NULL, "
+            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, "
+            "z TINYINT NOT NULL, m TINYINT NOT NULL, PRIMARY KEY (table_name, column_name))"
+        )
+        cur.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, "{geom_col}" BLOB'
+            + (", " + cols_sql if cols_sql else "")
+            + ")"
+        )
+        cur.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, min_x, min_y, max_x, max_y, srs_id) "
+            "VALUES (?, 'features', ?, ?, ?, ?, ?, ?)",
+            (layer, layer, minx, miny, maxx, maxy, srs_id),
+        )
+        cur.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, ?, ?, ?, 0, 0)",
+            (layer, geom_col, geometry_type, srs_id),
+        )
+        data_cols = [c for c in attrs if c != "fid"]
+        ph = ", ".join(["?"] * (1 + len(data_cols)))
+        col_names = f'"{geom_col}"' + ("".join(f', "{c}"' for c in data_cols))
+        rows = [
+            (to_blob(g), *[None if pd.isna(v) else (int(v) if isinstance(v, (bool, np.bool_)) else v.item() if isinstance(v, np.generic) else v) for v in vals])
+            for g, vals in zip(geoms, pdf[data_cols].itertuples(index=False, name=None) if data_cols else [()] * len(geoms))
+        ]
+        cur.executemany(f'INSERT INTO "{layer}" ({col_names}) VALUES ({ph})', rows)
+        con.commit()
+    finally:
+        con.close()
+
+
 def read_geopackage(spark, path: str, layer: str | None = None, **read_table_kwargs):
     """GPKG layer -> engine DataFrame, composable with read_table filters."""
     from pyogrio_spark.io.reader import read_table

@@ -189,3 +189,33 @@ def test_concurrent_appends_lose_no_snapshot(spark, tmp_path):
     m = _read_manifest(path)
     assert {s["id"] for s in m["snapshots"]} == set(ids)
     assert read_committed(spark, path).count() == 20  # both appends visible
+
+
+def test_span_sequence_survives_storage_roundtrip(spark, tmp_path):
+    # north-rule invariant: the interleaved span sequence survives a
+    # write_table -> read_committed storage round trip byte-identically
+    import pandas as pd
+
+    from pyogrio_spark.functions.geo import span_digest
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(20)),
+            "spans": [
+                [
+                    {"kind": "text", "text": f"chunk {i}", "media_ref": None, "offset": 0},
+                    {"kind": "media", "text": None, "media_ref": f"m://{i}/0", "offset": 1},
+                    {"kind": "text", "text": f"tail {i}", "media_ref": None, "offset": 2},
+                ]
+                for i in range(20)
+            ],
+        }
+    )
+    schema = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    df = spark.createDataFrame(pdf, schema=schema)
+    before = {r.doc_id: r.d for r in df.select("doc_id", span_digest().alias("d")).collect()}
+    path = str(tmp_path / "span_tbl")
+    write_table(df.repartition(4), path)
+    back = read_committed(spark, path)
+    after = {r.doc_id: r.d for r in back.select("doc_id", span_digest().alias("d")).collect()}
+    assert before == after
