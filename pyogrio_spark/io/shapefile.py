@@ -209,6 +209,139 @@ def read_shapefile_pdf(path: str) -> tuple[pd.DataFrame, dict]:
     return pdf, info
 
 
+_SHP_TYPE = {"Point": 1, "LineString": 3, "Polygon": 5, "MultiPoint": 8,
+             "MultiLineString": 3, "MultiPolygon": 5}
+
+
+def _geom_to_shp_record(g) -> tuple[int, bytes]:
+    """Parsed Geom -> (shape_type, record body). Polygon rings are emitted
+    outer-CW / holes-CCW per the spec; multipolygons flatten their ring
+    lists into one Polygon record (how shapefiles represent them)."""
+    if g.type == "Point":
+        return 1, struct.pack("<i", 1) + struct.pack("<dd", float(g.coords[0]), float(g.coords[1]))
+    if g.type == "MultiPoint":
+        pts = np.array([p.coords[:2] for p in g.coords], dtype="<f8")
+        body = struct.pack("<i", 8) + struct.pack("<4d", *_bbox_of(pts)) + struct.pack("<i", len(pts)) + pts.tobytes()
+        return 8, body
+    if g.type in ("LineString", "MultiLineString"):
+        parts = [g.coords] if g.type == "LineString" else [p.coords for p in g.coords]
+        return 3, _poly_body(3, [np.asarray(p[:, :2], dtype="<f8") for p in parts])
+    if g.type in ("Polygon", "MultiPolygon"):
+        groups = [g.coords] if g.type == "Polygon" else [p.coords for p in g.coords]
+        rings = []
+        for grp in groups:
+            for i, ring in enumerate(grp):
+                r = np.asarray(ring[:, :2], dtype="<f8")
+                area = _ring_signed_area(r)
+                # outer ring (i == 0) must be CW (area <= 0), holes CCW
+                if (i == 0 and area > 0) or (i > 0 and area < 0):
+                    r = r[::-1].copy()
+                rings.append(r)
+        return 5, _poly_body(5, rings)
+    raise ValueError(f"cannot write geometry type {g.type} to shapefile")
+
+
+def _bbox_of(pts: np.ndarray):
+    return float(pts[:, 0].min()), float(pts[:, 1].min()), float(pts[:, 0].max()), float(pts[:, 1].max())
+
+
+def _poly_body(stype: int, parts: list[np.ndarray]) -> bytes:
+    allpts = np.concatenate(parts, axis=0)
+    offs, total = [], 0
+    for p in parts:
+        offs.append(total)
+        total += len(p)
+    return (
+        struct.pack("<i", stype)
+        + struct.pack("<4d", *_bbox_of(allpts))
+        + struct.pack("<ii", len(parts), total)
+        + np.array(offs, dtype="<i4").tobytes()
+        + np.ascontiguousarray(allpts, dtype="<f8").tobytes()
+    )
+
+
+def write_shapefile(pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb") -> None:
+    """Write .shp/.shx/.dbf (+ .cpg/.prj for WGS84) from a frame with a
+    WKB geometry column — the reference's default driver, written from
+    the public spec. Round-trips through read_shapefile_pdf."""
+    base = os.path.splitext(path)[0]
+    geoms = [W.parse_wkb(bytes(b)) if b is not None else None for b in pdf[geom_col]]
+
+    records, shp_types = [], set()
+    gx0 = gy0 = np.inf
+    gx1 = gy1 = -np.inf
+    for g in geoms:
+        if g is None:
+            records.append((0, struct.pack("<i", 0)))
+            continue
+        st, body = _geom_to_shp_record(g)
+        shp_types.add(st)
+        records.append((st, body))
+        x0, y0, x1, y1 = W.bounds(W.encode_geom(g))
+        gx0, gy0, gx1, gy1 = min(gx0, x0), min(gy0, y0), max(gx1, x1), max(gy1, y1)
+    if not np.isfinite(gx0):
+        gx0 = gy0 = gx1 = gy1 = 0.0
+    layer_type = shp_types.pop() if len(shp_types) == 1 else 5
+
+    shp_chunks, shx_chunks, pos = [], [], 50  # in 16-bit words
+    for i, (st, body) in enumerate(records):
+        clen = len(body) // 2
+        shx_chunks.append(struct.pack(">ii", pos, clen))
+        shp_chunks.append(struct.pack(">ii", i + 1, clen) + body)
+        pos += 4 + clen
+
+    def shp_header(total_words: int) -> bytes:
+        return (
+            struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", total_words)
+            + struct.pack("<ii", 1000, layer_type)
+            + struct.pack("<4d", gx0, gy0, gx1, gy1) + struct.pack("<4d", 0, 0, 0, 0)
+        )
+
+    with open(base + ".shp", "wb") as f:
+        f.write(shp_header(pos) + b"".join(shp_chunks))
+    with open(base + ".shx", "wb") as f:
+        f.write(shp_header(50 + 4 * len(records)) + b"".join(shx_chunks))
+
+    # .dbf: dBase III — C for strings, N for numerics
+    attrs = [c for c in pdf.columns if c not in (geom_col, "fid")]
+    fdefs = []
+    for c in attrs:
+        if pdf[c].dtype == np.int64:
+            fdefs.append((c, "N", 18, 0))
+        elif pdf[c].dtype == np.float64 or pdf[c].dtype == np.float32:
+            fdefs.append((c, "N", 24, 8))
+        else:
+            width = max(1, min(254, int(pdf[c].astype(str).str.encode("utf-8").str.len().max() or 1)))
+            fdefs.append((c, "C", width, 0))
+    rsize = 1 + sum(fl for _, _, fl, _ in fdefs)
+    hsize = 32 + 32 * len(fdefs) + 1
+    hdr = struct.pack("<4B", 0x03, 26, 8, 16) + struct.pack("<I", len(pdf)) + struct.pack("<HH", hsize, rsize) + b"\x00" * 20
+    fd = b""
+    for name, ftype, flen, fdec in fdefs:
+        fd += name.encode("ascii")[:11].ljust(11, b"\x00") + ftype.encode() + b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14
+    body = bytearray()
+    for _, row in pdf.iterrows():
+        body += b" "
+        for name, ftype, flen, fdec in fdefs:
+            v = row[name]
+            if ftype == "C":
+                body += str(v if v is not None else "").encode("utf-8")[:flen].ljust(flen, b" ")
+            else:
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    body += b" " * flen
+                elif fdec:
+                    body += f"{float(v):>{flen}.{fdec}f}".encode("ascii")[:flen]
+                else:
+                    body += f"{int(v):>{flen}d}".encode("ascii")[:flen]
+    with open(base + ".dbf", "wb") as f:
+        f.write(hdr + fd + b"\x0d" + bytes(body) + b"\x1a")
+    with open(base + ".cpg", "w") as f:
+        f.write("UTF-8")
+    with open(base + ".prj", "w") as f:
+        f.write('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]],'
+                'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]]')
+
+
 def read_shapefile(spark, path: str, **read_table_kwargs):
     """Shapefile -> engine DataFrame (fid, attributes, geometry_wkb),
     composable with every read_table filter (where/bbox/mask/columns...)."""

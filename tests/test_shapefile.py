@@ -80,3 +80,47 @@ def test_shapefile_polygon_hole_assembly():
     groups = _assemble_polygons([outer, hole, far_outer])
     assert len(groups) == 2
     assert any(len(g) == 2 for g in groups)  # hole landed inside the first outer
+
+
+def test_write_shapefile_roundtrip_naturalearth(ne, tmp_path):
+    # full write-side parity: re-write all 177 countries through our
+    # .shp/.dbf writer and read them back — geometry WKB byte-identical,
+    # attributes value-identical
+    from pyogrio_spark.io.shapefile import write_shapefile
+
+    pdf, info = ne
+    out = str(tmp_path / "ne_rt.shp")
+    write_shapefile(pdf, out)
+    back, info2 = read_shapefile_pdf(out)
+    assert info2["features"] == 177
+    assert info2["fields"] == info["fields"]
+    assert info2["geometry_type"] == "MultiPolygon"
+    assert np.allclose(info2["total_bounds"], info["total_bounds"])
+    a = [bytes(b) for b in pdf.geometry_wkb]
+    b = [bytes(b) for b in back.geometry_wkb]
+    assert a == b, "WKB round trip must be byte-identical"
+    assert back.pop_est.tolist() == pdf.pop_est.tolist()
+    assert back["name"].tolist() == pdf["name"].tolist()
+    assert np.allclose(back.gdp_md_est, pdf.gdp_md_est)
+
+
+def test_write_shapefile_points_and_lines(tmp_path):
+    from pyogrio_spark.io.shapefile import write_shapefile
+    import pandas as pd
+
+    pts = pd.DataFrame(
+        {"geometry_wkb": [W.encode_point(1.5, 2.5), W.encode_point(-3.0, 4.0)], "label": ["a", "b"]}
+    )
+    p = str(tmp_path / "pts.shp")
+    write_shapefile(pts, p)
+    back, info = read_shapefile_pdf(p)
+    assert info["geometry_type"] == "Point" and [bytes(b) for b in back.geometry_wkb] == list(pts.geometry_wkb)
+    lines = pd.DataFrame(
+        {"geometry_wkb": [W.encode_linestring(np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]]))], "n": np.array([7], dtype=np.int64)}
+    )
+    q = str(tmp_path / "lines.shp")
+    write_shapefile(lines, q)
+    back2, info2 = read_shapefile_pdf(q)
+    assert info2["geometry_type"] == "LineString"
+    assert [bytes(b) for b in back2.geometry_wkb] == list(lines.geometry_wkb)
+    assert back2.n.tolist() == [7]
