@@ -71,3 +71,18 @@ def test_distributed_seq_reader(frame, tmp_path, spark):
     assert len(rows) == 4
     got = sorted(bytes(r.geometry_wkb) for r in rows)
     assert got == sorted(frame.geometry_wkb)
+
+
+def test_open_table_dispatch(tmp_path, spark, frame):
+    import pyogrio_spark as ps
+
+    # one entry point across formats, full filter surface everywhere
+    gj = str(tmp_path / "d.geojson")
+    write_geojson(frame, gj)
+    assert ps.open_table(spark, gj, where="v = 1").count() == 1
+    ne = "/root/reference/pyogrio/tests/fixtures/naturalearth_lowres/naturalearth_lowres.shp"
+    assert ps.open_table(spark, ne, where="continent = 'Oceania'").count() > 0
+    assert ps.dataset_layers(ne) == [["naturalearth_lowres", "MultiPolygon"]]
+    gp = "/root/reference/pyogrio/tests/fixtures/curve.gpkg"
+    assert ps.dataset_layers(gp) == [["curve", "LineString"]]
+    assert ps.open_table(spark, gp).count() >= 1
