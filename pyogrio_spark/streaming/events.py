@@ -56,3 +56,33 @@ def sessionize_events(events: DataFrame, gap: str = "30 minutes", watermark: str
             "value_sum",
         )
     )
+
+
+def streaming_cell_counts(
+    docs: DataFrame,
+    res: int = 7,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous geo ingest: cell-index a stream of (ts, lon, lat) rows
+    and count per (event-time window, cell). Cell assignment is the same
+    pure-integer codegen expression the batch path uses
+    (index/grid.cell_expr_sql) — no Python in the stream; state is one
+    count per open (window, cell), bounded by the watermark.
+
+    Works identically on a static frame (unified API), which is how the
+    batch-parity test validates it.
+    """
+    from pyogrio_spark.index.grid import cell_expr_sql
+
+    d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    d = d.withWatermark(ts_col, watermark) if d.isStreaming else d
+    d = d.withColumn("cell_id", F.expr(cell_expr_sql(lon_col, lat_col, res)))
+    return (
+        d.groupBy(F.window(ts_col, window).alias("w"), "cell_id")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), "cell_id", "n_docs")
+    )

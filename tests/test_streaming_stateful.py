@@ -51,3 +51,47 @@ def test_streaming_running_totals(spark, events_stream_dir, tmp_path):
     # single micro-batch -> running totals equal batch counts
     for uid, row in want.iterrows():
         assert got.loc[uid, "running_count"] == row["count"]
+
+
+def test_streaming_cell_counts_matches_batch(spark, tmp_path):
+    # geo index under Structured Streaming: run the SAME plan as a real
+    # file-source StreamingQuery and as a batch frame; results must match
+    import numpy as np
+    import pandas as pd
+
+    from pyogrio_spark.streaming.events import streaming_cell_counts
+
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta((np.arange(n) * 97) % 7200, unit="s"),
+            "lon": ((np.arange(n) * 2654435761) % 36000000) / 1e5 - 180,
+            "lat": ((np.arange(n) * 40503) % 17000000) / 1e5 - 85,
+        }
+    )
+    src = str(tmp_path / "geostream_src")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    batch = streaming_cell_counts(spark.read.parquet(src)).toPandas()
+
+    stream_in = (
+        spark.readStream.schema("ts timestamp_ntz, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_cell_counts(stream_in)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("geo_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM geo_cells").toPandas()
+
+    key = ["window_start", "cell_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(g) and (b.n_docs.to_numpy() == g.n_docs.to_numpy()).all()
+    assert (b.cell_id.to_numpy() == g.cell_id.to_numpy()).all()
