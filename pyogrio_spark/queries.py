@@ -223,6 +223,46 @@ RECT_W_EXPR = "(1 + doc_id % 7) / 1e1"
 RECT_H_EXPR = "(1 + doc_id % 5) / 1e1"
 
 
+def q_geo_zonal_poly(spark, sf):
+    """Zonal stats against NON-rect zones: boundary tiles go through the
+    generic center-in-polygon pandas refine (rect zones short-circuit to
+    the JVM box predicate). Oracle: diamond-interior linear inequality
+    over tile centers."""
+    tiles = spark.range(180 * 90).select(
+        (F.col("id") % 180 - 90).cast("int").alias("tile_x"),
+        (F.col("id") / 180).cast("int").__sub__(F.lit(45)).cast("int").alias("tile_y"),
+    )
+    tiles = tiles.withColumn(
+        "value", ((F.col("tile_x").cast("bigint") * 31 + F.col("tile_y").cast("bigint") * 17) % 97).cast("double")
+    )
+    tiles = tiles_with_centers(tiles, tile_deg=2.0, res=GEO_RES)
+    cover = zones_cell_cover(spark, _diamond_zones_pd(), res=GEO_RES, zone_key="zone_id")
+    out = zonal_stats(tiles, cover, zone_key="zone_id")
+    return out.select(
+        "zone_id", "tile_count", "value_sum", F.col("value_mean").alias("value_mean"), "value_min", "value_max"
+    )
+
+
+ORACLE_ZONAL_POLY = f"""
+WITH tiles AS (
+  SELECT tile_x, tile_y,
+         CAST((tile_x * 31 + tile_y * 17) % 97 AS DOUBLE) AS value,
+         (tile_x + 0.5) * 2.0 AS cx, (tile_y + 0.5) * 2.0 AS cy
+  FROM (SELECT unnest(generate_series(-90, 89)) AS tile_x) a
+  CROSS JOIN (SELECT unnest(generate_series(-45, 44)) AS tile_y) b
+)
+SELECT z.zone_id,
+       count(*) AS tile_count,
+       sum(t.value) AS value_sum,
+       sum(t.value) / count(*) AS value_mean,
+       min(t.value) AS value_min,
+       max(t.value) AS value_max
+FROM tiles t JOIN {DIAMONDS_SQL} z
+  ON abs(t.cx - z.cx) / z.a + abs(t.cy - z.cy) / z.b < 1
+GROUP BY z.zone_id
+"""
+
+
 def q_geo_intersects_join(spark, sf):
     """Generic geometry-geometry ST_Intersects theta-join — the
     reference's canonical SQL spatial-join example
@@ -1030,6 +1070,7 @@ QUERIES = {
     "geo_knn_join": q_geo_knn,
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
+    "geo_zonal_stats_poly": q_geo_zonal_poly,
     "spans_explode": q_spans_explode,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
@@ -1087,6 +1128,7 @@ ORACLES = {
     "geo_range_join": f"""SELECT DISTINCT d.doc_id, b.box_id FROM {DOCS_GEO_SQL} d JOIN {BOXES_SQL} b
         ON d.lon >= b.bx0 AND d.lon <= b.bx1 AND d.lat >= b.by0 AND d.lat <= b.by1""",
     "geo_zonal_stats": ORACLE_ZONAL,
+    "geo_zonal_stats_poly": ORACLE_ZONAL_POLY,
     "spans_explode": ORACLE_SPANS,
     "dedup_exact": (
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count "
