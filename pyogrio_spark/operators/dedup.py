@@ -295,6 +295,66 @@ def ngram_jaccard_pairs(
     return cand.select("doc_a", "doc_b", jac).filter(F.col("jaccard") >= threshold)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the standard rolling-hash fingerprint scheme): hash every
+    character k-gram, then keep the minimum hash of each sliding window
+    of ``window`` consecutive k-grams (ties -> rightmost position).
+    Guarantees any shared substring of length >= window + k - 1 yields a
+    shared fingerprint, while storing ~2/window of the k-gram hashes.
+
+    -> (key_col, fp, pos) distinct fingerprint rows. Plan is pure
+    codegen: posexplode(sequence) -> substring -> md5-60bit -> window
+    min over (doc, position rows) -> distinct. One shuffle (the window
+    by doc), map-side distinct combine."""
+    n_grams = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    grams = df.select(
+        key_col, text_col, F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_i", "_p")
+    ).select(key_col, "_p", _hash60(F.substring(F.col(text_col), F.col("_p"), k)).alias("_h"))
+    w = Window.partitionBy(key_col).orderBy("_p").rowsBetween(0, window - 1)
+    # rightmost minimal hash of each window: min over (hash, -pos)
+    picked = grams.withColumn(
+        "_min", F.min(F.struct(F.col("_h"), (-F.col("_p")).alias("_np"))).over(w)
+    )
+    return (
+        picked.select(key_col, F.col("_min._h").alias("fp"), (-F.col("_min._np")).alias("pos"))
+        .distinct()
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup/plagiarism candidates: docs sharing >= min_shared winnow
+    fingerprints. Same scale shape as the other LSH operators: join on
+    the fingerprint value (bucket = docs sharing one fp, capped), count
+    shared fps per pair. -> (doc_a, doc_b, shared_fps)."""
+    fps = winnow_fingerprints(df, key_col, text_col, k, window).select(key_col, "fp").distinct()
+    wcap = Window.partitionBy("fp").orderBy(key_col)
+    fps = fps.withColumn("_rn", F.row_number().over(wcap)).filter(F.col("_rn") <= max_bucket).drop("_rn")
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+    ).select(F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     key_col: str = "vec_id",

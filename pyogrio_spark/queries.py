@@ -29,6 +29,8 @@ from pyogrio_spark.index.grid import cell_expr_sql
 from pyogrio_spark.io.reader import read_table
 from pyogrio_spark.operators.dedup import (
     exact_dedup,
+    fingerprint_overlap_pairs,
+    winnow_fingerprints,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -578,6 +580,51 @@ FROM cand c JOIN sets x ON x.doc_id = c.doc_a JOIN sets y ON y.doc_id = c.doc_b
 WHERE len(list_intersect(x.s, y.s)) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.6"""
 
 
+def q_winnow_fingerprints(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return winnow_fingerprints(docs, k=8, window=16)
+
+
+ORACLE_WINNOW = """
+WITH g AS (
+  SELECT doc_id, p,
+         ('0x' || substring(md5(substring(text, p, 8)), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p FROM documents)),
+w AS (
+  SELECT doc_id,
+         min(struct_pack(h := h, np := -p))
+           OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+  FROM g)
+SELECT DISTINCT doc_id, m.h AS fp, -m.np AS pos FROM w
+"""
+
+
+def q_fingerprint_overlap(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return fingerprint_overlap_pairs(docs, k=8, window=16, min_shared=2)
+
+
+ORACLE_FP_OVERLAP = """
+WITH g AS (
+  SELECT doc_id, p,
+         ('0x' || substring(md5(substring(text, p, 8)), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p FROM documents)),
+w AS (
+  SELECT doc_id,
+         min(struct_pack(h := h, np := -p))
+           OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+  FROM g),
+fps AS (
+  SELECT DISTINCT doc_id, m.h AS fp FROM w),
+capped AS (
+  SELECT doc_id, fp FROM fps
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 64)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_text_features(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint_md5")
@@ -1077,6 +1124,8 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_winnow_fingerprints": q_winnow_fingerprints,
+    "dedup_fingerprint_overlap": q_fingerprint_overlap,
     "text_features": q_text_features,
     "sim_cosine_topk": q_sim_topk,
     "sim_ivf_topk": q_ivf_topk,
@@ -1138,6 +1187,8 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": _oracle_ngram(),
+    "dedup_winnow_fingerprints": ORACLE_WINNOW,
+    "dedup_fingerprint_overlap": ORACLE_FP_OVERLAP,
     "text_features": _oracle_text_features(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,

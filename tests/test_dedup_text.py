@@ -125,3 +125,28 @@ def test_ngram_external_candidates(spark, corpus):
     cand = spark.createDataFrame(pd.DataFrame({"doc_a": ["d0"], "doc_b": ["d2"]}))
     out = ngram_jaccard_pairs(corpus, threshold=0.0, candidates=cand).toPandas()
     assert len(out) == 1 and 0 < out.jaccard[0] < 1
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # winnowing guarantee: any shared substring of length >= window+k-1
+    # (16+8-1 = 23 chars) produces at least one shared fingerprint
+    from pyogrio_spark.operators.dedup import fingerprint_overlap_pairs, winnow_fingerprints
+
+    common = "the exact same twenty-three-plus character passage appears here"
+    rows = [
+        ("a", "prefix text one " + common + " suffix alpha"),
+        ("b", "совершенно other start " + common + " different end material"),
+        ("c", "no overlap with anything else at all in this document body"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fps = winnow_fingerprints(df, k=8, window=16).toPandas()
+    fa = set(fps[fps.doc_id == "a"].fp)
+    fb = set(fps[fps.doc_id == "b"].fp)
+    fc = set(fps[fps.doc_id == "c"].fp)
+    assert fa & fb, "shared >=23-char substring must share a fingerprint"
+    assert not (fa & fc) and not (fb & fc)
+    pairs = fingerprint_overlap_pairs(df, k=8, window=16, min_shared=1).toPandas()
+    assert set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False, name=None))) == {("a", "b")}
+    # density: winnowing stores ~2/window of the k-gram hashes
+    n_grams = len(rows[0][1]) - 7
+    assert len(fps[fps.doc_id == "a"]) < n_grams / 2
