@@ -35,6 +35,9 @@ from pyogrio_spark.index.grid import SPAN_LAT, SPAN_LON, LAT0, LON0, _RES_SHIFT
 
 DEFAULT_RES = 7
 
+EARTH_RADIUS_KM = 6371.0088
+_DEG_KM = EARTH_RADIUS_KM * 3.141592653589793 / 180.0
+
 
 def knn_join(
     probes: DataFrame,
@@ -50,10 +53,22 @@ def knn_join(
     max_rounds: int = 16,
     initial_ring: int | None = None,
     broadcast_cap_rows: int = 4_000_000,
+    metric: str = "planar",
 ) -> DataFrame:
     """-> (probe_key, doc_key, dist, rank) with exactly k rows per probe
     (fewer iff the docs table has < k rows). Deterministic tie-break on
-    (dist, doc_key)."""
+    (dist, doc_key).
+
+    ``metric``: 'planar' (Euclidean degrees, matches the in-repo oracle)
+    or 'haversine' (great-circle km). The expansion loop is metric-
+    agnostic: only the distance expression and the per-probe guarantee
+    (a LOWER bound of the metric to any unexplored cell) change. For
+    haversine the guarantee is min(latitude bound, longitude bound at
+    the worst latitude of the window) — near the poles the longitude
+    bound collapses and polar probes simply re-probe to the full grid,
+    trading rounds for exactness."""
+    if metric not in ("planar", "haversine"):
+        raise ValueError(f"metric must be planar|haversine, got {metric!r}")
     n = 1 << res
     cell_h = SPAN_LAT / n
     base = 1 << _RES_SHIFT
@@ -117,6 +132,11 @@ def knn_join(
         _check_res(first_cell[0] if first_cell is not None else None)
         r = max(1, int(initial_ring))
         beta = float("inf")  # explicit ring: threshold = cell guarantee
+    if metric == "haversine" and beta != float("inf"):
+        # degrees -> km conservatively via the latitude scale (longitude
+        # km-per-degree is never larger), so the cut only loosens — a
+        # loose beta costs shuffle volume, never correctness
+        beta = beta * _DEG_KM
 
     pending = pending.cache()
     # AQE partition coalescing collapses the per-round rank exchange to a
@@ -130,7 +150,7 @@ def knn_join(
     try:
         return _knn_rounds(
             pending, docs_pts, k, r, beta, n, cell_h, base, res, max_rounds,
-            probe_key, doc_key, broadcast_cap_rows,
+            probe_key, doc_key, broadcast_cap_rows, metric,
         )
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -138,8 +158,9 @@ def knn_join(
 
 def _knn_rounds(
     pending, docs_pts, k, r, beta, n, cell_h, base, res, max_rounds,
-    probe_key, doc_key, broadcast_cap_rows,
+    probe_key, doc_key, broadcast_cap_rows, metric="planar",
 ):
+    cell_w = SPAN_LON / n
     n_pending = pending.count()
     round_results: list[DataFrame] = []
     for round_i in range(max_rounds):
@@ -168,47 +189,72 @@ def _knn_rounds(
         # rank by sqrt(d2), not d2: sqrt is correctly rounded and can map
         # two unequal d2 values to the same double — ties must break on
         # doc_key identically to any oracle ranking by true distance
-        dist = F.sqrt(dx * dx + dy * dy)
+        if metric == "haversine":
+            hphi = F.sin(F.radians(dy) / 2)
+            hlmb = F.sin(F.radians(dx) / 2)
+            hav = hphi * hphi + F.cos(F.radians(F.col("_plat"))) * F.cos(F.radians(F.col("_dlat"))) * hlmb * hlmb
+            dist = 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(hav, F.lit(1.0))))
+        else:
+            dist = F.sqrt(dx * dx + dy * dy)
         w = Window.partitionBy(probe_key).orderBy(F.col("_dist").asc(), F.col(doc_key).asc())
         # a probe is satisfied when its k-th neighbor is provably inside
         # the explored window, or the window already covers the grid.
         # The explored window guarantees r*cell_h; the density cut beta
         # may tighten it further (satisfaction then demands dk < beta,
         # which the pre-shuffle filter below enforces symmetrically).
-        guarantee = min(r * cell_h, beta)
+        if metric == "haversine":
+            # per-probe lower bound (km) on the distance to ANY point in
+            # an unexplored cell: it differs by >= r cells in lat OR lon.
+            # lat: R * radians(r*cell_h). lon: separation r*cell_w at the
+            # worst |latitude| the window reaches (cos shrinks circles).
+            phimax = F.least(
+                F.greatest(F.abs(F.col("_plat") - r * cell_h), F.abs(F.col("_plat") + r * cell_h)),
+                F.lit(90.0),
+            )
+            lat_bound = EARTH_RADIUS_KM * 3.141592653589793 / 180.0 * (r * cell_h)
+            lon_bound = 2.0 * EARTH_RADIUS_KM * F.asin(
+                F.greatest(F.cos(F.radians(phimax)), F.lit(0.0)) * F.sin(F.radians(F.lit(r * cell_w)) / 2)
+            )
+            guar_col = F.least(F.lit(lat_bound), lon_bound, F.lit(beta))
+        else:
+            guar_col = F.lit(min(r * cell_h, beta))
         # the window is CLAMPED to the grid (no lon wrap), so from an
         # edge probe [px-r, px+r] spans [0, n-1] only when r >= n-1;
         # (2r+1) >= n would declare coverage with up to half the grid
         # unexplored from a corner probe and skip the guarantee check
         window_covers_grid = r >= n - 1
-        cand = cand.withColumn("_dist", dist)
+        cand = cand.withColumn("_dist", dist).withColumn("_guar", guar_col)
         if not window_covers_grid:
             # map-side cut: rows at/over the satisfaction threshold can
             # never be in a satisfied probe's top-k — drop them before
             # the ranking shuffle (this, not the ranking, is what makes
             # the round scale: shuffle volume ~ ring area, not corpus)
-            cand = cand.filter(F.col("_dist") < F.lit(guarantee))
+            cand = cand.filter(F.col("_dist") < F.col("_guar"))
         # cache: BOTH the satisfied-keys check and the round's result rows
         # derive from topk; without the barrier the candidate join + window
         # (the round's expensive work) executes twice per round
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(probe_key, doc_key, F.col("_dist").alias("dist"), "rank")
+            .select(probe_key, doc_key, F.col("_dist").alias("dist"), "rank", "_guar")
         ).cache()
-        stats = topk.groupBy(probe_key).agg(F.count("*").alias("_cnt"), F.max("dist").alias("_dk"))
+        stats = topk.groupBy(probe_key).agg(
+            F.count("*").alias("_cnt"), F.max("dist").alias("_dk"), F.min("_guar").alias("_g")
+        )
         if window_covers_grid:
             satisfied_keys = stats.select(probe_key)
         else:
             # strict <: a tie at exactly the guarantee radius could be
             # displaced by an unexplored point at the same distance
             satisfied_keys = stats.filter(
-                (F.col("_cnt") == k) & (F.col("_dk") < F.lit(guarantee))
+                (F.col("_cnt") == k) & (F.col("_dk") < F.col("_g"))
             ).select(probe_key)
 
         # materialize the round: without cache every later round would lazily
         # re-execute the whole prior lineage (quadratic recompute)
-        sat = topk.join(F.broadcast(satisfied_keys), on=probe_key, how="inner").cache()
+        sat = (
+            topk.drop("_guar").join(F.broadcast(satisfied_keys), on=probe_key, how="inner").cache()
+        )
         sat.count()  # reads cached topk; pins this round's rows
         round_results.append(sat)
         new_pending = pending.join(F.broadcast(satisfied_keys), on=probe_key, how="left_anti").cache()

@@ -74,3 +74,52 @@ def test_knn_res_mismatch_raises(spark, docs_pd, probes_pd):
     )
     with pytest.raises(ValueError, match="res=7"):
         knn_join(probes, docs, k=1, res=6)
+
+
+def _haversine_np(plon, plat, dlon, dlat):
+    import numpy as np
+
+    R = 6371.0088
+    dphi = np.radians(dlat - plat)
+    dlmb = np.radians(dlon - plon)
+    h = np.sin(dphi / 2) ** 2 + np.cos(np.radians(plat)) * np.cos(np.radians(dlat)) * np.sin(dlmb / 2) ** 2
+    return 2 * R * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+
+
+def test_knn_haversine_matches_bruteforce(spark, docs_pd, probes_pd):
+    import numpy as np
+
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SPARK_SCHEMA)
+    probes = spark.createDataFrame(
+        probes_pd[["probe_id", "lon", "lat"]].head(15), schema="probe_id string, lon double, lat double"
+    )
+    got = knn_join(probes, docs, k=5, metric="haversine").toPandas()
+    assert got.groupby("probe_id").size().eq(5).all()
+    dl = docs_pd.xmin.to_numpy()
+    db = docs_pd.ymin.to_numpy()
+    for _, p in probes_pd.head(15).iterrows():
+        d = _haversine_np(p.lon, p.lat, dl, db)
+        order = np.lexsort((docs_pd.doc_id.to_numpy(), d))[:5]
+        want = set(docs_pd.doc_id.to_numpy()[order])
+        mine = got[got.probe_id == p.probe_id]
+        assert set(mine.doc_id) == want, f"probe {p.probe_id}"
+        # distances agree with the numpy formula
+        dd = {doc: dist for doc, dist in zip(docs_pd.doc_id.to_numpy()[order], d[order])}
+        for _, row in mine.iterrows():
+            assert abs(row.dist - dd[row.doc_id]) < 1e-9
+
+
+def test_knn_haversine_polar_probe_exact(spark, docs_pd):
+    # near the pole the longitude guarantee collapses; the loop must
+    # still terminate with the exact answer (full-grid fallback)
+    import numpy as np
+
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SPARK_SCHEMA)
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": ["polar"], "lon": [12.0], "lat": [89.5]}),
+        schema="probe_id string, lon double, lat double",
+    )
+    got = knn_join(probes, docs, k=3, metric="haversine").toPandas()
+    d = _haversine_np(12.0, 89.5, docs_pd.xmin.to_numpy(), docs_pd.ymin.to_numpy())
+    order = np.lexsort((docs_pd.doc_id.to_numpy(), d))[:3]
+    assert set(got.doc_id) == set(docs_pd.doc_id.to_numpy()[order])
