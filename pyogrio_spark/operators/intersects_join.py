@@ -67,17 +67,32 @@ def intersects_join(
     left_key: str = "doc_id",
     geom_col: str = "geometry_wkb",
     keep_left_cols: list[str] | None = None,
+    broadcast_cover: bool = True,
+    salt: int = 0,
 ) -> DataFrame:
     """left (any geometry; needs envelope cols + geometry_wkb) ⋈ polygons
     (``cover`` from zones_cell_cover) on ST_Intersects semantics.
-    -> keep_left_cols + zone_key, one row per intersecting pair."""
+    -> keep_left_cols + zone_key, one row per intersecting pair.
+
+    ``broadcast_cover=False`` switches to a shuffle hash join for huge
+    polygon sides (cover no longer fits an executor); ``salt`` > 1 then
+    fans each cover cell out x salt and spreads left rows by key hash so
+    a hot cell lands on ``salt`` reducers — same skew treatment as
+    ``point_in_polygon_join``."""
     keep = keep_left_cols or [left_key]
     zgeom = "_zone_geom"
     cover = cover.withColumnRenamed(geom_col, zgeom)
     ztype = cover.schema[zone_key].dataType.simpleString()
 
     lcells = explode_envelope_cells(left.select(*dict.fromkeys([*keep, "xmin", "ymin", "xmax", "ymax", geom_col])), res)
-    joined = lcells.join(F.broadcast(cover), on="cell_id", how="inner")
+    if broadcast_cover:
+        joined = lcells.join(F.broadcast(cover), on="cell_id", how="inner")
+    elif salt > 1:
+        cover = cover.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        lcells = lcells.withColumn("_salt", F.pmod(F.xxhash64(F.col(keep[0])), F.lit(salt)).cast("int"))
+        joined = lcells.join(cover, on=["cell_id", "_salt"], how="inner").drop("_salt")
+    else:
+        joined = lcells.join(cover, on="cell_id", how="inner")
 
     # coarse: envelope overlap (cover carries the zone bbox for rect zones;
     # for all zones the cell pre-join already bounds the search)

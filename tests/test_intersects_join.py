@@ -54,3 +54,35 @@ def test_intersects_join_matches_bruteforce(spark):
     want = brute_oracle(left_pd, zones_pd)
     assert got == want
     assert len(got) > 50
+
+
+def test_intersects_join_salted_shuffle_same_result(spark):
+    # shuffle + salted variant must produce the identical pair set as the
+    # broadcast plan (the scale path for huge polygon sides)
+    import pandas as pd
+
+    from pyogrio_spark.fixtures import make_zones
+    from pyogrio_spark.functions.geo import rect_wkb_column
+    from pyogrio_spark.operators.spatial_join import zones_cell_cover
+    from pyspark.sql import functions as F
+
+    docs_pd = pd.DataFrame({"doc_id": range(400)})
+    docs = spark.createDataFrame(docs_pd)
+    docs = (
+        docs.withColumn("lon", (F.col("doc_id") * 77 % 360 - 180).cast("double"))
+        .withColumn("lat", (F.col("doc_id") * 37 % 170 - 85).cast("double"))
+        .withColumn("xmin", F.col("lon")).withColumn("ymin", F.col("lat"))
+        .withColumn("xmax", F.col("lon") + 0.5).withColumn("ymax", F.col("lat") + 0.5)
+    )
+    docs = docs.withColumn("geometry_wkb", rect_wkb_column("xmin", "ymin", "xmax", "ymax"))
+    cover = zones_cell_cover(spark, make_zones(60), res=7, zone_key="fid")
+
+    def pairs(**kw):
+        out = intersects_join(docs, cover, res=7, zone_key="fid", **kw).select("doc_id", "fid")
+        return sorted(map(tuple, out.toPandas().itertuples(index=False, name=None)))
+
+    broadcast = pairs()
+    shuffled = pairs(broadcast_cover=False)
+    salted = pairs(broadcast_cover=False, salt=4)
+    assert broadcast == shuffled == salted
+    assert broadcast, "fixture must produce pairs"
