@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "geo_pip_join",
+    "geo_pip_join_poly",
     "geo_tile_assignment",
     "geo_knn_join",
     "geo_range_join",
@@ -25,6 +26,7 @@ HEADLINE = [
     "spans_explode",
     "dedup_minhash_lsh_pairs",
     "dedup_exact",
+    "dedup_fingerprint_overlap",
     "text_features",
     "sim_cosine_topk",
     "tpch_q1_pricing",

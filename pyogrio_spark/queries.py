@@ -582,26 +582,23 @@ WHERE len(list_intersect(x.s, y.s)) / (len(x.s) + len(y.s) - len(list_intersect(
 
 def q_winnow_fingerprints(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return winnow_fingerprints(docs, k=8, window=16)
+    return winnow_fingerprints(docs, k=8, window=16, use_md5=True)
 
 
 ORACLE_WINNOW = """
 WITH g AS (
   SELECT doc_id, p,
          ('0x' || substring(md5(substring(text, p, 8)), 1, 15))::BIGINT AS h
-  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p FROM documents)),
-w AS (
-  SELECT doc_id,
-         min(struct_pack(h := h, np := -p))
-           OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
-  FROM g)
-SELECT DISTINCT doc_id, m.h AS fp, -m.np AS pos FROM w
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p FROM documents))
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+FROM g
 """
 
 
 def q_fingerprint_overlap(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return fingerprint_overlap_pairs(docs, k=8, window=16, min_shared=2)
+    return fingerprint_overlap_pairs(docs, k=8, window=16, min_shared=2, use_md5=True)
 
 
 ORACLE_FP_OVERLAP = """
@@ -609,13 +606,10 @@ WITH g AS (
   SELECT doc_id, p,
          ('0x' || substring(md5(substring(text, p, 8)), 1, 15))::BIGINT AS h
   FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p FROM documents)),
-w AS (
-  SELECT doc_id,
-         min(struct_pack(h := h, np := -p))
-           OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
-  FROM g),
 fps AS (
-  SELECT DISTINCT doc_id, m.h AS fp FROM w),
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+  FROM g),
 capped AS (
   SELECT doc_id, fp FROM fps
   QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 64)
