@@ -310,6 +310,13 @@ def winnow_fingerprints(
     Guarantees any shared substring of length >= window + k - 1 yields a
     shared fingerprint, while storing ~2/window of the k-gram hashes.
 
+    Scale honesty: winnowing is O(total chars) by definition (one hash
+    per character k-gram) — right for targeted overlap verification
+    (plagiarism pairs, benchmark-contamination checks over candidate
+    subsets), NOT for whole-corpus near-dup sweeps at 10^14 chars;
+    that job belongs to ``minhash_lsh_pairs`` (O(tokens) with a
+    16-aggregate reduction).
+
     -> (key_col, fp) distinct fingerprint rows. Plan is pure codegen:
     posexplode(sequence) -> substring -> md5-60bit -> plain BIGINT
     rolling min over (doc, position rows) -> distinct. One shuffle (the

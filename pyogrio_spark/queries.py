@@ -619,6 +619,37 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination — the canonical training-data use of
+    winnowing: flag corpus documents sharing any >= (window+k-1)-char
+    passage with a (small, broadcast) benchmark set. Benchmark = docs
+    with doc_id < 5; result = contaminated corpus docs with the shared-
+    fingerprint count."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fps = winnow_fingerprints(docs, k=8, window=16, use_md5=True)
+    bench = fps.filter("doc_id < 5").select(F.col("fp").alias("bfp")).distinct()
+    corpus = fps.filter("doc_id >= 5")
+    hits = corpus.join(F.broadcast(bench), corpus.fp == bench.bfp)
+    return hits.groupBy("doc_id").agg(F.count_distinct("fp").alias("shared_fps"))
+
+
+ORACLE_DECONTAMINATE = """
+WITH g AS (
+  SELECT doc_id, p,
+         ('0x' || substring(md5(substring(text, p, 8)), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p FROM documents)),
+fps AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+  FROM g),
+bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 5)
+SELECT c.doc_id, count(DISTINCT c.fp) AS shared_fps
+FROM fps c JOIN bench b ON c.fp = b.fp
+WHERE c.doc_id >= 5
+GROUP BY c.doc_id
+"""
+
+
 def q_text_features(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint_md5")
@@ -1120,6 +1151,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_winnow_fingerprints": q_winnow_fingerprints,
     "dedup_fingerprint_overlap": q_fingerprint_overlap,
+    "decontaminate": q_decontaminate,
     "text_features": q_text_features,
     "sim_cosine_topk": q_sim_topk,
     "sim_ivf_topk": q_ivf_topk,
@@ -1183,6 +1215,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _oracle_ngram(),
     "dedup_winnow_fingerprints": ORACLE_WINNOW,
     "dedup_fingerprint_overlap": ORACLE_FP_OVERLAP,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "text_features": _oracle_text_features(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
