@@ -69,3 +69,66 @@ def test_batch_box_consistent_with_envelope(geoms):
             assert env_overlap
         if not env_overlap:
             assert not hit
+
+
+@given(st.lists(st.tuples(coord, st.floats(min_value=-90, max_value=90, allow_nan=False)), min_size=1, max_size=30),
+       st.integers(0, 12))
+@settings(max_examples=50, deadline=None)
+def test_grid_cell_roundtrip_contains_point(pts, res):
+    from pyogrio_spark.index.grid import cell_bounds, cell_of
+
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    cells = cell_of(lon, lat, res)
+    x0, y0, x1, y1 = cell_bounds(cells, res)
+    # every point lies in (or on the closing edge of) its assigned cell
+    assert ((lon >= x0 - 1e-9) & (lon <= x1 + 1e-9)).all()
+    assert ((lat >= y0 - 1e-9) & (lat <= y1 + 1e-9)).all()
+    # resolution is recoverable from the id
+    from pyogrio_spark.index.grid import cell_res
+
+    assert (cell_res(cells) == res).all()
+
+
+@given(st.lists(geometry(), min_size=1, max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_geojson_roundtrip_random_geometries(tmp_path_factory, geoms):
+    import pandas as pd
+
+    from pyogrio_spark.io.geojson import read_geojson_pdf, write_geojson
+
+    pdf = pd.DataFrame({"geometry_wkb": geoms, "i": np.arange(len(geoms), dtype=np.int64)})
+    p = str(tmp_path_factory.mktemp("gjprop") / "x.geojson")
+    write_geojson(pdf, p)
+    back = read_geojson_pdf(p)
+    assert [bytes(b) for b in back.geometry_wkb] == list(geoms)  # byte identity
+
+
+@given(st.lists(geometry(), min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_shapefile_roundtrip_random_geometries(tmp_path_factory, geoms):
+    # shapefile normalizes ring orientation, so polygons round-trip
+    # semantically (type/bounds/vertex count); points/lines byte-exact
+    import pandas as pd
+
+    from pyogrio_spark.io.shapefile import read_shapefile_pdf, write_shapefile
+
+    kinds = {W.geom_type_name(g).split(" ")[0] for g in geoms}
+    # one shp layer holds one shape class; pick the first geometry's class
+    first = W.geom_type_name(geoms[0]).split(" ")[0]
+    cls = {"Point": {"Point"}, "MultiPoint": {"MultiPoint"},
+           "LineString": {"LineString", "MultiLineString"},
+           "MultiLineString": {"LineString", "MultiLineString"},
+           "Polygon": {"Polygon", "MultiPolygon"},
+           "MultiPolygon": {"Polygon", "MultiPolygon"}}[first]
+    geoms = [g for g in geoms if W.geom_type_name(g).split(" ")[0] in cls]
+    pdf = pd.DataFrame({"geometry_wkb": geoms, "i": np.arange(len(geoms), dtype=np.int64)})
+    p = str(tmp_path_factory.mktemp("shpprop") / "x.shp")
+    write_shapefile(pdf, p)
+    back = read_shapefile_pdf(p)[0]
+    assert len(back) == len(geoms)
+    for orig, rt in zip(geoms, back.geometry_wkb):
+        a, b = W.parse_wkb(orig), W.parse_wkb(bytes(rt))
+        assert W.bounds(orig) == W.bounds(bytes(rt))
+        if a.type in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+            assert bytes(rt) == orig
