@@ -626,7 +626,9 @@ def q_decontaminate(spark, sf):
     with doc_id < 5; result = contaminated corpus docs with the shared-
     fingerprint count."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    fps = winnow_fingerprints(docs, k=8, window=16, use_md5=True)
+    # cache: bench and corpus sides otherwise re-execute the winnow
+    # lineage each (in production the fingerprint table is persisted)
+    fps = winnow_fingerprints(docs, k=8, window=16, use_md5=True).cache()
     bench = fps.filter("doc_id < 5").select(F.col("fp").alias("bfp")).distinct()
     corpus = fps.filter("doc_id >= 5")
     hits = corpus.join(F.broadcast(bench), corpus.fp == bench.bfp)
