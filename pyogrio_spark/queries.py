@@ -819,6 +819,49 @@ def q_ivf_topk_full(spark, sf):
     )
 
 
+def q_events_asof_rates(spark, sf):
+    """AS-OF join (the classic missing Spark operator, distributed
+    two-phase plan): every event picks the latest per-type 'rate' row at
+    or before its timestamp. Rates: one row per (event_type, hour) on a
+    deterministic arithmetic grid; DuckDB's native ASOF JOIN is the
+    oracle. Timestamps compared as epoch-microsecond bigints (tz-proof,
+    see events_sessionize)."""
+    from pyogrio_spark.operators.asof_join import asof_join_distributed
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "event_type",
+        F.expr("timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)").alias("tus"),
+    )
+    types = ev.select("event_type").distinct()
+    rates = (
+        spark.range(0, 2401).select(F.col("id").cast("int").alias("h"))
+        .crossJoin(types)
+        .select(
+            "event_type",
+            (F.col("h").cast("bigint") * F.lit(3600000000).cast("bigint")).alias("rts_us"),
+            (((F.col("h") * 13 + F.length("event_type") * 7) % 1000).cast("double") / F.expr("1e1")).alias("rate"),
+        )
+    )
+    out = asof_join_distributed(
+        ev, rates, ["event_type"], left_ts="tus", right_ts="rts_us", right_vals=["rate"], num_partitions=32
+    )
+    return out.select("event_id", "rate")
+
+
+ORACLE_ASOF = """
+WITH rates AS (
+  SELECT t.event_type, h,
+         CAST(h AS BIGINT) * 3600000000 AS rts_us,
+         CAST((h * 13 + length(t.event_type) * 7) % 1000 AS DOUBLE) / 1e1 AS rate
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(0, 2400)) AS h)),
+ev AS (SELECT event_id, event_type,
+              epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS tus FROM events)
+SELECT e.event_id, r.rate
+FROM ev e ASOF JOIN rates r ON e.event_type = r.event_type AND e.tus >= r.rts_us
+"""
+
+
 # ============================================================= sql / events
 
 def q_tpch_q1(spark, sf):
@@ -1166,6 +1209,7 @@ QUERIES = {
     "region_rollup": q_region_rollup,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_asof_rates": q_events_asof_rates,
     "read_bounds": q_read_bounds,
     "total_bounds": q_total_bounds,
     "events_json_props": q_events_json_props,
@@ -1227,6 +1271,7 @@ ORACLES = {
     "region_rollup": ORACLE_REGION,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_SESSIONIZE,
+    "events_asof_rates": ORACLE_ASOF,
     "read_bounds": f"SELECT doc_id, lon AS xmin, lat AS ymin, lon AS xmax, lat AS ymax FROM {DOCS_GEO_SQL} d",
     "total_bounds": f"""SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax,
         count(*) AS n FROM {DOCS_GEO_SQL} d""",

@@ -1,0 +1,86 @@
+"""AS-OF join: window reference vs distributed two-phase plan vs a
+pandas merge_asof oracle; plan test asserting the distributed variant
+has no single-partition exchange."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyogrio_spark.operators.asof_join import asof_join, asof_join_distributed
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(13)
+    n_left, n_right = 3000, 400
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_left, dtype=np.int64),
+            "key": rng.integers(0, 5, n_left).astype(np.int64),
+            "ts": rng.integers(0, 100_000, n_left).astype(np.int64) * 2 + 1,  # odd: never ties a rate
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": rng.integers(0, 5, n_right).astype(np.int64),
+            "rts": np.sort(rng.choice(np.arange(100_000, dtype=np.int64) * 2, n_right, replace=False)),
+            "rate": rng.normal(0, 1, n_right).round(6),
+        }
+    )
+    right = right.drop_duplicates(["key", "rts"]).reset_index(drop=True)
+    want = (
+        pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("rts").rename(columns={"rts": "ts_r"}),
+            left_on="ts", right_on="ts_r", by="key", direction="backward",
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return left, right, want
+
+
+def _check(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values("event_id").reset_index(drop=True)
+    a = got.rate.to_numpy(np.float64)
+    b = want.rate.to_numpy(np.float64)
+    assert len(a) == len(b)
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = ~np.isnan(a)
+    assert (a[m] == b[m]).all()
+
+
+def test_asof_window_matches_pandas(spark, frames):
+    left, right, want = frames
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    got = asof_join(l, r, ["key"], left_ts="ts", right_ts="rts", right_vals=["rate"]).toPandas()
+    _check(got, want)
+
+
+def test_asof_distributed_matches_pandas_and_window(spark, frames):
+    left, right, want = frames
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    got = asof_join_distributed(
+        l, r, ["key"], left_ts="ts", right_ts="rts", right_vals=["rate"], num_partitions=13
+    ).toPandas()
+    _check(got, want)
+
+
+def test_asof_tie_right_row_applies(spark):
+    # a right row at exactly left_ts applies (>= semantics, like DuckDB ASOF)
+    l = spark.createDataFrame(pd.DataFrame({"event_id": [0], "key": [1], "ts": [100]}))
+    r = spark.createDataFrame(pd.DataFrame({"key": [1, 1], "rts": [100, 50], "rate": [9.0, 1.0]}))
+    for fn in (asof_join, asof_join_distributed):
+        got = fn(l, r, ["key"], left_ts="ts", right_ts="rts", right_vals=["rate"]).collect()
+        assert got[0]["rate"] == 9.0, fn.__name__
+
+
+def test_asof_distributed_no_single_partition_exchange(spark, frames):
+    left, right, _ = frames
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    out = asof_join_distributed(l, r, ["key"], left_ts="ts", right_ts="rts", right_vals=["rate"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
