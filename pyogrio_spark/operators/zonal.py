@@ -98,3 +98,61 @@ def zonal_stats(
         "max": F.max(value_col).alias("value_max"),
     }
     return members.groupBy(zone_key).agg(*[agg_map[a] for a in aggs])
+
+
+def rasterize_zones(
+    tiles: DataFrame,
+    cover: DataFrame,
+    zone_key: str = "fid",
+    tie: str = "min",
+) -> DataFrame:
+    """Vector -> raster: burn zone ids into the tile grid — each tile
+    (pixel) gets the id of the zone containing its center, the inverse
+    of ``zonal_stats`` (same standard center rule; tiles outside every
+    zone are absent, i.e. nodata). Overlapping zones resolve by
+    ``tie``: 'min'/'max' zone id — deterministic, engine-independent.
+
+    Same plan shape as zonal_stats: full-cover cells and rect zones
+    assign JVM-side; only boundary cells of irregular polygons touch
+    the pandas refine. -> (tile_x, tile_y, zone_key).
+    """
+    zgeom = "_zone_geom"
+    cover = cover.withColumnRenamed("geometry_wkb", zgeom)
+    joined = tiles.join(F.broadcast(cover), on="cell_id", how="inner")
+
+    full = joined.filter(F.col("full_cover")).select("tile_x", "tile_y", zone_key)
+    if "is_rect" in cover.columns:
+        rect_pass = joined.filter(
+            ~F.col("full_cover")
+            & F.col("is_rect")
+            & (F.col("cx") >= F.col("zxmin"))
+            & (F.col("cx") < F.col("zxmax"))
+            & (F.col("cy") >= F.col("zymin"))
+            & (F.col("cy") < F.col("zymax"))
+        ).select("tile_x", "tile_y", zone_key)
+        full = full.unionByName(rect_pass)
+        joined = joined.filter(~F.col("is_rect"))
+    boundary = joined.filter(~F.col("full_cover")).select("tile_x", "tile_y", zone_key, "cx", "cy", zgeom)
+
+    ztype = cover.schema[zone_key].dataType.simpleString()
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prep_cache: dict[bytes, PreparedPolygon] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            cx = pdf["cx"].to_numpy(dtype=np.float64)
+            cy = pdf["cy"].to_numpy(dtype=np.float64)
+            for zwkb, idx in pdf.groupby(zgeom, sort=False).indices.items():
+                prep = prep_cache.get(zwkb)
+                if prep is None:
+                    prep = prep_cache[zwkb] = PreparedPolygon(bytes(zwkb))
+                keep[idx] = prep.contains_points(cx[idx], cy[idx])
+            yield pdf.loc[keep, ["tile_x", "tile_y", zone_key]]
+
+    refined = boundary.mapInPandas(refine, schema=f"tile_x int, tile_y int, `{zone_key}` {ztype}")
+    members = full.unionByName(refined)
+    agg = F.min(zone_key) if tie == "min" else F.max(zone_key)
+    return members.groupBy("tile_x", "tile_y").agg(agg.alias(zone_key))
+

@@ -265,6 +265,34 @@ GROUP BY z.zone_id
 """
 
 
+def q_geo_rasterize(spark, sf):
+    """Vector -> raster: burn (diamond) zone ids into the 2-deg tile
+    grid by the center rule — the inverse of zonal_stats, completing the
+    raster<->vector pair. Overlaps resolve to the min zone id."""
+    from pyogrio_spark.operators.zonal import rasterize_zones
+
+    tiles = spark.range(180 * 90).select(
+        (F.col("id") % 180 - 90).cast("int").alias("tile_x"),
+        (F.col("id") / 180).cast("int").__sub__(F.lit(45)).cast("int").alias("tile_y"),
+    )
+    tiles = tiles_with_centers(tiles.withColumn("value", F.lit(0.0)), tile_deg=2.0, res=GEO_RES)
+    cover = zones_cell_cover(spark, _diamond_zones_pd(), res=GEO_RES, zone_key="zone_id")
+    return rasterize_zones(tiles, cover, zone_key="zone_id")
+
+
+ORACLE_RASTERIZE = f"""
+WITH tiles AS (
+  SELECT tile_x, tile_y, (tile_x + 0.5) * 2.0 AS cx, (tile_y + 0.5) * 2.0 AS cy
+  FROM (SELECT unnest(generate_series(-90, 89)) AS tile_x) a
+  CROSS JOIN (SELECT unnest(generate_series(-45, 44)) AS tile_y) b
+)
+SELECT t.tile_x, t.tile_y, min(z.zone_id) AS zone_id
+FROM tiles t JOIN {DIAMONDS_SQL} z
+  ON abs(t.cx - z.cx) / z.a + abs(t.cy - z.cy) / z.b < 1
+GROUP BY t.tile_x, t.tile_y
+"""
+
+
 def q_geo_intersects_join(spark, sf):
     """Generic geometry-geometry ST_Intersects theta-join — the
     reference's canonical SQL spatial-join example
@@ -1188,6 +1216,7 @@ QUERIES = {
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
     "geo_zonal_stats_poly": q_geo_zonal_poly,
+    "geo_rasterize": q_geo_rasterize,
     "spans_explode": q_spans_explode,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
@@ -1250,6 +1279,7 @@ ORACLES = {
         ON d.lon >= b.bx0 AND d.lon <= b.bx1 AND d.lat >= b.by0 AND d.lat <= b.by1""",
     "geo_zonal_stats": ORACLE_ZONAL,
     "geo_zonal_stats_poly": ORACLE_ZONAL_POLY,
+    "geo_rasterize": ORACLE_RASTERIZE,
     "spans_explode": ORACLE_SPANS,
     "dedup_exact": (
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count "
