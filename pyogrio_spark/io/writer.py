@@ -125,6 +125,29 @@ def write_table(
     return snap_id
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join keys —
+    the co-located-join primitive: two tables bucketed on ``cell_id``
+    with the same bucket count hash-join with ZERO exchanges (the scan
+    itself delivers the join partitioning), which is how repeated
+    spatial joins over a 100-TB corpus amortize their shuffle to one
+    write. Read back with ``spark.table(table_name)``."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def read_committed(spark: SparkSession, path: str, snapshot: str | None = None) -> DataFrame:
     """Read the current (or a named) committed snapshot — time travel over
     the manifest, the reader half of the transaction contract."""

@@ -154,3 +154,41 @@ def test_poly_join_queries_broadcast_and_never_sortmerge(spark):
         plan = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # co-located join: both sides bucketed on cell_id -> hash join with
+    # ZERO exchanges (the scan delivers the join partitioning)
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.io.writer import write_bucketed
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 512).alias("cell_id"), (F.col("id") * 3).alias("v")
+    )
+    zones = spark.range(2000).select(
+        (F.col("id") % 512).alias("cell_id"), F.col("id").alias("zone_id")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # fixture tables are broadcast-sized; disable auto-broadcast so the
+        # planner takes the shuffle-join path that bucketing eliminates
+        # (at real scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(docs, "t_docs_b", ["cell_id"], 16, sort_cols=["cell_id"], path=str(tmp_path / "a"))
+        write_bucketed(zones, "t_zones_b", ["cell_id"], 16, sort_cols=["cell_id"], path=str(tmp_path / "b"))
+        a, b = spark.table("t_docs_b"), spark.table("t_zones_b")
+        joined = a.join(b, "cell_id")
+        plan = plan_of(joined)
+        assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle either side"
+        assert joined.count() > 0
+        # contrast: the same join over plain parquet shuffles both sides
+        docs.write.mode("overwrite").parquet(str(tmp_path / "plain_a"))
+        zones.write.mode("overwrite").parquet(str(tmp_path / "plain_b"))
+        pa = spark.read.parquet(str(tmp_path / "plain_a"))
+        pb = spark.read.parquet(str(tmp_path / "plain_b"))
+        assert "Exchange hashpartitioning" in plan_of(pa.join(pb, "cell_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_zones_b")
