@@ -370,6 +370,69 @@ def fingerprint_overlap_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    key_a: str = "doc_a",
+    key_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph — the final stage
+    of near-dup dedup (pairs -> clusters -> keep one doc per cluster).
+
+    Hash-min label propagation: every node's label becomes the minimum
+    label in its closed neighborhood, iterated to fixpoint. Rounds =
+    graph diameter; duplicate clusters are shallow (diameter 2-4 even
+    for large clusters via their hub docs), so convergence is fast. Per
+    round: ONE groupBy over the edge list + a join — no driver-side
+    graph, edges never leave the cluster. Each round caches its labels
+    and unpersists the previous (the kNN-loop rule: lazy chains re-run
+    all prior rounds). -> (node, comp) with comp = min node id of the
+    component.
+    """
+    sym = (
+        edges.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+        .unionByName(edges.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node")).cache()
+    labels.count()
+    for _ in range(max_iters):
+        # min label among neighbors, then min with own label
+        nbr = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least(F.col("comp"), F.coalesce("_nmin", F.col("comp"))).alias("comp"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Keep one document per near-dup cluster (the min id), plus every
+    document that appears in no pair — the end-to-end dedup contract."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(key_col))
+    # no broadcast hint: the loser set scales with the dup rate — let
+    # Catalyst/AQE pick broadcast vs shuffled anti-join from its size
+    return df.join(losers, key_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     key_col: str = "vec_id",

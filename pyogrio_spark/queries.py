@@ -680,6 +680,34 @@ GROUP BY c.doc_id
 """
 
 
+def q_dedup_components(spark, sf):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph (hash-min label propagation) — the stage that turns
+    pairwise near-dups into keep-one-per-cluster decisions. Oracle:
+    DuckDB recursive CTE computing min reachable id per node over the
+    same LSH edges."""
+    from pyogrio_spark.operators.dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.5, max_bucket=64).select("doc_a", "doc_b")
+    return connected_components(pairs).select(F.col("node").alias("doc_id"), "comp")
+
+
+def _oracle_components() -> str:
+    pairs = _oracle_minhash_pairs()
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN sym e ON e.src = re.r)
+SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node"""
+
+
 def q_text_features(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint_md5")
@@ -1226,6 +1254,7 @@ QUERIES = {
     "dedup_winnow_fingerprints": q_winnow_fingerprints,
     "dedup_fingerprint_overlap": q_fingerprint_overlap,
     "decontaminate": q_decontaminate,
+    "dedup_components": q_dedup_components,
     "text_features": q_text_features,
     "sim_cosine_topk": q_sim_topk,
     "sim_ivf_topk": q_ivf_topk,
@@ -1292,6 +1321,7 @@ ORACLES = {
     "dedup_winnow_fingerprints": ORACLE_WINNOW,
     "dedup_fingerprint_overlap": ORACLE_FP_OVERLAP,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,

@@ -150,3 +150,21 @@ def test_winnow_guarantee_shared_substring(spark):
     # density: winnowing stores ~2/window of the k-gram hashes
     n_grams = len(rows[0][1]) - 7
     assert len(fps[fps.doc_id == "a"]) < n_grams / 2
+
+
+def test_connected_components_and_canonical(spark):
+    from pyogrio_spark.operators.dedup import connected_components, dedup_keep_canonical
+
+    # two chains + a singleton pair: {1-2-3-4}, {10-11}, and 20 alone
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 10], "doc_b": [2, 3, 4, 11]}),
+        schema="doc_a long, doc_b long",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 20], "text": ["x"] * 7}),
+        schema="doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, edges).collect())
+    assert kept == [1, 10, 20]  # one per cluster + the untouched singleton
