@@ -10,13 +10,20 @@ Two plans:
   window with last(ignorenulls). ONE shuffle, but each key funnels
   through one reducer — fine for high-cardinality keys, serial for a
   handful of hot keys.
-- ``asof_join_distributed`` (scale plan): the two-phase pattern of
-  ``budget_filter`` — range-shuffle the union into contiguous
-  (key, ts) partitions, take each partition's last right-value per key
-  (a tiny collect: one row per partition x key), broadcast the running
-  "carry-in" value back, then fill within partitions in parallel.
-  Correct for any key cardinality; a single hot key spreads over many
-  range partitions.
+- ``asof_join_distributed`` (scale plan for FEW/HOT keys): the
+  two-phase pattern of ``budget_filter`` — range-shuffle the union into
+  contiguous (key, ts) partitions, take each partition's last
+  right-value per key, broadcast the running "carry-in" value back,
+  then fill within partitions in parallel. A single hot key spreads
+  over many range partitions instead of one reducer.
+
+Decision matrix: the carry collect is O(right keys spanning a
+partition boundary + partitions) rows — dimension-sized when the right
+side is a rates/dimension table (the usual as-of shape), but it scales
+with right-key cardinality. HIGH-cardinality keys are exactly the case
+where the per-key window plan already parallelizes (millions of small
+groups), so: many keys -> ``asof_join``; few/hot keys -> the
+distributed plan.
 
 Tie rule: a right row at exactly left_ts applies (>=), matching
 DuckDB's ASOF JOIN — the engine orders (ts, src) with right rows first
