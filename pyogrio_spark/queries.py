@@ -504,6 +504,50 @@ FROM ex
 """
 
 
+def q_spans_reconstruct(spark, sf):
+    """Interleaved-payload round trip: text -> ordered span chunks ->
+    shuffle -> reassembled text. The reconstruction must equal the
+    source byte-for-byte (matches=true for every doc) — the operational
+    form of the span-sequence invariant."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.col("_ns") - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(F.col("_toks"), i * 5 + 1, 5)).alias("text"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    ex = docs.withColumn("spans", spans).repartition(16, "doc_id").select(
+        "doc_id", "text", F.explode("spans").alias("s")
+    )
+    rec = (
+        ex.groupBy("doc_id")
+        .agg(
+            F.first("text").alias("_orig"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct(F.col("s.offset").alias("o"), F.col("s.text").alias("t")))), lambda x: x["t"]),
+                " ",
+            ).alias("_rec"),
+        )
+    )
+    return rec.select(
+        "doc_id", (F.col("_rec") == F.col("_orig")).alias("matches"), F.md5("_rec").alias("digest")
+    )
+
+
+ORACLE_SPANS_RECONSTRUCT = """
+WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+b2 AS (SELECT doc_id, text, toks, CAST(ceil(len(toks) / 5.0) AS INT) AS ns FROM base),
+ex AS (SELECT doc_id, text, array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ') AS st, i
+       FROM (SELECT doc_id, text, toks, unnest(generate_series(0, ns - 1)) AS i FROM b2)),
+rec AS (SELECT doc_id, any_value(text) AS orig, string_agg(st, ' ' ORDER BY i) AS r FROM ex GROUP BY doc_id)
+SELECT doc_id, (r = orig) AS matches, md5(r) AS digest FROM rec
+"""
+
+
 # ============================================================ dedup queries
 
 def q_dedup_exact(spark, sf):
@@ -1246,6 +1290,7 @@ QUERIES = {
     "geo_zonal_stats_poly": q_geo_zonal_poly,
     "geo_rasterize": q_geo_rasterize,
     "spans_explode": q_spans_explode,
+    "spans_reconstruct": q_spans_reconstruct,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1310,6 +1355,7 @@ ORACLES = {
     "geo_zonal_stats_poly": ORACLE_ZONAL_POLY,
     "geo_rasterize": ORACLE_RASTERIZE,
     "spans_explode": ORACLE_SPANS,
+    "spans_reconstruct": ORACLE_SPANS_RECONSTRUCT,
     "dedup_exact": (
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)"
