@@ -64,3 +64,56 @@ def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id", salt: s
     """Deterministic fraction sample (content-stable, unlike df.sample
     which depends on partition layout)."""
     return df.filter(hash_bucket(key_col, salt) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group sampling (e.g. rebalance languages):
+    group g keeps fraction fractions[g] of its rows, selected by the
+    same content-stable hash bucket as hash_sample — reproducible on
+    any cluster size / partition layout. Groups absent from
+    ``fractions`` are kept whole."""
+    b = hash_bucket(key_col, salt)
+    thresh = None
+    for g, f in fractions.items():
+        cut = F.when(F.col(group_col) == g, F.lit(int(round(f * BUCKETS))))
+        thresh = cut if thresh is None else thresh.when(F.col(group_col) == g, F.lit(int(round(f * BUCKETS))))
+    thresh = thresh.otherwise(F.lit(BUCKETS))
+    return df.filter(b < thresh)
+
+
+def resample_to_weights(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Domain mixing: deterministically re-weight groups by duplication /
+    subsampling. weights[g] = w means each row of group g appears
+    floor(w) times plus one more with probability frac(w) (decided by
+    the content-stable hash, so the SAME rows are the extras on every
+    run). w < 1 is a subsample, w > 1 an upsample. Output rows carry
+    ``copy_col`` (0-based) so downstream shuffles can still dedupe or
+    interleave copies. Pure codegen: one CASE + sequence + explode, no
+    shuffle."""
+    b = hash_bucket(key_col, salt)
+    n_copies = None
+    for g, w in weights.items():
+        whole = int(w)
+        frac_cut = int(round((w - whole) * BUCKETS))
+        expr = F.lit(whole) + F.when(b < F.lit(frac_cut), F.lit(1)).otherwise(F.lit(0))
+        cond = F.col(group_col) == g
+        n_copies = F.when(cond, expr) if n_copies is None else n_copies.when(cond, expr)
+    n_copies = n_copies.otherwise(F.lit(1))
+    out = df.withColumn("_nc", n_copies).filter(F.col("_nc") > 0)
+    return (
+        out.withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("_nc")
+    )

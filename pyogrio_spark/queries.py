@@ -1219,6 +1219,34 @@ GROUP BY 1, 2
 """
 
 
+def q_domain_mix(spark, sf):
+    """Domain mixing: deterministically resample the corpus to target
+    per-language weights (en x1.5 upsampled, others subsampled) — each
+    group-g row appears floor(w) times plus one extra iff its content
+    hash falls under frac(w). Output: per (lang, copy_idx) counts."""
+    from pyogrio_spark.operators.sampling import resample_to_weights
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = resample_to_weights(docs, {"en": 1.5, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.5}, group_col="lang")
+    return out.groupBy("lang", "copy_idx").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+
+
+ORACLE_DOMAIN_MIX = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5('mix' || doc_id), 1, 15))::BIGINT % 1000000 AS bucket
+  FROM documents),
+n AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 1 + CASE WHEN bucket < 500000 THEN 1 ELSE 0 END
+              ELSE 0 + CASE WHEN bucket < 500000 THEN 1 ELSE 0 END END AS nc
+  FROM b),
+ex AS (SELECT doc_id, lang, unnest(generate_series(0, nc - 1)) AS copy_idx FROM n WHERE nc > 0)
+SELECT lang, copy_idx, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM ex GROUP BY lang, copy_idx
+"""
+
+
 def q_token_budget(spark, sf):
     """Per-language token-budget selection via the distributed prefix
     sum (two-phase, no single-reducer window) — longest docs first."""
@@ -1319,11 +1347,13 @@ QUERIES = {
     "window_top_orders": q_window_top_orders_per_segment,
     "corpus_curation": q_corpus_curation,
     "dataset_split": q_dataset_split,
+    "domain_mix": q_domain_mix,
     "token_budget": q_token_budget,
 }
 
 ORACLES = {
     "scan_where_project": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 200",
+    "domain_mix": ORACLE_DOMAIN_MIX,
     "scan_skip_max": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 50 OFFSET 100"
     ),

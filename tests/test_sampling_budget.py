@@ -62,3 +62,38 @@ def test_budget_filter_first_fit_semantics(corpus):
     kept = out.groupBy("lang").agg(F.count("*").alias("n"), F.min("doc_id").alias("first")).collect()
     assert all(r.n == 1 for r in kept)
     assert sorted(r.first for r in kept) == [0, 1, 2, 3]
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    import pandas as pd
+
+    from pyogrio_spark.operators.sampling import stratified_sample
+
+    pdf = pd.DataFrame({"doc_id": range(4000), "lang": ["en", "es", "fr", "de"] * 1000})
+    df = spark.createDataFrame(pdf)
+    out = stratified_sample(df, {"en": 0.5, "es": 0.1}, group_col="lang").toPandas()
+    counts = out.groupby("lang").size()
+    assert abs(counts["en"] - 500) < 80 and abs(counts["es"] - 100) < 50
+    assert counts["fr"] == 1000 and counts["de"] == 1000  # unlisted groups kept whole
+    out2 = stratified_sample(df, {"en": 0.5, "es": 0.1}, group_col="lang").toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)  # content-stable
+
+
+def test_resample_to_weights_copies(spark):
+    import pandas as pd
+
+    from pyogrio_spark.operators.sampling import resample_to_weights
+
+    pdf = pd.DataFrame({"doc_id": range(2000), "lang": ["en", "es"] * 1000})
+    df = spark.createDataFrame(pdf)
+    out = resample_to_weights(df, {"en": 2.5, "es": 0.25}, group_col="lang").toPandas()
+    en = out[out.lang == "en"]
+    es = out[out.lang == "es"]
+    # every en doc appears 2 or 3 times; expectation 2.5
+    per = en.groupby("doc_id").size()
+    assert set(per.unique()) <= {2, 3} and abs(per.mean() - 2.5) < 0.1
+    # es subsampled to ~25%, each kept doc exactly once
+    assert abs(len(es) - 250) < 60 and es.groupby("doc_id").size().max() == 1
+    # copy_idx is dense 0..n-1 per doc
+    import numpy as np
+    assert (en.groupby("doc_id").copy_idx.max().to_numpy() + 1 == en.groupby("doc_id").size().to_numpy()).all()
