@@ -24,6 +24,7 @@ HEADLINE = [
     "geo_range_join",
     "geo_zonal_stats",
     "spans_explode",
+    "spans_reconstruct",
     "dedup_minhash_lsh_pairs",
     "dedup_exact",
     "dedup_fingerprint_overlap",
@@ -35,6 +36,7 @@ HEADLINE = [
     "geo_intersects_join",
     "geo_intersects_join_poly",
     "dataset_split",
+    "domain_mix",
     "curve_linearize",
     "media_audio_features",
     "token_budget",
