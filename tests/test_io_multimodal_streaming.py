@@ -219,3 +219,22 @@ def test_span_sequence_survives_storage_roundtrip(spark, tmp_path):
     back = read_committed(spark, path)
     after = {r.doc_id: r.d for r in back.select("doc_id", span_digest().alias("d")).collect()}
     assert before == after
+
+
+def test_pgm_decoder_handles_comments_and_roundtrip():
+    import numpy as np
+    import pandas as pd
+
+    from pyogrio_spark.operators.multimodal import decode_pgm_batch, synthesize_pgm
+
+    # synthesized payloads decode to their closed-form parameters
+    out = decode_pgm_batch(pd.Series([synthesize_pgm(12, 1)]))
+    assert (out.width[0], out.height[0], out.maxval[0]) == (8 + 37 % 24, 8 + 61 % 16, 255)
+    assert out.mean_luma[0] == (12 * 7 + 11) % 256
+    # netpbm grammar: comments between header fields are legal
+    img = b"P5\n# a comment\n4 2\n# another\n255\n" + bytes(range(8))
+    out2 = decode_pgm_batch(pd.Series([img]))
+    assert (out2.width[0], out2.height[0]) == (4, 2)
+    assert abs(out2.mean_luma[0] - np.arange(8).mean()) < 1e-12
+    # non-PGM bytes -> nulls
+    assert decode_pgm_batch(pd.Series([b"nope"])).width.isna().all()
