@@ -39,6 +39,7 @@ HEADLINE = [
     "domain_mix",
     "curve_linearize",
     "media_audio_features",
+    "media_image_features",
     "token_budget",
 ]
 
