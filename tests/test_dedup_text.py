@@ -168,3 +168,21 @@ def test_connected_components_and_canonical(spark):
     )
     kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, edges).collect())
     assert kept == [1, 10, 20]  # one per cluster + the untouched singleton
+
+
+def test_winnow_token_unit(spark):
+    from pyogrio_spark.operators.dedup import winnow_fingerprints
+
+    common = " ".join(f"w{i}" for i in range(30))  # 30 shared tokens >= window+k-1 = 23
+    rows = [
+        ("a", "alpha start tokens " + common + " tail a"),
+        ("b", "totally different opening here " + common + " end b"),
+        ("c", "nothing shared in this one at all believe me truly"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fps = winnow_fingerprints(df, k=8, window=16, unit="token").toPandas()
+    fa, fb, fc = (set(fps[fps.doc_id == d].fp) for d in ("a", "b", "c"))
+    assert fa & fb and not (fa & fc) and not (fb & fc)
+    # token grams produce far fewer rows than char grams on the same text
+    fps_char = winnow_fingerprints(df, k=8, window=16, unit="char").toPandas()
+    assert len(fps) < len(fps_char)
