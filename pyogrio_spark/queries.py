@@ -1192,6 +1192,57 @@ def q_events_json_props(spark, sf):
     )
 
 
+def q_geo_curation(spark, sf):
+    """END-TO-END geo training-data pipeline in ONE oracled query:
+    documents -> PIP zone assignment (broadcast cell join + rect
+    shortcut) -> per-zone exact dedup (keep first doc per content per
+    zone) -> per-zone token budget (first-fit cumulative cut over
+    doc_id order, budget_filter_window semantics) -> per-zone kept
+    counts + token totals. Exercises geo join + dedup + budget
+    composition through the engine operators."""
+    from pyogrio_spark.operators.budget import budget_filter_window
+
+    cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    joined = point_in_polygon_join(
+        _docs_geo(spark, sf), cover, zone_key="zone_id", keep_doc_cols=["doc_id"]
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    d = joined.join(docs, "doc_id").withColumn("_tok", token_count())
+    w = Window.partitionBy("zone_id", F.md5("text")).orderBy("doc_id")
+    deduped = d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    budgeted = budget_filter_window(
+        deduped, budget=2000, group_col="zone_id", value_col="_tok", order_cols=("doc_id",)
+    )
+    return budgeted.groupBy("zone_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_GEO_CURATION = f"""
+WITH pip AS (
+  SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
+  ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1),
+j AS (
+  SELECT p.zone_id, p.doc_id, len(string_split(doc.text, ' ')) AS tok, doc.text
+  FROM pip p JOIN documents doc ON doc.doc_id = p.doc_id),
+dd AS (
+  SELECT * FROM (
+    SELECT zone_id, doc_id, tok,
+           row_number() OVER (PARTITION BY zone_id, md5(text) ORDER BY doc_id) AS rn
+    FROM j) WHERE rn = 1),
+cum AS (
+  SELECT zone_id, doc_id, tok,
+         sum(tok) OVER (PARTITION BY zone_id ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS c
+  FROM dd)
+SELECT zone_id, count(*) AS n_docs, sum(tok) AS tokens, min(doc_id) AS first_doc
+FROM cum WHERE c - tok < 2000
+GROUP BY zone_id
+"""
+
+
 def q_corpus_curation(spark, sf):
     """Composed training-data pipeline: exact-dedup -> quality gate ->
     language filter -> per-language token budget accounting. One query
@@ -1390,6 +1441,7 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "window_top_orders": q_window_top_orders_per_segment,
     "corpus_curation": q_corpus_curation,
+    "geo_curation": q_geo_curation,
     "dataset_split": q_dataset_split,
     "domain_mix": q_domain_mix,
     "token_budget": q_token_budget,
@@ -1469,6 +1521,7 @@ ORACLES = {
                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
           FROM j) t WHERE rnk <= 3""",
     "corpus_curation": ORACLE_CURATION,
+    "geo_curation": ORACLE_GEO_CURATION,
     "dataset_split": ORACLE_SPLIT,
     "token_budget": ORACLE_BUDGET,
     # sim_ivf_topk, adaptive_tile_map, media_features: rows-only by design
