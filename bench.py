@@ -33,6 +33,7 @@ HEADLINE = [
     "tpch_q1_pricing",
     "events_sessionize",
     "corpus_curation",
+    "geo_curation",
     "geo_intersects_join",
     "geo_intersects_join_poly",
     "dataset_split",
