@@ -948,6 +948,51 @@ FROM media
 """
 
 
+def q_media_resize(spark, sf):
+    """REAL image resize, oracle-checked: decode PGM -> nearest-neighbor
+    downsample to max side 16 -> re-encode -> features of the thumbnail.
+    Constant-gray synthesis keeps mean_luma exact; resized dims are
+    integer arithmetic ((side*16) // max(w,h), never upsampled)."""
+    from pyogrio_spark.operators.multimodal import resize_images
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
+    spans = F.transform(
+        F.sequence(F.lit(0), ns - 1),
+        lambda i: F.struct(
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string")).alias(
+                "media_ref"
+            ),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    with_spans = docs.select("doc_id", spans.alias("spans"))
+    return resize_images(with_spans, max_side=16)
+
+
+ORACLE_RESIZE = """
+WITH base AS (
+  SELECT doc_id, least(CAST(ceil(len(string_split(text, ' ')) / 2e1) AS INT), 4) AS ns FROM documents),
+spans AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS i FROM base),
+media AS (
+  SELECT doc_id, i,
+         8 + (doc_id * 3 + i) % 24 AS w,
+         8 + (doc_id * 5 + i) % 16 AS h
+  FROM spans WHERE (doc_id + i) % 3 = 0)
+SELECT doc_id,
+       'media://' || doc_id || '/' || i AS media_ref,
+       CAST(i AS INT) AS span_offset,
+       CAST(CASE WHEN greatest(w, h) <= 16 THEN w ELSE (w * 16) // greatest(w, h) END AS INT) AS width,
+       CAST(CASE WHEN greatest(w, h) <= 16 THEN h ELSE (h * 16) // greatest(w, h) END AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST((doc_id * 7 + i * 11) % 256 AS DOUBLE) AS mean_luma
+FROM media
+"""
+
+
 def q_ivf_topk_full(spark, sf):
     """IVF with nprobe = n_centroids: every bucket is scanned, so the
     result is provably EXACT top-k — the full oracle covers the whole
@@ -1430,6 +1475,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_audio_features": q_media_audio_features,
     "media_image_features": q_media_image_features,
+    "media_resize": q_media_resize,
     "tpch_q1_pricing": q_tpch_q1,
     "tpch_q3_top_orders": q_tpch_q3,
     "region_rollup": q_region_rollup,
@@ -1499,6 +1545,7 @@ ORACLES = {
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "media_audio_features": ORACLE_AUDIO,
     "media_image_features": ORACLE_IMAGE,
+    "media_resize": ORACLE_RESIZE,
     "tpch_q1_pricing": ORACLE_Q1,
     "tpch_q3_top_orders": ORACLE_Q3,
     "region_rollup": ORACLE_REGION,

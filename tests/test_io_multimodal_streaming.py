@@ -238,3 +238,21 @@ def test_pgm_decoder_handles_comments_and_roundtrip():
     assert abs(out2.mean_luma[0] - np.arange(8).mean()) < 1e-12
     # non-PGM bytes -> nulls
     assert decode_pgm_batch(pd.Series([b"nope"])).width.isna().all()
+
+
+def test_pgm_resize_semantics():
+    import numpy as np
+    import pandas as pd
+
+    from pyogrio_spark.operators.multimodal import decode_pgm_batch, resize_pgm_batch
+
+    # gradient image: resize keeps dims contract and plausible content
+    w, h = 32, 8
+    raster = (np.arange(w * h, dtype=np.uint8) % 256).reshape(h, w)
+    img = f"P5\n{w} {h}\n255\n".encode() + raster.tobytes()
+    small = resize_pgm_batch(pd.Series([img]), max_side=16)[0]
+    meta = decode_pgm_batch(pd.Series([small])).iloc[0]
+    assert meta.width == 16 and meta.height == 4  # (side*16)//32
+    # never upsamples
+    tiny = f"P5\n4 4\n255\n".encode() + bytes(16)
+    assert bytes(resize_pgm_batch(pd.Series([tiny]), max_side=16)[0]) == tiny
