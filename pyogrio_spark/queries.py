@@ -413,6 +413,34 @@ def q_geo_knn(spark, sf):
     return out.select("probe_id", "doc_id", "dist", F.col("rank").alias("rnk"))
 
 
+def q_geo_knn_haversine(spark, sf):
+    """kNN under the great-circle metric (production geodesy path):
+    same expansion loop, haversine distance + per-probe guarantee.
+    Output omits the float distance — the oracle compares neighbor SETS
+    and ranks, which survive last-ulp libm differences between engines
+    (a flip would need two docs within ~1e-15 relative distance)."""
+    docs = _docs_geo(spark, sf)
+    probes = docs.filter("doc_id < 25").select(F.col("doc_id").alias("probe_id"), "lon", "lat")
+    out = knn_join(probes, docs, k=5, res=GEO_RES, metric="haversine")
+    return out.select("probe_id", "doc_id", F.col("rank").alias("rnk"))
+
+
+ORACLE_KNN_HAVERSINE = f"""
+WITH pts AS (SELECT * FROM {DOCS_GEO_SQL} d),
+probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM pts WHERE doc_id < 25),
+pairs AS (
+  SELECT p.probe_id, d.doc_id,
+         2 * 6371.0088 * asin(sqrt(least(
+           sin(radians(d.lat - p.plat) / 2) * sin(radians(d.lat - p.plat) / 2)
+           + cos(radians(p.plat)) * cos(radians(d.lat))
+             * sin(radians(d.lon - p.plon) / 2) * sin(radians(d.lon - p.plon) / 2), 1.0))) AS dist
+  FROM probes p CROSS JOIN pts d),
+r AS (SELECT probe_id, doc_id,
+             row_number() OVER (PARTITION BY probe_id ORDER BY dist, doc_id) AS rnk FROM pairs)
+SELECT probe_id, doc_id, rnk FROM r WHERE rnk <= 5
+"""
+
+
 def q_geo_range_join(spark, sf):
     cover = boxes_cell_cover(spark, _boxes_pd(), res=GEO_RES)
     return bbox_range_join(_docs_geo(spark, sf), cover).select("doc_id", "box_id")
@@ -1452,6 +1480,7 @@ QUERIES = {
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "curve_linearize": q_curve_linearize,
     "geo_knn_join": q_geo_knn,
+    "geo_knn_join_haversine": q_geo_knn_haversine,
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
     "geo_zonal_stats_poly": q_geo_zonal_poly,
@@ -1521,6 +1550,7 @@ ORACLES = {
         r AS (SELECT probe_id, doc_id, dist,
                      row_number() OVER (PARTITION BY probe_id ORDER BY dist, doc_id) AS rnk FROM pairs)
         SELECT probe_id, doc_id, dist, rnk FROM r WHERE rnk <= 5""",
+    "geo_knn_join_haversine": ORACLE_KNN_HAVERSINE,
     "geo_range_join": f"""SELECT DISTINCT d.doc_id, b.box_id FROM {DOCS_GEO_SQL} d JOIN {BOXES_SQL} b
         ON d.lon >= b.bx0 AND d.lon <= b.bx1 AND d.lat >= b.by0 AND d.lat <= b.by1""",
     "geo_zonal_stats": ORACLE_ZONAL,
