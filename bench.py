@@ -2,9 +2,12 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized with a cheap count() (the driver collects
-separately); times include full plan execution. Run scripts/scaling_bench.py
-for the N-vs-4N scaling-efficiency evidence (BENCH/BASELINE.md).
+Each query is materialized with a column-consuming aggregate
+(sum(xxhash64(*cols))) so Catalyst cannot prune expensive projected
+columns the way it does under count() — round-1 finding, now applied
+to the harness itself. Times include full plan execution. Run
+scripts/scaling_bench.py for the N-vs-4N scaling-efficiency evidence
+(BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -45,6 +48,15 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> None:
+    """Force full execution INCLUDING every projected column: count()
+    lets Catalyst prune projections, undertiming projection-heavy
+    queries; hashing every column into one aggregate does not."""
+    from pyspark.sql import functions as F
+
+    df.agg(F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -64,14 +76,14 @@ def main() -> None:
         warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
         for name in HEADLINE:
             try:
-                QUERIES[name](spark, warm_dir).count()
+                _materialize(QUERIES[name](spark, warm_dir))
             except Exception:
                 pass  # warm failures never gate the measured run
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        _materialize(QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)

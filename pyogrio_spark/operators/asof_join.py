@@ -93,42 +93,50 @@ def asof_join_distributed(
     # the range-partitioned table once and reading it for both passes.
     parts = parts.withColumn("_pid", F.spark_partition_id()).cache()
 
-    # per-(partition, key) LAST right value: tiny — one row per pid x key
+    # per-(partition, key) summary over ALL rows of the key (left rows
+    # carry NULL right_vals in the union, so last(ignorenulls) still
+    # yields the partition's last right value): one collected row per
+    # (pid, key) group PRESENT in the data. Collecting presence (not
+    # just right-row groups) is what makes the carry correct for left
+    # rows in partitions beyond the key's last right row — a hot key
+    # whose events continue long after its last rate row still gets a
+    # carry row in every later partition it occupies.
     w_last = Window.partitionBy("_pid", *key_cols).orderBy("_ts", "_src").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     lasts = (
-        parts.filter(F.col("_src") == 0)
-        .select(
+        parts.select(
             "_pid", *key_cols,
             *[F.last(v, ignorenulls=True).over(w_last).alias(v) for v in right_vals],
-            F.row_number().over(Window.partitionBy("_pid", *key_cols).orderBy(F.desc("_ts"))).alias("_rn"),
+            F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(w_last).alias("_has_right"),
+            F.row_number().over(
+                Window.partitionBy("_pid", *key_cols).orderBy(F.desc("_ts"), F.desc("_src"))
+            ).alias("_rn"),
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .collect()
     )
-    # running carry-in per key across partitions in pid order. Emitted
-    # ONLY for (pid, key) with a non-null carry: range partitioning puts
-    # each key in contiguous partitions, so this is O(keys + partitions)
-    # rows (a key spanning one partition emits at most one row), not
-    # keys x partitions; missing rows coalesce to NULL via the left join.
+    # running carry-in per key, emitted ONLY for partitions the key
+    # actually occupies: range partitioning keeps each key contiguous,
+    # so this is O(keys + partitions) rows (bounded by the collected
+    # group count even without contiguity), not keys x partitions.
+    # Per-VALUE coalesce across partitions mirrors the in-partition
+    # last(ignorenulls): a right row with one NULL value must not erase
+    # an earlier partition's non-null carry for that value.
     carry_rows = []
-    max_pid = max([r["_pid"] for r in lasts], default=-1)
     by_key: dict = {}
     for r in lasts:
         by_key.setdefault(tuple(r[c] for c in key_cols), []).append(r)
     for key, rows in by_key.items():
         rows.sort(key=lambda r: r["_pid"])
         acc = None
-        idx = 0
-        for pid in range(0, max_pid + 2):
-            if acc is not None:
-                # carry-in for partition pid: last value from any pid' < pid
-                carry_rows.append((pid, *key, *acc))
-            while idx < len(rows) and rows[idx]["_pid"] == pid:
-                acc = [rows[idx][v] for v in right_vals]
-                idx += 1
+        for r in rows:
+            if acc is not None and any(a is not None for a in acc):
+                carry_rows.append((r["_pid"], *key, *acc))
+            if r["_has_right"]:
+                vals = [r[v] for v in right_vals]
+                acc = vals if acc is None else [v if v is not None else a for v, a in zip(vals, acc)]
     spark = left.sparkSession
     kschema = ", ".join(f"`{c}` {left.schema[c].dataType.simpleString()}" for c in key_cols)
     vschema = ", ".join(f"`_c_{v}` {right.schema[v].dataType.simpleString()}" for v in right_vals)

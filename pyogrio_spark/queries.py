@@ -1224,8 +1224,8 @@ WITH l AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
   FROM l)
 SELECT user_id, sess_id,
        epoch_us(min(ts)) AS session_start_us,
@@ -1310,7 +1310,8 @@ cum AS (
          sum(tok) OVER (PARTITION BY zone_id ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING) AS c
   FROM dd)
-SELECT zone_id, count(*) AS n_docs, sum(tok) AS tokens, min(doc_id) AS first_doc
+SELECT zone_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
+       min(doc_id) AS first_doc
 FROM cum WHERE c - tok < 2000
 GROUP BY zone_id
 """
@@ -1498,10 +1499,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "text_features": q_text_features,
     "sim_cosine_topk": q_sim_topk,
-    "sim_ivf_topk": q_ivf_topk,
     "sim_ivf_topk_full": q_ivf_topk_full,
-    "adaptive_tile_map": q_adaptive_tile_map,
-    "media_features": q_media_features,
     "media_audio_features": q_media_audio_features,
     "media_image_features": q_media_image_features,
     "media_resize": q_media_resize,
@@ -1520,6 +1518,11 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "domain_mix": q_domain_mix,
     "token_budget": q_token_budget,
+    # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
+    # fixed-size correctness window always covers every oracled query first.
+    "sim_ivf_topk": q_ivf_topk,
+    "adaptive_tile_map": q_adaptive_tile_map,
+    "media_features": q_media_features,
 }
 
 ORACLES = {

@@ -76,6 +76,50 @@ def test_asof_tie_right_row_applies(spark):
         assert got[0]["rate"] == 9.0, fn.__name__
 
 
+def test_asof_distributed_left_tail_beyond_last_right_partition(spark):
+    """Regression (round-2 ADVICE high): a hot key whose left rows keep
+    flowing long after its last right row must still receive the carry
+    in partitions >= 2 past the partition holding that last right row.
+    The old carry loop stopped at max_pid+1 (the last pid with ANY
+    right row), leaving those tails NULL."""
+    # key 1: one rate at ts=10, then 2000 left rows at ts 100..2099 —
+    # with 16 range partitions over (key, ts) the left tail spans many
+    # partitions past the single right row's partition.
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(2000, dtype=np.int64),
+            "key": np.ones(2000, dtype=np.int64),
+            "ts": np.arange(100, 2100, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame({"key": [1], "rts": [10], "rate": [7.5]})
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    got = asof_join_distributed(
+        l, r, ["key"], left_ts="ts", right_ts="rts", right_vals=["rate"], num_partitions=16
+    ).toPandas()
+    assert len(got) == 2000
+    assert (got.rate.to_numpy(np.float64) == 7.5).all(), (
+        f"{got.rate.isna().sum()} left rows lost the carry"
+    )
+
+
+def test_asof_distributed_mixed_null_right_values_coalesce_per_value(spark):
+    """Per-VALUE carry: a later right row with a NULL in one value column
+    must not erase an earlier partition's non-null carry for that column."""
+    left = pd.DataFrame({"event_id": [0], "key": [1], "ts": [5000]})
+    right = spark.createDataFrame(
+        [(1, 10, 1.5, 100), (1, 20, None, 200)],
+        schema="key long, rts long, rate_a double, rate_b long",
+    )
+    l = spark.createDataFrame(left)
+    got = asof_join_distributed(
+        l, right, ["key"], left_ts="ts", right_ts="rts",
+        right_vals=["rate_a", "rate_b"], num_partitions=8,
+    ).collect()
+    assert got[0]["rate_a"] == 1.5 and got[0]["rate_b"] == 200
+
+
 def test_asof_distributed_no_single_partition_exchange(spark, frames):
     left, right, _ = frames
     l = spark.createDataFrame(left)

@@ -43,6 +43,14 @@ def test_query_matches_oracle(spark, ddb, name):
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch {got.columns} vs {want.columns}"
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
+        # The driver hashes canonicalized values, so an int64 Spark column
+        # vs a float64 oracle column (e.g. un-cast DuckDB HUGEINT sums)
+        # hash-mismatches even when every value is equal. Reproduce that
+        # strictness here: dtype KIND must agree before values are compared.
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            f"{name}.{c}: dtype-kind mismatch {got[c].dtype} vs {want[c].dtype}"
+            " (would hash-fail in the driver even with equal values)"
+        )
         if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(want[c].dtype, np.floating):
             a = got[c].to_numpy(dtype=np.float64)
             b = want[c].to_numpy(dtype=np.float64)
