@@ -25,3 +25,4 @@ from pyogrio_spark.session import get_spark  # noqa: F401
 from pyogrio_spark.io.dispatch import dataset_layers, detect_format, open_table  # noqa: F401
 from pyogrio_spark.io.reader import read_bounds, read_info, read_table  # noqa: F401
 from pyogrio_spark.io.writer import read_committed, write_table  # noqa: F401
+from pyogrio_spark.cache import release_pins  # noqa: F401

@@ -59,9 +59,22 @@ def normalize_geometry_arrow(
     def fix(arr: "pa.Array") -> "pa.Array":
         mm = pc.min_max(pc.binary_length(arr))
         if mm["min"].as_py() == 21 and mm["max"].as_py() == 21:
-            # uniform 21-byte (2-D point) rows: zero-copy passthrough
-            # (nulls, skipped by min_max, pass through as nulls either way)
-            return arr
+            # uniform 21-byte rows are only 2-D points if the HEADER says
+            # so: a big-endian or truncated/garbage 21-byte value must
+            # fall through to the per-row path so the on_invalid policy
+            # applies (round-2 ADVICE). One vectorized kernel pair —
+            # slice+equal — keeps the check on the fast path; nulls are
+            # skipped (they pass through as nulls either way).
+            hdr_ok = pc.all(
+                pc.equal(
+                    pc.binary_slice(arr, 0, 5),
+                    pa.scalar(W._POINT_LE_2D, type=pa.binary()),
+                ),
+                min_count=0,
+            ).as_py()
+            if hdr_ok:
+                # verified 2-D point batch: zero-copy passthrough
+                return arr
         out = []
         for v in arr:
             b = v.as_py()

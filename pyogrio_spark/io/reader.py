@@ -218,9 +218,15 @@ def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
         # single-partition sort serialized the whole table through one task.
         from pyspark.sql import Window
 
-        # cache pins the pid assignment across the counts job and the
-        # final rank job (spark_partition_id is per-job-evaluated)
-        parts = df.repartitionByRange(*[F.col(c) for c in order]).withColumn("_pid", F.spark_partition_id()).cache()
+        # pin_cache pins the pid assignment across the counts job and the
+        # final rank job (spark_partition_id is per-job-evaluated); the
+        # pin is tracked — pyogrio_spark.cache.release_pins() frees it
+        # once the result is materialized
+        from pyogrio_spark.cache import pin_cache
+
+        parts = pin_cache(
+            df.repartitionByRange(*[F.col(c) for c in order]).withColumn("_pid", F.spark_partition_id())
+        )
         counts = parts.groupBy("_pid").count().collect()  # one row per partition
         counts.sort(key=lambda r: r["_pid"])
         offsets, acc = [], 0

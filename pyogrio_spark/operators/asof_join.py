@@ -85,13 +85,16 @@ def asof_join_distributed(
 
     sort_cols = [*[F.col(c) for c in key_cols], F.col("_ts"), F.col("_src")]
     parts = unioned.repartitionByRange(*([num_partitions] if num_partitions else []), *sort_cols)
-    # cache PINS the partition-id assignment: spark_partition_id() is
+    # pin_cache PINS the partition-id assignment: spark_partition_id() is
     # re-evaluated per job, and the range exchange may re-sample/re-plan
     # between the carry collect and the final fill, silently shifting
     # rows to different pids than their carry rows (measured: ~1% wrong
     # fills without the pin). At storage scale the equivalent is writing
     # the range-partitioned table once and reading it for both passes.
-    parts = parts.withColumn("_pid", F.spark_partition_id()).cache()
+    # Tracked: pyogrio_spark.cache.release_pins() frees it afterwards.
+    from pyogrio_spark.cache import pin_cache
+
+    parts = pin_cache(parts.withColumn("_pid", F.spark_partition_id()))
 
     # per-(partition, key) summary over ALL rows of the key (left rows
     # carry NULL right_vals in the union, so last(ignorenulls) still

@@ -59,10 +59,13 @@ def budget_filter(
     """
     sort_cols = [F.col(group_col), *[F.col(c) for c in order_cols]]
     parts = df.repartitionByRange(*([num_partitions] if num_partitions else []), *sort_cols)
-    # cache pins the pid assignment across the two jobs (the totals
+    # pin_cache pins the pid assignment across the two jobs (the totals
     # collect and the final filter): spark_partition_id() is evaluated
-    # per job and the range exchange may re-plan between them
-    parts = parts.withColumn("_pid", F.spark_partition_id()).cache()
+    # per job and the range exchange may re-plan between them. Tracked:
+    # pyogrio_spark.cache.release_pins() frees it after materialization.
+    from pyogrio_spark.cache import pin_cache
+
+    parts = pin_cache(parts.withColumn("_pid", F.spark_partition_id()))
 
     # per-(partition, group) totals: tiny — one row per partition x group
     totals = parts.groupBy("_pid", group_col).agg(F.sum(value_col).alias("_part_sum")).collect()

@@ -23,7 +23,12 @@ what makes this viable when docs = 10^12 (a naive cross join is 10^12
 Distance: planar Euclidean in degrees (matches the single-node oracle;
 swap in haversine for production geodesy — the loop is metric-agnostic
 as long as the guarantee radius uses a lower bound of the metric).
-No longitude wrap, consistent with the planar metric.
+Longitude wrap: the planar metric enumerates clamped windows (no wrap,
+consistent with unwrapped Euclidean degrees); the haversine metric
+enumerates window columns MODULARLY across the antimeridian, so a
+probe at lon 179.9 explores cells at lon -179.9 in round one and the
+longitude guarantee bound (valid only while some column is unexplored,
+i.e. 2r+1 < n) genuinely lower-bounds the wrapped angular separation.
 """
 
 from __future__ import annotations
@@ -161,14 +166,23 @@ def _knn_rounds(
     probe_key, doc_key, broadcast_cap_rows, metric="planar",
 ):
     cell_w = SPAN_LON / n
+    # haversine wraps at the antimeridian (sin^2(dlon/2) is periodic), so
+    # window columns are enumerated modularly; planar degrees do not wrap.
+    wrap_x = metric == "haversine"
     n_pending = pending.count()
     round_results: list[DataFrame] = []
     for round_i in range(max_rounds):
-        # window cells: clamped (2r+1)^2 square around the probe cell
+        # window cells: (2r+1)^2 square around the probe cell — columns
+        # modular when the metric wraps, clamped otherwise; rows clamped
+        cx = (
+            F.pmod(F.col("_px") + F.col("_dx"), F.lit(n))
+            if wrap_x
+            else F.greatest(F.least(F.col("_px") + F.col("_dx"), F.lit(n - 1)), F.lit(0))
+        )
         cand_cells = (
             pending.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-            .withColumn("_cx", F.greatest(F.least(F.col("_px") + F.col("_dx"), F.lit(n - 1)), F.lit(0)))
+            .withColumn("_cx", cx)
             .withColumn("_cy", F.greatest(F.least(F.col("_py") + F.col("_dy"), F.lit(n - 1)), F.lit(0)))
             .withColumn("_cell", (F.lit(res).cast("long") * F.lit(base)) + F.col("_cx") * n + F.col("_cy"))
             .select(probe_key, "_plon", "_plat", "_cell")
@@ -204,18 +218,27 @@ def _knn_rounds(
         # which the pre-shuffle filter below enforces symmetrically).
         if metric == "haversine":
             # per-probe lower bound (km) on the distance to ANY point in
-            # an unexplored cell: it differs by >= r cells in lat OR lon.
+            # an unexplored cell: it differs by >= r cells in lat OR in
+            # WRAPPED lon (columns are enumerated modularly above, so a
+            # cell across the antimeridian is explored, not unexplored —
+            # the round-2 lon-wrap soundness gap).
             # lat: R * radians(r*cell_h). lon: separation r*cell_w at the
-            # worst |latitude| the window reaches (cos shrinks circles).
-            phimax = F.least(
-                F.greatest(F.abs(F.col("_plat") - r * cell_h), F.abs(F.col("_plat") + r * cell_h)),
-                F.lit(90.0),
-            )
+            # worst |latitude| the window reaches (cos shrinks circles);
+            # only meaningful while some column is unexplored (2r+1 < n,
+            # hence r*cell_w < 180 and the haversine term is monotone).
             lat_bound = EARTH_RADIUS_KM * 3.141592653589793 / 180.0 * (r * cell_h)
-            lon_bound = 2.0 * EARTH_RADIUS_KM * F.asin(
-                F.greatest(F.cos(F.radians(phimax)), F.lit(0.0)) * F.sin(F.radians(F.lit(r * cell_w)) / 2)
-            )
-            guar_col = F.least(F.lit(lat_bound), lon_bound, F.lit(beta))
+            if 2 * r + 1 >= n:
+                # every column explored: unexplored cells differ in lat only
+                guar_col = F.least(F.lit(lat_bound), F.lit(beta))
+            else:
+                phimax = F.least(
+                    F.greatest(F.abs(F.col("_plat") - r * cell_h), F.abs(F.col("_plat") + r * cell_h)),
+                    F.lit(90.0),
+                )
+                lon_bound = 2.0 * EARTH_RADIUS_KM * F.asin(
+                    F.greatest(F.cos(F.radians(phimax)), F.lit(0.0)) * F.sin(F.radians(F.lit(r * cell_w)) / 2)
+                )
+                guar_col = F.least(F.lit(lat_bound), lon_bound, F.lit(beta))
         else:
             guar_col = F.lit(min(r * cell_h, beta))
         # the window is CLAMPED to the grid (no lon wrap), so from an

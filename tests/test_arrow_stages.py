@@ -52,6 +52,36 @@ def test_uniform_point_batch_passes_through_unchanged(spark):
     assert "MapInArrow" in out._jdf.queryExecution().executedPlan().toString()
 
 
+def test_21_byte_non_point_does_not_bypass_policy(spark):
+    """Regression (round-2 ADVICE low): the zero-copy fast path used to
+    trigger on ANY uniformly-21-byte batch; a big-endian point or 21
+    bytes of garbage silently bypassed normalization and on_invalid.
+    The header gate must route such batches to the per-row path."""
+    import struct
+
+    import pytest
+
+    # big-endian 2-D point: valid WKB, but not the little-endian
+    # normalized form — must be rewritten, not passed through
+    be_point = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    assert len(be_point) == 21
+    geoms = [be_point] + [W.encode_point(float(i), 0.0) for i in range(9)]
+    df = _docs_with_spans(spark, geoms)
+    out = normalize_geometry_arrow(df).collect()
+    got = bytes([r for r in out if r.doc_id == 0][0].geometry_wkb)
+    assert got[:5] == W._POINT_LE_2D  # normalized to little-endian
+    assert struct.unpack("<dd", got[5:]) == (3.0, 4.0)
+
+    # 21 bytes of garbage with on_invalid='raise' must raise, not pass
+    bad = b"\x07" * 21
+    df2 = _docs_with_spans(spark, [bad] + geoms[1:])
+    with pytest.raises(Exception):
+        normalize_geometry_arrow(df2, on_invalid="raise").collect()
+    # and with on_invalid='ignore' it nulls out instead
+    out2 = normalize_geometry_arrow(df2, on_invalid="ignore").collect()
+    assert [r for r in out2 if r.doc_id == 0][0].geometry_wkb is None
+
+
 def test_curves_normalize_through_arrow_stage(spark):
     arc = W.encode_circularstrings([-1.0], [0.0], [0.0], [1.0], [1.0], [0.0])[0]
     geoms = [arc, W.encode_point(0.0, 0.0)]

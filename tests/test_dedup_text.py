@@ -170,6 +170,35 @@ def test_connected_components_and_canonical(spark):
     assert kept == [1, 10, 20]  # one per cluster + the untouched singleton
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 120-node path has diameter 119: plain hash-min needs 119 rounds,
+    pointer-jumping converges in O(log) — must be exact within 15."""
+    from pyogrio_spark.operators.dedup import connected_components
+
+    n = 120
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)}),
+        schema="doc_a long, doc_b long",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges, max_iters=15).collect()}
+    assert comps == {i: 0 for i in range(n)}
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    import warnings
+
+    from pyogrio_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(59), "doc_b": range(1, 60)}),
+        schema="doc_a long, doc_b long",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iters=1).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+
+
 def test_winnow_token_unit(spark):
     from pyogrio_spark.operators.dedup import winnow_fingerprints
 

@@ -109,6 +109,33 @@ def test_knn_haversine_matches_bruteforce(spark, docs_pd, probes_pd):
             assert abs(row.dist - dd[row.doc_id]) < 1e-9
 
 
+def test_knn_haversine_dateline_wraps(spark):
+    """Regression (round-2 ADVICE medium): the haversine window must wrap
+    at the antimeridian. Setup at res=7 (cell_w=2.8125deg), probe at lon
+    179.9, initial_ring=4: a decoy at 589 km sits INSIDE the r=4
+    guarantee (min(lat 625 km, lon 1243 km)), so a clamped window would
+    declare the probe satisfied with the decoy while the true nearest
+    neighbor (22 km away, across the dateline in column 0) was never
+    explored. Modular column enumeration finds it in round one."""
+    from pyogrio_spark.index.grid import cell_of
+
+    probes = spark.createDataFrame(
+        [("dateline", 179.9, 0.0)], schema="probe_id string, lon double, lat double"
+    )
+    pts = pd.DataFrame(
+        {
+            "doc_id": ["near_across_dateline", "decoy_in_window"],
+            "xmin": [-179.9, 174.6],
+            "ymin": [0.0, 0.0],
+        }
+    )
+    pts["cell_id"] = cell_of(pts.xmin.to_numpy(), pts.ymin.to_numpy(), 7)
+    docs = spark.createDataFrame(pts, schema="doc_id string, xmin double, ymin double, cell_id long")
+    got = knn_join(probes, docs, k=1, res=7, initial_ring=4, metric="haversine").toPandas()
+    assert got.doc_id.tolist() == ["near_across_dateline"]
+    assert abs(got.dist.iloc[0] - _haversine_np(179.9, 0.0, -179.9, 0.0)) < 1e-9
+
+
 def test_knn_haversine_polar_probe_exact(spark, docs_pd):
     # near the pole the longitude guarantee collapses; the loop must
     # still terminate with the exact answer (full-grid fallback)
