@@ -13,21 +13,75 @@ from __future__ import annotations
 
 import os
 
+# extracted-archive cache: one temp dir per (path, mtime) so repeated
+# opens of the same archive don't re-extract
+_ZIP_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _unzip_member(path: str, want_exts: tuple[str, ...]) -> str:
+    """Extract a zipped dataset (reference: .shp.zip/.shz/.gpkg.zip and
+    the /vsizip/ chain, /root/reference/pyogrio/util.py:94-175) into a
+    temp dir and return the single member matching ``want_exts``.
+    zipfile's extract sanitizes member names (no zip-slip)."""
+    import tempfile
+    import zipfile
+
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    root = _ZIP_CACHE.get(key)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="pyogrio_spark_zip_")
+        with zipfile.ZipFile(path) as z:
+            z.extractall(root)
+        _ZIP_CACHE[key] = root
+    hits = []
+    for dirpath, _, files in os.walk(root):
+        hits.extend(
+            os.path.join(dirpath, f) for f in files if f.lower().endswith(want_exts)
+        )
+    if len(hits) != 1:
+        raise ValueError(
+            f"{path}: expected exactly one {'/'.join(want_exts)} member, found {len(hits)}"
+        )
+    return hits[0]
+
+
+def resolve_archive(path: str) -> str:
+    """Zip-archive dataset variants -> path of the extracted dataset;
+    non-archive paths pass through unchanged."""
+    low = str(path).lower()
+    if low.endswith((".shp.zip", ".shz")):
+        return _unzip_member(str(path), (".shp",))
+    if low.endswith(".gpkg.zip"):
+        return _unzip_member(str(path), (".gpkg",))
+    if low.endswith(".zip"):
+        return _unzip_member(str(path), (".shp", ".gpkg", ".geojson", ".fgb"))
+    return str(path)
+
 
 def detect_format(path: str) -> str:
     low = str(path).lower()
+    if low.endswith((".shp.zip", ".shz", ".zip")):
+        return detect_format(resolve_archive(path))
     if low.endswith(".shp"):
         return "shapefile"
-    if low.endswith((".gpkg", ".gpkg.zip")):
+    if low.endswith(".gpkg"):
         return "geopackage"
     if low.endswith((".geojson", ".geojsonl", ".geojsons", ".json")):
         return "geojson"
+    if low.endswith(".fgb"):
+        return "flatgeobuf"
     return "table"  # parquet directory or committed snapshot table
 
 
 def open_table(spark, path, layer: str | None = None, **read_table_kwargs):
-    """Any supported source -> engine DataFrame with read_table filters."""
-    fmt = detect_format(path) if isinstance(path, (str, os.PathLike)) else "table"
+    """Any supported source -> engine DataFrame with read_table filters.
+    Zip-archive variants (.shp.zip/.shz/.gpkg.zip/.zip) extract to a
+    cached temp dir first."""
+    if isinstance(path, (str, os.PathLike)):
+        path = resolve_archive(str(path))
+        fmt = detect_format(path)
+    else:
+        fmt = "table"
     if fmt == "shapefile":
         from pyogrio_spark.io.shapefile import read_shapefile
 
@@ -40,6 +94,10 @@ def open_table(spark, path, layer: str | None = None, **read_table_kwargs):
         from pyogrio_spark.io.geojson import read_geojson
 
         return read_geojson(spark, str(path), **read_table_kwargs)
+    if fmt == "flatgeobuf":
+        from pyogrio_spark.io.flatgeobuf import read_flatgeobuf
+
+        return read_flatgeobuf(spark, str(path), **read_table_kwargs)
     from pyogrio_spark.io.reader import read_table
 
     return read_table(spark, path, **read_table_kwargs)
@@ -47,6 +105,7 @@ def open_table(spark, path, layer: str | None = None, **read_table_kwargs):
 
 def dataset_layers(path: str) -> list[list[str]]:
     """[[layer_name, geometry_type], ...] for file-based sources."""
+    path = resolve_archive(path)
     fmt = detect_format(path)
     if fmt == "geopackage":
         from pyogrio_spark.io.geopackage import list_layers as gpkg_layers
@@ -57,6 +116,10 @@ def dataset_layers(path: str) -> list[list[str]]:
 
         _, info = read_shapefile_pdf(path)
         return [[info["layer_name"], info["geometry_type"]]]
+    if fmt == "flatgeobuf":
+        from pyogrio_spark.io.flatgeobuf import list_layers as fgb_layers
+
+        return fgb_layers(path)
     if fmt == "geojson":
         from pyogrio_spark.geometry import wkb as W
         from pyogrio_spark.io.geojson import read_geojson_pdf

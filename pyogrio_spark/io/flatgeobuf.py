@@ -1,0 +1,440 @@
+"""FlatGeobuf source + sink, written from the public spec
+(https://flatgeobuf.org, https://github.com/flatgeobuf/flatgeobuf —
+Header.fbs / Feature.fbs), on the in-repo minimal FlatBuffers codec.
+
+Reference parity anchor: pyogrio treats ``.fgb`` as a first-class
+driver — /root/reference/pyogrio/tests/conftest.py:26-41 regenerates
+every fixture into FlatGeobuf and runs the full read/write matrix over
+it; docs/source/supported_formats.md lists it in the supported-formats
+table. This engine path gives the same surface without GDAL.
+
+File layout: 8 magic bytes ``fgb\\x03fgb\\x01``, a size-prefixed Header
+flatbuffer, an optional packed Hilbert R-tree index, then size-prefixed
+Feature flatbuffers. The writer emits ``index_node_size=0`` (no index —
+features keep input order, which is what byte-fidelity round trips
+want); the reader skips any index via the packed-R-tree size formula.
+
+Geometry: FlatGeobuf's type enum equals the WKB base-type codes, and
+coordinates live in a flat ``xy`` vector with ring/part ``ends``
+(MultiPolygon/GeometryCollection nest via ``parts``). Conversion to and
+from the engine's WKB ``Geom`` is loss-free for 2-D and Z geometries.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+
+from pyogrio_spark.geometry import wkb as W
+from pyogrio_spark.io.flatbuf import Builder, Table
+
+MAGIC = b"fgb\x03fgb\x01"
+
+# GeometryType enum — identical to WKB base-type codes (public spec)
+GEOM_NAME_TO_CODE = {
+    "Unknown": 0, "Point": 1, "LineString": 2, "Polygon": 3, "MultiPoint": 4,
+    "MultiLineString": 5, "MultiPolygon": 6, "GeometryCollection": 7,
+}
+GEOM_CODE_TO_NAME = {v: k for k, v in GEOM_NAME_TO_CODE.items()}
+
+# ColumnType enum (Header.fbs declaration order)
+COL_BYTE, COL_UBYTE, COL_BOOL, COL_SHORT, COL_USHORT, COL_INT, COL_UINT = range(7)
+COL_LONG, COL_ULONG, COL_FLOAT, COL_DOUBLE, COL_STRING, COL_JSON = range(7, 13)
+COL_DATETIME, COL_BINARY = 13, 14
+
+_SCALAR_COL_FMT = {
+    COL_BYTE: "<b", COL_UBYTE: "<B", COL_BOOL: "<B", COL_SHORT: "<h",
+    COL_USHORT: "<H", COL_INT: "<i", COL_UINT: "<I", COL_LONG: "<q",
+    COL_ULONG: "<Q", COL_FLOAT: "<f", COL_DOUBLE: "<d",
+}
+
+
+def packed_rtree_size(num_items: int, node_size: int) -> int:
+    """Byte size of the static packed Hilbert R-tree (40-byte nodes:
+    4 doubles + uint64 feature offset) — used only to SKIP it."""
+    node_size = max(2, min(int(node_size), 65535))
+    n = num_items
+    num_nodes = n
+    while n != 1:
+        n = (n + node_size - 1) // node_size
+        num_nodes += n
+    return num_nodes * 40
+
+
+# ------------------------------------------------------------ geometry
+
+
+def _flat_xy(coords: np.ndarray) -> tuple[bytes, bytes | None, int]:
+    """(n, 2|3) array -> (packed xy bytes, packed z bytes | None, n)."""
+    a = np.asarray(coords, dtype="<f8")
+    if a.ndim == 1:
+        a = a.reshape(1, -1)
+    xy = np.ascontiguousarray(a[:, :2]).tobytes()
+    z = np.ascontiguousarray(a[:, 2]).tobytes() if a.shape[1] > 2 else None
+    return xy, z, len(a)
+
+
+def _build_geometry(b: Builder, g: "W.Geom", write_type: bool = True) -> int:
+    """Geom -> FlatGeobuf Geometry table (slots: ends=0 xy=1 z=2 m=3
+    t=4 tm=5 type=6 parts=7)."""
+    code = GEOM_NAME_TO_CODE[g.type]
+    ends_off = xy_off = z_off = parts_off = None
+    if g.type == "Point":
+        xy, z, _ = _flat_xy(g.coords)
+        xy_off = b.create_scalar_vector(xy, 2, 8)
+        if z:
+            z_off = b.create_scalar_vector(z, 1, 8)
+    elif g.type == "LineString":
+        xy, z, n = _flat_xy(g.coords)
+        xy_off = b.create_scalar_vector(xy, 2 * n, 8)
+        if z:
+            z_off = b.create_scalar_vector(z, n, 8)
+    elif g.type == "Polygon":
+        rings = [np.asarray(r, dtype="<f8") for r in g.coords]
+        cat = np.concatenate(rings, axis=0)
+        xy, z, n = _flat_xy(cat)
+        xy_off = b.create_scalar_vector(xy, 2 * n, 8)
+        if z:
+            z_off = b.create_scalar_vector(z, n, 8)
+        if len(rings) > 1:
+            ends = np.cumsum([len(r) for r in rings]).astype("<u4")
+            ends_off = b.create_scalar_vector(ends.tobytes(), len(ends), 4)
+    elif g.type == "MultiPoint":
+        pts = np.array([p.coords for p in g.coords], dtype="<f8")
+        xy, z, n = _flat_xy(pts)
+        xy_off = b.create_scalar_vector(xy, 2 * n, 8)
+        if z:
+            z_off = b.create_scalar_vector(z, n, 8)
+    elif g.type == "MultiLineString":
+        lines = [np.asarray(p.coords, dtype="<f8") for p in g.coords]
+        cat = np.concatenate(lines, axis=0)
+        xy, z, n = _flat_xy(cat)
+        xy_off = b.create_scalar_vector(xy, 2 * n, 8)
+        if z:
+            z_off = b.create_scalar_vector(z, n, 8)
+        if len(lines) > 1:
+            ends = np.cumsum([len(p) for p in lines]).astype("<u4")
+            ends_off = b.create_scalar_vector(ends.tobytes(), len(ends), 4)
+    elif g.type in ("MultiPolygon", "GeometryCollection"):
+        parts = [_build_geometry(b, p, write_type=True) for p in g.coords]
+        parts_off = b.create_offset_vector(parts)
+    else:  # pragma: no cover
+        raise ValueError(f"cannot write geometry type {g.type} to FlatGeobuf")
+    b.start_table()
+    b.add_offset(0, ends_off)
+    b.add_offset(1, xy_off)
+    b.add_offset(2, z_off)
+    if write_type:
+        b.add_scalar(6, "<B", code, 0)
+    b.add_offset(7, parts_off)
+    return b.end_table()
+
+
+def _read_coords(t: Table) -> np.ndarray:
+    start, n2 = t.vector(1)  # xy
+    xy = np.frombuffer(t.buf, dtype="<f8", count=n2, offset=start).reshape(-1, 2)
+    zs, nz = t.vector(2)
+    if nz:
+        z = np.frombuffer(t.buf, dtype="<f8", count=nz, offset=zs)
+        return np.column_stack([xy, z])
+    return np.array(xy)  # copy out of the file buffer
+
+
+def _split_ends(t: Table, coords: np.ndarray) -> list[np.ndarray]:
+    ends = t.scalar_vector(0, "I")
+    if not ends:
+        return [coords]
+    out, prev = [], 0
+    for e in ends:
+        out.append(coords[prev:e])
+        prev = e
+    return out
+
+
+def _parse_geometry(t: Table, type_code: int) -> "W.Geom":
+    code = t.scalar(6, "<B", 0) or type_code
+    name = GEOM_CODE_TO_NAME.get(code)
+    if name == "Point":
+        c = _read_coords(t)
+        return W.Geom("Point", c[0], c.shape[1] > 2)
+    if name == "LineString":
+        c = _read_coords(t)
+        return W.Geom("LineString", c, c.shape[1] > 2)
+    if name == "Polygon":
+        c = _read_coords(t)
+        return W.Geom("Polygon", _split_ends(t, c), c.shape[1] > 2)
+    if name == "MultiPoint":
+        c = _read_coords(t)
+        has_z = c.shape[1] > 2
+        return W.Geom("MultiPoint", [W.Geom("Point", p, has_z) for p in c], has_z)
+    if name == "MultiLineString":
+        c = _read_coords(t)
+        has_z = c.shape[1] > 2
+        parts = [W.Geom("LineString", p, has_z) for p in _split_ends(t, c)]
+        return W.Geom("MultiLineString", parts, has_z)
+    if name == "MultiPolygon":
+        parts = t.table_vector(7)
+        if parts:
+            polys = [_parse_geometry(p, GEOM_NAME_TO_CODE["Polygon"]) for p in parts]
+        else:  # single-polygon shorthand some writers emit
+            c = _read_coords(t)
+            polys = [W.Geom("Polygon", _split_ends(t, c), c.shape[1] > 2)]
+        return W.Geom("MultiPolygon", polys, any(p.has_z for p in polys))
+    if name == "GeometryCollection":
+        parts = [_parse_geometry(p, 0) for p in t.table_vector(7)]
+        return W.Geom("GeometryCollection", parts, any(p.has_z for p in parts))
+    raise ValueError(f"unsupported FlatGeobuf geometry type code {code}")
+
+
+# ----------------------------------------------------------- properties
+
+
+def _column_spec(pdf: pd.DataFrame, cols: list[str]) -> list[tuple[str, int]]:
+    spec = []
+    for c in cols:
+        dt = pdf[c].dtype
+        if dt == np.int64:
+            spec.append((c, COL_LONG))
+        elif dt == np.int32:
+            spec.append((c, COL_INT))
+        elif dt == np.float64:
+            spec.append((c, COL_DOUBLE))
+        elif dt == np.float32:
+            spec.append((c, COL_FLOAT))
+        elif dt == bool:
+            spec.append((c, COL_BOOL))
+        elif str(dt).startswith("datetime64"):
+            spec.append((c, COL_DATETIME))
+        else:
+            sample = next((v for v in pdf[c] if v is not None and not pd.isna(v)), None)
+            spec.append((c, COL_BINARY if isinstance(sample, (bytes, bytearray)) else COL_STRING))
+    return spec
+
+
+def _encode_properties(row, spec: list[tuple[str, int]]) -> bytes:
+    out = bytearray()
+    for i, (name, ctype) in enumerate(spec):
+        v = row[name]
+        if v is None or (np.isscalar(v) and pd.isna(v)):
+            continue  # nullable column omitted = null
+        out += struct.pack("<H", i)
+        if ctype in _SCALAR_COL_FMT:
+            out += struct.pack(_SCALAR_COL_FMT[ctype], bool(v) if ctype == COL_BOOL else v)
+        elif ctype == COL_BINARY:
+            bv = bytes(v)
+            out += struct.pack("<I", len(bv)) + bv
+        else:  # String / Json / DateTime — length-prefixed UTF-8
+            s = pd.Timestamp(v).isoformat() if ctype == COL_DATETIME else str(v)
+            bv = s.encode("utf-8")
+            out += struct.pack("<I", len(bv)) + bv
+    return bytes(out)
+
+
+def _decode_properties(buf, spec: list[tuple[str, int]]) -> dict:
+    vals: dict = {}
+    off, end = 0, len(buf)
+    while off + 2 <= end:
+        (i,) = struct.unpack_from("<H", buf, off)
+        off += 2
+        name, ctype = spec[i]
+        if ctype in _SCALAR_COL_FMT:
+            fmt = _SCALAR_COL_FMT[ctype]
+            (v,) = struct.unpack_from(fmt, buf, off)
+            off += struct.calcsize(fmt)
+            vals[name] = bool(v) if ctype == COL_BOOL else v
+        else:
+            (ln,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            raw = bytes(buf[off : off + ln])
+            off += ln
+            vals[name] = raw if ctype == COL_BINARY else raw.decode("utf-8")
+    return vals
+
+
+# ----------------------------------------------------------------- write
+
+
+def write_flatgeobuf(
+    pdf: pd.DataFrame,
+    path: str,
+    geom_col: str = "geometry_wkb",
+    layer_name: str | None = None,
+    crs_wkt: str | None = None,
+) -> None:
+    """Write a FlatGeobuf file from a frame with a WKB geometry column.
+    No spatial index is written (index_node_size=0), so features keep
+    their input order and round-trip byte-identically through
+    ``read_flatgeobuf_pdf``."""
+    attr_cols = [c for c in pdf.columns if c != geom_col]
+    spec = _column_spec(pdf, attr_cols)
+    geoms = [None if b is None else W.parse_wkb(bytes(b)) for b in pdf[geom_col]]
+
+    types = {g.type for g in geoms if g is not None}
+    if len(types) == 1:
+        layer_code = GEOM_NAME_TO_CODE[next(iter(types))]
+    elif types <= {"Polygon", "MultiPolygon"} and types:
+        layer_code = GEOM_NAME_TO_CODE["MultiPolygon"]
+    else:
+        layer_code = 0  # Unknown: per-feature geometry types carry it
+    has_z = any(g.has_z for g in geoms if g is not None)
+
+    env = [np.inf, np.inf, -np.inf, -np.inf]
+    for g in geoms:
+        if g is None:
+            continue
+        x0, y0, x1, y1 = W._geom_bounds(g)
+        env = [min(env[0], x0), min(env[1], y0), max(env[2], x1), max(env[3], y1)]
+    if not np.isfinite(env[0]):
+        env = [0.0, 0.0, 0.0, 0.0]
+
+    # header (slots: name=0 envelope=1 geometry_type=2 has_z=3 ... columns=7
+    # features_count=8 index_node_size=9 crs=10)
+    hb = Builder()
+    col_offs = []
+    for name, ctype in spec:
+        n_off = hb.create_string(name)
+        hb.start_table()
+        hb.add_offset(0, n_off)
+        hb.add_scalar(1, "<B", ctype, 0)
+        # width/precision/scale keep their -1 defaults; nullable default true
+        col_offs.append(hb.end_table())
+    cols_off = hb.create_offset_vector(col_offs) if col_offs else None
+    crs_off = None
+    if crs_wkt is not None:
+        wkt_off = hb.create_string(crs_wkt)
+        hb.start_table()
+        hb.add_offset(4, wkt_off)
+        crs_off = hb.end_table()
+    name_off = hb.create_string(layer_name or os.path.splitext(os.path.basename(path))[0])
+    env_off = hb.create_scalar_vector(struct.pack("<4d", *env), 4, 8)
+    hb.start_table()
+    hb.add_offset(0, name_off)
+    hb.add_offset(1, env_off)
+    hb.add_scalar(2, "<B", layer_code, 0)
+    hb.add_scalar(3, "<B", 1 if has_z else 0, 0)
+    hb.add_offset(7, cols_off)
+    hb.add_scalar(8, "<Q", len(pdf), 0)
+    hb.add_scalar(9, "<H", 0, 16)  # NO index (default is 16 — must write 0)
+    hb.add_offset(10, crs_off)
+    header = hb.finish(hb.end_table(), size_prefixed=True)
+
+    rows = pdf[attr_cols].to_dict("records") if attr_cols else [{}] * len(pdf)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(header)
+        for g, row in zip(geoms, rows):
+            fb = Builder()
+            geom_off = None if g is None else _build_geometry(fb, g)
+            props = _encode_properties(row, spec)
+            props_off = fb.create_scalar_vector(props, len(props), 1) if props else None
+            fb.start_table()
+            fb.add_offset(0, geom_off)
+            fb.add_offset(1, props_off)
+            f.write(fb.finish(fb.end_table(), size_prefixed=True))
+
+
+# ------------------------------------------------------------------ read
+
+
+def read_flatgeobuf_pdf(path: str) -> tuple[pd.DataFrame, dict]:
+    """Parse a FlatGeobuf file into (pandas frame with fid/attrs/
+    geometry_wkb, info dict mirroring read_info)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:3] != b"fgb" or data[3] != 3 or data[4:7] != b"fgb":
+        raise ValueError(f"{path}: not a FlatGeobuf file (bad magic)")
+    off = 8
+    (hsize,) = struct.unpack_from("<I", data, off)
+    header = Table.root(data, off + 4)
+    off += 4 + hsize
+
+    layer_name = header.string(0) or os.path.splitext(os.path.basename(path))[0]
+    envelope = header.scalar_vector(1, "d")
+    layer_code = header.scalar(2, "<B", 0)
+    features_count = header.scalar(8, "<Q", 0)
+    index_node_size = header.scalar(9, "<H", 16)
+    spec = [(c.string(0), c.scalar(1, "<B", 0)) for c in header.table_vector(7)]
+    crs_t = header._indirect(10)
+    crs = Table(data, crs_t).string(4) if crs_t is not None else None
+
+    if index_node_size > 0 and features_count > 0:
+        off += packed_rtree_size(features_count, index_node_size)
+
+    fids, geoms, prop_rows = [], [], []
+    fid = 0
+    while off + 4 <= len(data):
+        (fsize,) = struct.unpack_from("<I", data, off)
+        feat = Table.root(data, off + 4)
+        off += 4 + fsize
+        gt = feat._indirect(0)
+        if gt is None:
+            geoms.append(None)
+        else:
+            g = _parse_geometry(Table(data, gt), layer_code)
+            geoms.append(W.encode_geom(g))
+        ps, pn = feat.vector(1)
+        prop_rows.append(_decode_properties(data[ps : ps + pn], spec) if pn else {})
+        fids.append(fid)
+        fid += 1
+
+    pdf = pd.DataFrame({"fid": np.array(fids, dtype=np.int64)})
+    for name, ctype in spec:
+        vals = [r.get(name) for r in prop_rows]
+        if ctype in (COL_LONG, COL_INT, COL_SHORT, COL_BYTE, COL_UBYTE, COL_USHORT,
+                     COL_UINT, COL_ULONG) and all(v is not None for v in vals):
+            pdf[name] = np.array(vals, dtype=np.int64)
+        elif ctype in (COL_DOUBLE, COL_FLOAT):
+            pdf[name] = np.array([np.nan if v is None else v for v in vals], dtype=np.float64)
+        elif ctype == COL_BOOL and all(v is not None for v in vals):
+            pdf[name] = np.array(vals, dtype=bool)
+        else:
+            pdf[name] = vals
+    pdf["geometry_wkb"] = geoms
+
+    seen = {W.geom_type_name(b) for b in geoms if b is not None}
+    gtype = GEOM_CODE_TO_NAME.get(layer_code, "Unknown")
+    if gtype == "Unknown" and len(seen) == 1:
+        gtype = next(iter(seen))
+    info = {
+        "layer_name": layer_name,
+        "features": len(geoms),
+        "fields": [s[0] for s in spec],
+        "dtypes": [str(pdf[s[0]].dtype) for s in spec],
+        "total_bounds": tuple(envelope) if envelope else None,
+        "geometry_type": gtype,
+        "crs": crs,
+        "encoding": "UTF-8",
+    }
+    return pdf, info
+
+
+def read_flatgeobuf(spark, path: str, **read_table_kwargs):
+    """FlatGeobuf -> engine DataFrame (fid, attributes, geometry_wkb),
+    composable with every read_table filter (where/bbox/mask/columns...).
+    Driver-side parse, like the other interchange format drivers —
+    corpus-scale data lives in parquet/committed tables."""
+    from pyogrio_spark.io.reader import read_table
+
+    pdf, _ = read_flatgeobuf_pdf(path)
+    fields = []
+    for c in pdf.columns:
+        if c == "geometry_wkb":
+            fields.append(f"`{c}` binary")
+        elif pdf[c].dtype == np.int64:
+            fields.append(f"`{c}` bigint")
+        elif pdf[c].dtype == np.float64:
+            fields.append(f"`{c}` double")
+        elif pdf[c].dtype == bool:
+            fields.append(f"`{c}` boolean")
+        else:
+            fields.append(f"`{c}` string")
+    df = spark.createDataFrame(pdf, schema=", ".join(fields))
+    return read_table(spark, df, **read_table_kwargs)
+
+
+def list_layers(path: str) -> list[list[str]]:
+    _, info = read_flatgeobuf_pdf(path)
+    return [[info["layer_name"], info["geometry_type"]]]

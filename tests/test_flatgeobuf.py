@@ -1,0 +1,165 @@
+"""FlatGeobuf driver: naturalearth golden parity (through the shapefile
+source, since the reference regenerates .fgb fixtures with GDAL at test
+time — /root/reference/pyogrio/tests/conftest.py:26-41), byte-identical
+WKB round trips over the full geometry-type matrix, null handling,
+index skipping, and dispatch integration."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyogrio_spark.geometry import wkb as W
+from pyogrio_spark.io.flatgeobuf import (
+    MAGIC,
+    packed_rtree_size,
+    read_flatgeobuf,
+    read_flatgeobuf_pdf,
+    write_flatgeobuf,
+)
+from pyogrio_spark.io.shapefile import read_shapefile_pdf
+
+NE = "/root/reference/pyogrio/tests/fixtures/naturalearth_lowres/naturalearth_lowres.shp"
+
+
+@pytest.fixture(scope="module")
+def ne_fgb(tmp_path_factory):
+    pdf, info = read_shapefile_pdf(NE)
+    out = str(tmp_path_factory.mktemp("fgb") / "naturalearth_lowres.fgb")
+    write_flatgeobuf(pdf.drop(columns=["fid"]), out, crs_wkt="EPSG:4326")
+    return pdf, info, out
+
+
+def test_naturalearth_golden_roundtrip(ne_fgb):
+    pdf, info, out = ne_fgb
+    back, info2 = read_flatgeobuf_pdf(out)
+    assert info2["features"] == 177
+    assert info2["fields"] == ["pop_est", "continent", "name", "iso_a3", "gdp_md_est"]
+    assert info2["geometry_type"] == "MultiPolygon"
+    assert np.allclose(info2["total_bounds"], info["total_bounds"])
+    assert info2["crs"] == "EPSG:4326"
+    a = [bytes(b) for b in pdf.geometry_wkb]
+    b = [bytes(b) for b in back.geometry_wkb]
+    assert a == b, "WKB round trip must be byte-identical"
+    assert back.pop_est.tolist() == pdf.pop_est.tolist()
+    assert back["name"].tolist() == pdf["name"].tolist()
+    assert np.allclose(back.gdp_md_est, pdf.gdp_md_est)
+    fiji = back[back.name == "Fiji"].iloc[0]
+    assert fiji.continent == "Oceania" and fiji.iso_a3 == "FJI" and fiji.pop_est == 920938
+
+
+def test_geometry_type_matrix_roundtrip(tmp_path):
+    outer = np.array([(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (0.0, 0.0)])
+    hole = np.array([(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)])
+    geoms = [
+        W.encode_point(1.5, -2.5),
+        W.encode_point(1.0, 2.0, 3.0),  # Z point
+        W.encode_linestring(np.array([(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)])),
+        W.encode_polygon([outer, hole]),
+        W.encode_multipoint([(0.0, 0.0), (5.0, 5.0)]),
+        W.encode_multilinestring(
+            [np.array([(0.0, 0.0), (1.0, 0.0)]), np.array([(2.0, 2.0), (3.0, 3.0), (4.0, 2.0)])]
+        ),
+        W.encode_multipolygon([[outer, hole], [outer + 20.0]]),
+        W.encode_collection([W.encode_point(9.0, 9.0), W.encode_linestring(outer[:3])]),
+        None,  # null geometry row
+    ]
+    pdf = pd.DataFrame({"geometry_wkb": geoms, "tag": [f"g{i}" for i in range(len(geoms))]})
+    p = str(tmp_path / "matrix.fgb")
+    write_flatgeobuf(pdf, p)
+    back, info = read_flatgeobuf_pdf(p)
+    assert info["geometry_type"] == "Unknown"  # heterogeneous layer
+    got = [None if b is None else bytes(b) for b in back.geometry_wkb]
+    assert got == geoms
+    assert back.tag.tolist() == pdf.tag.tolist()
+
+
+def test_property_types_and_nulls(tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "geometry_wkb": [W.encode_point(float(i), 0.0) for i in range(4)],
+            "i": np.array([1, 2, 3, 4], dtype=np.int64),
+            "d": [1.5, np.nan, 2.5, -0.25],
+            "s": ["a", None, "é-utf8", ""],
+            "b": [True, False, True, False],
+            "raw": [b"\x00\x01", b"", None, b"xyz"],
+        }
+    )
+    p = str(tmp_path / "props.fgb")
+    write_flatgeobuf(pdf, p)
+    back, info = read_flatgeobuf_pdf(p)
+    assert back.i.tolist() == [1, 2, 3, 4] and back.i.dtype == np.int64
+    assert np.isnan(back.d[1]) and np.allclose(back.d[[0, 2, 3]], [1.5, 2.5, -0.25])
+    assert back.s.tolist() == ["a", None, "é-utf8", ""]
+    assert back.b.tolist() == [True, False, True, False]
+    assert back.raw.tolist() == [b"\x00\x01", b"", None, b"xyz"]
+    assert info["fields"] == ["i", "d", "s", "b", "raw"]
+
+
+def test_reader_skips_spatial_index(tmp_path):
+    """Files written by other implementations carry a packed Hilbert
+    R-tree between header and features; the reader must skip it."""
+    pdf = pd.DataFrame(
+        {"geometry_wkb": [W.encode_point(1.0, 2.0), W.encode_point(3.0, 4.0)], "n": np.array([7, 8], dtype=np.int64)}
+    )
+    plain = str(tmp_path / "plain.fgb")
+    write_flatgeobuf(pdf, plain)
+    raw = open(plain, "rb").read()
+    # splice: rebuild the header with index_node_size=16 and insert a
+    # zeroed index of the exact size the formula dictates
+    (hsize,) = struct.unpack_from("<I", raw, 8)
+    features = raw[8 + 4 + hsize :]
+    from pyogrio_spark.io.flatbuf import Builder
+
+    hb = Builder()
+    n_off = hb.create_string("n")
+    hb.start_table()
+    hb.add_offset(0, n_off)
+    hb.add_scalar(1, "<B", 7, 0)  # Long
+    col = hb.end_table()
+    cols = hb.create_offset_vector([col])
+    name = hb.create_string("plain")
+    hb.start_table()
+    hb.add_offset(0, name)
+    hb.add_scalar(2, "<B", 1, 0)  # Point
+    hb.add_offset(7, cols)
+    hb.add_scalar(8, "<Q", 2, 0)
+    hb.add_scalar(9, "<H", 16, 16)  # default → omitted → reader sees 16
+    header = hb.finish(hb.end_table(), size_prefixed=True)
+    indexed = str(tmp_path / "indexed.fgb")
+    with open(indexed, "wb") as f:
+        f.write(MAGIC + header + b"\x00" * packed_rtree_size(2, 16) + features)
+    back, info = read_flatgeobuf_pdf(indexed)
+    assert len(back) == 2 and back.n.tolist() == [7, 8]
+    assert [bytes(b) for b in back.geometry_wkb] == list(pdf.geometry_wkb)
+
+
+def test_packed_rtree_size_formula():
+    # leaf-only tree: 2 items + 1 root node = 3 nodes x 40 bytes
+    assert packed_rtree_size(2, 16) == 120
+    # two levels: 17 leaves -> 2 inner -> 1 root = 20 nodes
+    assert packed_rtree_size(17, 16) == 800
+
+
+def test_bad_magic_raises(tmp_path):
+    p = str(tmp_path / "bad.fgb")
+    with open(p, "wb") as f:
+        f.write(b"notfgb\x00\x00rest")
+    with pytest.raises(ValueError, match="magic"):
+        read_flatgeobuf_pdf(p)
+
+
+def test_dispatch_and_spark_filters(spark, ne_fgb):
+    from pyogrio_spark.io.dispatch import dataset_layers, detect_format, open_table
+
+    _, _, out = ne_fgb
+    assert detect_format(out) == "flatgeobuf"
+    assert dataset_layers(out) == [["naturalearth_lowres", "MultiPolygon"]]
+    df = open_table(spark, out, where="continent = 'Africa'", columns=["name", "pop_est"])
+    rows = df.collect()
+    assert 0 < len(rows) < 177
+    assert set(df.columns) == {"name", "pop_est", "geometry_wkb"}
+    eu = read_flatgeobuf(spark, out, bbox=(-10.0, 36.0, 20.0, 60.0))
+    names = {r["name"] for r in eu.select("name").collect()}
+    assert {"France", "Spain", "Germany"} <= names and "Brazil" not in names
