@@ -19,7 +19,10 @@ conventions are interior-equivalent on all checked data; the bbox
 filter path (``batch_intersects_box``) and edge-vs-edge crossing
 (``segs_intersect_segs``, touch counts) ARE boundary-inclusive like
 GEOS. Callers needing GEOS-exact boundary semantics on the PIP path
-should buffer inputs or treat on-edge points explicitly.
+pass ``include_boundary=True`` (points_in_ring / points_in_polygon /
+contains_points): an exact on-segment test (zero cross product inside
+the segment bbox) is OR-ed with the ray-cast parity, which matches GEOS
+``intersects`` for points lying exactly on edges or vertices.
 """
 
 from __future__ import annotations
@@ -29,18 +32,42 @@ import numpy as np
 from pyogrio_spark.geometry.wkb import Geom, parse_wkb
 
 
-def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Even-odd ray cast of many points against one ring. O(|pts|*|edges|)
-    in numpy; rings here are small (fixture zones), points are the batch."""
+def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Exact on-boundary test: point collinear with an edge (zero cross
+    product) AND inside the edge's bbox. Float-exact for points that lie
+    exactly on edges/vertices — the cases GEOS ``intersects`` includes
+    and the half-open ray cast excludes."""
     x0, y0 = ring[:-1, 0], ring[:-1, 1]
     x1, y1 = ring[1:, 0], ring[1:, 1]
-    px = px[:, None]
-    py = py[:, None]
-    cond = (y0 > py) != (y1 > py)
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    collinear = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0) == 0.0
+    inbox = (
+        (px >= np.minimum(x0, x1)) & (px <= np.maximum(x0, x1))
+        & (py >= np.minimum(y0, y1)) & (py <= np.maximum(y0, y1))
+    )
+    return (collinear & inbox).any(axis=1)
+
+
+def points_in_ring(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray, include_boundary: bool = False
+) -> np.ndarray:
+    """Even-odd ray cast of many points against one ring. O(|pts|*|edges|)
+    in numpy; rings here are small (fixture zones), points are the batch.
+    ``include_boundary=True`` additionally accepts points exactly ON the
+    ring (GEOS ``intersects`` semantics)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    pxc = np.asarray(px, dtype=np.float64)[:, None]
+    pyc = np.asarray(py, dtype=np.float64)[:, None]
+    cond = (y0 > pyc) != (y1 > pyc)
     with np.errstate(divide="ignore", invalid="ignore"):
-        xi = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
-    cross = cond & (px < xi)
-    return cross.sum(axis=1) % 2 == 1
+        xi = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
+    cross = cond & (pxc < xi)
+    inside = cross.sum(axis=1) % 2 == 1
+    if include_boundary:
+        inside |= points_on_ring(px, py, ring)
+    return inside
 
 
 def _iter_polygons(g: Geom):
@@ -51,8 +78,11 @@ def _iter_polygons(g: Geom):
             yield from _iter_polygons(p)
 
 
-def points_in_polygon(px, py, wkb: bytes) -> np.ndarray:
-    """Vectorized PIP for Polygon/MultiPolygon WKB (even-odd incl. holes)."""
+def points_in_polygon(px, py, wkb: bytes, include_boundary: bool = False) -> np.ndarray:
+    """Vectorized PIP for Polygon/MultiPolygon WKB (even-odd incl. holes).
+    ``include_boundary=True`` also accepts points exactly on any ring
+    (exterior or hole boundary — both are part of the geometry under
+    GEOS ``intersects``)."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     inside = np.zeros(px.shape[0], dtype=bool)
@@ -61,6 +91,8 @@ def points_in_polygon(px, py, wkb: bytes) -> np.ndarray:
         crossings = np.zeros(px.shape[0], dtype=np.int64)
         for ring in rings:
             crossings += points_in_ring(px, py, ring).astype(np.int64)
+            if include_boundary:
+                inside |= points_on_ring(px, py, ring)
         inside |= crossings % 2 == 1
     return inside
 
@@ -318,7 +350,7 @@ class PreparedPolygon:
             float(allpts[:, 1].max()),
         )
 
-    def contains_points(self, px, py) -> np.ndarray:
+    def contains_points(self, px, py, include_boundary: bool = False) -> np.ndarray:
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         xmin, ymin, xmax, ymax = self.bbox
@@ -327,9 +359,12 @@ class PreparedPolygon:
         if pre.any():
             idx = np.nonzero(pre)[0]
             crossings = np.zeros(idx.shape[0], dtype=np.int64)
+            on = np.zeros(idx.shape[0], dtype=bool)
             for ring in self.rings:
                 crossings += points_in_ring(px[idx], py[idx], ring).astype(np.int64)
-            out[idx] = crossings % 2 == 1
+                if include_boundary:
+                    on |= points_on_ring(px[idx], py[idx], ring)
+            out[idx] = (crossings % 2 == 1) | on
         return out
 
     def classify_box(self, bxmin, bymin, bxmax, bymax) -> str:

@@ -106,9 +106,9 @@ def _read_shp(path: str):
     return geoms, types, bbox
 
 
-def _read_dbf(path: str, encoding: str = "utf-8"):
-    with open(path, "rb") as f:
-        data = f.read()
+def _dbf_header(data: bytes):
+    """DBF header bytes -> (nrec, hsize, rsize, fields) where fields is
+    [(name, type_char, length, decimals), ...]."""
     (nrec,) = struct.unpack_from("<I", data, 4)
     hsize, rsize = struct.unpack_from("<HH", data, 8)
     fields = []
@@ -120,6 +120,13 @@ def _read_dbf(path: str, encoding: str = "utf-8"):
         fdec = data[pos + 17]
         fields.append((name, ftype, flen, fdec))
         pos += 32
+    return nrec, hsize, rsize, fields
+
+
+def _read_dbf(path: str, encoding: str = "utf-8"):
+    with open(path, "rb") as f:
+        data = f.read()
+    nrec, hsize, rsize, fields = _dbf_header(data)
     cols: dict[str, list] = {name: [] for name, *_ in fields}
     for i in range(nrec):
         rec = data[hsize + i * rsize : hsize + (i + 1) * rsize]
@@ -342,9 +349,139 @@ def write_shapefile(pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb"
                 'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]]')
 
 
+def _read_shx(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """.shx record index -> (byte offset of each record header, total
+    byte length incl. the 8-byte header). The index is 8 bytes/record —
+    a 100M-record shapefile's index is 800 MB, but only the per-chunk
+    slices matter and the driver reads it once."""
+    with open(path, "rb") as f:
+        data = f.read()
+    n = (len(data) - 100) // 8
+    arr = np.frombuffer(data, dtype=">i4", count=2 * n, offset=100).reshape(n, 2)
+    return arr[:, 0].astype(np.int64) * 2, arr[:, 1].astype(np.int64) * 2 + 8
+
+
+def read_shapefile_distributed(
+    spark, path: str, chunk_records: int = 50_000, **read_table_kwargs
+):
+    """Distributed shapefile scan: the tiny ``.shx`` record index is
+    read on the driver, records are split into contiguous chunks, and
+    each executor byte-range-reads ONLY its chunk of ``.shp`` and
+    ``.dbf`` inside mapInPandas — no driver-side parse, no full-file
+    read per task. This is the multi-GB plan the single-node
+    ``read_shapefile`` (fixture-scale interchange) deliberately skips;
+    the path must be executor-visible (shared/posix fs or download).
+
+    Semantics match ``read_shapefile_pdf``: same WKB, same attribute
+    typing (int-typed DBF numeric columns come back BIGINT and stay
+    null-safe per chunk via pandas nullable Int64)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local, matches module import)
+
+    from pyogrio_spark.io.reader import read_table
+
+    base = os.path.splitext(path)[0]
+    shp_path, dbf_path = base + ".shp", base + ".dbf"
+    offsets, lengths = _read_shx(base + ".shx")
+    n = len(offsets)
+    with open(dbf_path, "rb") as f:
+        head = f.read(32)
+        (hsize,) = struct.unpack_from("<H", head, 8)
+        f.seek(0)
+        _, hsize, rsize, fields = _dbf_header(f.read(hsize))
+    encoding = _read_cpg(base)
+
+    chunks = []
+    for ci, lo in enumerate(range(0, n, int(chunk_records))):
+        hi = min(lo + int(chunk_records), n)
+        chunks.append(
+            (
+                ci,
+                int(offsets[lo]),
+                int(offsets[hi - 1] + lengths[hi - 1]),
+                lo,
+                hi,
+            )
+        )
+    chunk_df = spark.createDataFrame(
+        chunks, schema="chunk_id int, shp_start long, shp_end long, rec_lo long, rec_hi long"
+    ).repartition(len(chunks), F.col("chunk_id"))
+
+    spark_cols = ["`fid` bigint"]
+    for name, ftype, flen, fdec in fields:
+        if ftype == "N" and fdec == 0:
+            spark_cols.append(f"`{name}` bigint")
+        elif ftype in ("N", "F"):
+            spark_cols.append(f"`{name}` double")
+        elif ftype == "L":
+            spark_cols.append(f"`{name}` boolean")
+        else:
+            spark_cols.append(f"`{name}` string")
+    spark_cols.append("`geometry_wkb` binary")
+    schema = ", ".join(spark_cols)
+
+    def parse_chunks(pdfs):
+        for cpdf in pdfs:
+            for row in cpdf.itertuples(index=False):
+                with open(shp_path, "rb") as f:
+                    f.seek(row.shp_start)
+                    blob = f.read(row.shp_end - row.shp_start)
+                with open(dbf_path, "rb") as f:
+                    f.seek(hsize + row.rec_lo * rsize)
+                    dblob = f.read((row.rec_hi - row.rec_lo) * rsize)
+                geoms = []
+                pos = 0
+                while pos + 8 <= len(blob) and len(geoms) < row.rec_hi - row.rec_lo:
+                    _, clen = struct.unpack_from(">ii", blob, pos)
+                    body = blob[pos + 8 : pos + 8 + 2 * clen]
+                    (stype,) = struct.unpack_from("<i", body, 0)
+                    wkb, _t = _shape_to_wkb(stype, body)
+                    geoms.append(wkb)
+                    pos += 8 + 2 * clen
+                cols: dict[str, list] = {name: [] for name, *_ in fields}
+                for i in range(row.rec_hi - row.rec_lo):
+                    rec = dblob[i * rsize : (i + 1) * rsize]
+                    off = 1
+                    for name, ftype, flen, fdec in fields:
+                        raw = rec[off : off + flen]
+                        off += flen
+                        txt = raw.decode(encoding, errors="replace").strip()
+                        if ftype in ("N", "F"):
+                            if txt in ("", "*" * flen):
+                                cols[name].append(None)
+                            elif ftype == "F" or fdec > 0:
+                                cols[name].append(float(txt))
+                            else:
+                                cols[name].append(int(float(txt)) if "." in txt or "e" in txt.lower() else int(txt))
+                        elif ftype == "L":
+                            cols[name].append(txt.upper() in ("T", "Y") if txt else None)
+                        elif ftype == "D":
+                            cols[name].append(f"{txt[0:4]}-{txt[4:6]}-{txt[6:8]}" if len(txt) == 8 else None)
+                        else:
+                            cols[name].append(txt)
+                out = pd.DataFrame(
+                    {"fid": np.arange(row.rec_lo, row.rec_hi, dtype=np.int64)}
+                )
+                for name, ftype, flen, fdec in fields:
+                    if ftype == "N" and fdec == 0:
+                        out[name] = pd.array(cols[name], dtype="Int64")
+                    elif ftype in ("N", "F"):
+                        out[name] = pd.array(
+                            [np.nan if v is None else v for v in cols[name]], dtype="float64"
+                        )
+                    else:
+                        out[name] = cols[name]
+                out["geometry_wkb"] = geoms
+                yield out
+
+    df = chunk_df.mapInPandas(parse_chunks, schema=schema)
+    return read_table(spark, df, **read_table_kwargs)
+
+
 def read_shapefile(spark, path: str, **read_table_kwargs):
     """Shapefile -> engine DataFrame (fid, attributes, geometry_wkb),
-    composable with every read_table filter (where/bbox/mask/columns...)."""
+    composable with every read_table filter (where/bbox/mask/columns...).
+    Driver-side parse — right for fixture-scale interchange; use
+    ``read_shapefile_distributed`` for multi-GB files."""
     from pyogrio_spark.io.reader import read_table
 
     pdf, _ = read_shapefile_pdf(path)

@@ -139,6 +139,7 @@ def point_in_polygon_join(
     salt: int = 0,
     salt_plan: pd.DataFrame | None = None,
     keep_doc_cols: list[str] | None = None,
+    include_boundary: bool = False,
 ) -> DataFrame:
     """Join point docs to polygons (PIP / intersects semantics).
 
@@ -148,6 +149,11 @@ def point_in_polygon_join(
     ``salt`` > 1 applies only to the shuffle-join path: the cover side
     is exploded ×salt and doc rows spread by doc hash, so one hot cell
     lands on ``salt`` reducers instead of one.
+
+    ``include_boundary=True`` switches both refine paths (rect JVM
+    interval and generic PIP) to GEOS ``intersects`` boundary semantics:
+    a point exactly ON a zone edge joins. Default keeps the engine's
+    half-open ray-cast convention (documented divergence).
     """
     if keep_doc_cols is None:
         keep_doc_cols = [c for c in docs.columns if c != geom_col]
@@ -198,15 +204,18 @@ def point_in_polygon_join(
     full = joined.filter(F.col("full_cover")).select(*out_cols)
 
     # rectangle zones: the exact refine IS the interval predicate — stays
-    # in whole-stage codegen. Bounds semantics mirror the even-odd ray cast
-    # on an axis-aligned ring: [zxmin, zxmax) x [zymin, zymax).
+    # in whole-stage codegen. Bounds semantics mirror the refine: the
+    # even-odd ray cast on an axis-aligned ring is the half-open box
+    # [zxmin, zxmax) x [zymin, zymax); boundary-inclusive is the closed box.
+    x_hi = F.col("xmin") <= F.col("zxmax") if include_boundary else F.col("xmin") < F.col("zxmax")
+    y_hi = F.col("ymin") <= F.col("zymax") if include_boundary else F.col("ymin") < F.col("zymax")
     rect_pass = joined.filter(
         ~F.col("full_cover")
         & F.col("is_rect")
         & (F.col("xmin") >= F.col("zxmin"))
-        & (F.col("xmin") < F.col("zxmax"))
+        & x_hi
         & (F.col("ymin") >= F.col("zymin"))
-        & (F.col("ymin") < F.col("zymax"))
+        & y_hi
     ).select(*out_cols)
 
     boundary = joined.filter(~F.col("full_cover") & ~F.col("is_rect")).select(*out_cols, "xmin", "ymin", zgeom)
@@ -228,7 +237,7 @@ def point_in_polygon_join(
                 prep = prep_cache.get(zwkb)
                 if prep is None:
                     prep = prep_cache[zwkb] = PreparedPolygon(bytes(zwkb))
-                keep[idx] = prep.contains_points(lon[idx], lat[idx])
+                keep[idx] = prep.contains_points(lon[idx], lat[idx], include_boundary=include_boundary)
             yield pdf.loc[keep, out_cols]
 
     refined = boundary.mapInPandas(refine, schema=out_schema)

@@ -218,6 +218,69 @@ ON abs(d.lon - z.cx) / z.a + abs(d.lat - z.cy) / z.b < 1
 """
 
 
+def _edge_zone_params():
+    """Integer-edged zones for the boundary-inclusive PIP query: 8 rects
+    (JVM interval path) + 3 diamonds with 45-degree edges through integer
+    lattice points (generic refine path). Floored doc coordinates are
+    integer-valued doubles, so points land EXACTLY on these edges and
+    every on-edge comparison is float-exact in both engines."""
+    rects = []
+    for z in range(8):
+        x0 = -170 + (z % 4) * 80
+        y0 = -80 + (z // 4) * 85
+        rects.append((z, x0, y0, x0 + 60, y0 + 50))
+    diamonds = [(100, -120, 60, 20), (101, 40, -60, 22), (102, 140, 10, 25)]
+    return rects, diamonds
+
+
+def _edge_zones_pd() -> pd.DataFrame:
+    rects, diamonds = _edge_zone_params()
+    rows = []
+    for z, x0, y0, x1, y1 in rects:
+        ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype=float)
+        rows.append({"zone_id": z, "geometry_wkb": W.encode_polygon([ring])})
+    for z, cx, cy, r in diamonds:
+        ring = np.array([(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)], dtype=float)
+        rows.append({"zone_id": z, "geometry_wkb": W.encode_polygon([ring])})
+    return pd.DataFrame(rows)
+
+
+def q_geo_pip_join_boundary(spark, sf):
+    """Boundary-INCLUSIVE PIP join (GEOS ``intersects`` semantics, the
+    reference's spatial-filter convention, _io.pyx:887-908): doc
+    coordinates are floored to the integer lattice so many land exactly
+    ON integer zone edges; include_boundary=True must keep them on BOTH
+    refine paths (rect JVM closed interval + generic ray-cast with the
+    exact on-segment test)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    docs = docs.withColumn("lon", F.expr(f"CAST(floor({LON_EXPR}) AS DOUBLE)"))
+    docs = docs.withColumn("lat", F.expr(f"CAST(floor({LAT_EXPR}) AS DOUBLE)"))
+    docs = docs.withColumn("geometry_wkb", point_wkb_column("lon", "lat"))
+    docs = bounds_columns(docs)
+    docs = docs.withColumn("cell_id", cell_id_column("xmin", "ymin", GEO_RES))
+    cover = zones_cell_cover(spark, _edge_zones_pd(), res=GEO_RES, zone_key="zone_id")
+    return point_in_polygon_join(
+        docs, cover, zone_key="zone_id", keep_doc_cols=["doc_id"], include_boundary=True
+    )
+
+
+def _oracle_pip_boundary() -> str:
+    rects, diamonds = _edge_zone_params()
+    rect_vals = ", ".join(f"({z}, {x0}, {y0}, {x1}, {y1})" for z, x0, y0, x1, y1 in rects)
+    dia_vals = ", ".join(f"({z}, {cx}, {cy}, {r})" for z, cx, cy, r in diamonds)
+    return f"""
+WITH d AS (SELECT doc_id, CAST(floor({LON_EXPR}) AS DOUBLE) AS lon,
+                  CAST(floor({LAT_EXPR}) AS DOUBLE) AS lat FROM documents),
+z AS (SELECT * FROM (VALUES {rect_vals}) AS t(zone_id, zx0, zy0, zx1, zy1)),
+dz AS (SELECT * FROM (VALUES {dia_vals}) AS t(zone_id, cx, cy, r))
+SELECT d.doc_id, CAST(z.zone_id AS BIGINT) AS zone_id FROM d JOIN z
+  ON d.lon >= z.zx0 AND d.lon <= z.zx1 AND d.lat >= z.zy0 AND d.lat <= z.zy1
+UNION ALL
+SELECT d.doc_id, CAST(dz.zone_id AS BIGINT) AS zone_id FROM d JOIN dz
+  ON abs(d.lon - dz.cx) + abs(d.lat - dz.cy) <= dz.r
+"""
+
+
 # rect half-extents derived from doc_id: 0.1..0.7 x 0.1..0.5 degrees.
 # Integer-scaled arithmetic (grid 1e-5) keeps corners off zone edges
 # (zones carry the +-5e-6 offset).
@@ -1477,6 +1540,7 @@ QUERIES = {
     "geo_pip_join": q_geo_pip_join,
     "geo_pip_join_salted": q_geo_pip_join_salted,
     "geo_pip_join_poly": q_geo_pip_join_poly,
+    "geo_pip_join_boundary": q_geo_pip_join_boundary,
     "geo_intersects_join": q_geo_intersects_join,
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "curve_linearize": q_curve_linearize,
@@ -1541,6 +1605,7 @@ ORACLES = {
     "geo_pip_join_salted": f"""SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
     "geo_pip_join_poly": ORACLE_PIP_POLY,
+    "geo_pip_join_boundary": _oracle_pip_boundary(),
     "geo_intersects_join": ORACLE_INTERSECTS,
     "geo_intersects_join_poly": ORACLE_INTERSECTS_POLY,
     "curve_linearize": ORACLE_CURVE,

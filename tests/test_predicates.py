@@ -167,3 +167,41 @@ def test_batch_intersects_prep_inside_candidate():
     got = batch_intersects(prep, np.array([big, ring_far], dtype=object))
     assert got[0], "candidate swallowing prep must intersect"
     assert not got[1], "prep inside candidate's hole must NOT intersect"
+
+
+def test_include_boundary_pip_semantics():
+    """Round-3: GEOS-intersects boundary option — on-edge/on-vertex
+    points test True with include_boundary=True, False without; hole
+    boundaries count as boundary (part of the geometry), hole interiors
+    stay outside either way."""
+    import numpy as np
+
+    from pyogrio_spark.geometry.predicates import points_in_polygon
+
+    poly = W.encode_polygon([
+        np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=float),
+        np.array([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)], dtype=float),  # hole
+    ])
+    px = np.array([5.0, 0.0, 10.0, 5.0, 4.0, 5.0, 11.0])
+    py = np.array([1.0, 0.0, 5.0, 10.0, 5.0, 5.0, 5.0])
+    #               int  vert  edge  edge  hole-edge hole-int  outside
+    strict = points_in_polygon(px, py, poly)
+    incl = points_in_polygon(px, py, poly, include_boundary=True)
+    # half-open convention: LOW edges/vertices are inside, high edges out;
+    # a point on the hole's low-x edge is inside the (half-open) hole
+    assert strict.tolist() == [True, True, False, False, False, False, False]
+    assert incl.tolist() == [True, True, True, True, True, False, False]
+    # the option only ever ADDS boundary points, never removes interior
+    assert (incl | ~strict).all()
+
+
+def test_include_boundary_prepared_diamond():
+    import numpy as np
+
+    ring = np.array([(-5, 0), (0, -5), (5, 0), (0, 5), (-5, 0)], dtype=float)
+    prep = PreparedPolygon(W.encode_polygon([ring]))
+    px = np.array([2.0, 3.0, 0.0, -5.0])
+    py = np.array([2.0, 2.0, -5.0, 0.0])
+    #              int   on-45deg-edge vertex vertex(low-x: half-open keeps it)
+    assert prep.contains_points(px, py).tolist() == [True, False, False, True]
+    assert prep.contains_points(px, py, include_boundary=True).tolist() == [True, True, True, True]

@@ -70,6 +70,42 @@ def test_read_shapefile_spark_filters_compose(spark):
     assert "Brazil" not in names
 
 
+def test_distributed_scan_matches_driver_parse(spark, ne):
+    """Byte-range chunked scan (.shx-partitioned mapInPandas) must
+    reproduce the driver-side parse exactly: same fids, attributes,
+    byte-identical WKB — across multiple chunks."""
+    from pyogrio_spark.io.shapefile import read_shapefile_distributed
+
+    pdf, _ = ne
+    got = (
+        read_shapefile_distributed(spark, NE, chunk_records=40)
+        .toPandas()
+        .sort_values("fid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 177
+    assert got.fid.tolist() == pdf.fid.tolist()
+    assert [bytes(b) for b in got.geometry_wkb] == [bytes(b) for b in pdf.geometry_wkb]
+    assert got["name"].tolist() == pdf["name"].tolist()
+    assert got.pop_est.tolist() == pdf.pop_est.tolist()
+    assert np.allclose(got.gdp_md_est, pdf.gdp_md_est)
+
+
+def test_distributed_scan_partitioning_and_filters(spark):
+    """The scan must actually fan out (one task per chunk, 5 chunks at
+    40 records/chunk for 177 features) and compose with read_table
+    filters pushed through mapInPandas output."""
+    from pyogrio_spark.io.shapefile import read_shapefile_distributed
+
+    df = read_shapefile_distributed(spark, NE, chunk_records=40)
+    assert df.rdd.getNumPartitions() == 5
+    af = read_shapefile_distributed(
+        spark, NE, chunk_records=40, where="continent = 'Africa'", columns=["name"]
+    )
+    rows = af.collect()
+    assert 0 < len(rows) < 177 and set(af.columns) == {"name", "geometry_wkb"}
+
+
 def test_shapefile_polygon_hole_assembly():
     # synthesize a shapefile-style ring set: one CW outer + one CCW hole
     from pyogrio_spark.io.shapefile import _assemble_polygons
