@@ -1,27 +1,23 @@
-"""Multimodal column plumbing: media as opaque binary + typed metadata.
-
-Real in this module: span extraction, schemas, Arrow batch shapes,
-partitioning, and UDF signatures. STUBBED (clearly marked): the actual
-image/audio decode — the codec libraries are not in this container, so
-``decode_image_batch`` produces a *deterministic fake* derived from the
-payload bytes; swapping in PIL/ffmpeg later changes one function body
-and nothing else. The schema/batching contract is tested for real.
+"""Multimodal columns: media as opaque binary + typed metadata, with
+REAL pure-python codecs for all four media paths — WAV audio (RIFF
+chunk walk + PCM16), PGM images (netpbm P5 grammar), image resize
+(decode -> nearest-neighbor downsample -> re-encode), and Y4M video
+(YUV4MPEG2 stream-header parse + FRAME walk + every-Nth-frame luma
+sampling). Only the object-store FETCH is synthesized (deterministic
+valid files per (doc, span)); every decode is a genuine parser of a
+public format, so the mapInPandas batch shapes, schemas, and
+partitioning are exercised against real codec work and every feature
+is closed-form oracle-checkable in SQL.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-MEDIA_FEATURES_SCHEMA = (
-    "doc_id string, media_ref string, span_offset int, "
-    "width int, height int, channels int, mean_luma double, sha256 string"
-)
 
 
 def explode_media_spans(docs: DataFrame) -> DataFrame:
@@ -37,62 +33,6 @@ def explode_media_spans(docs: DataFrame) -> DataFrame:
             F.col("span.offset").alias("span_offset"),
         )
     )
-
-
-def fetch_media_stub(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
-    """STUB for the object-store fetch: materializes a deterministic fake
-    payload (sha256 of the ref, repeated) as the ``media_bytes`` binary
-    column. A real deployment replaces this with a mapInPandas that
-    reads from the distributed filesystem."""
-    return df.withColumn(
-        "media_bytes", F.to_binary(F.sha2(F.col(ref_col), 256), F.lit("hex"))
-    )
-
-
-def decode_image_batch(refs: pd.Series, payloads: pd.Series) -> pd.DataFrame:
-    """STUB decode: deterministic fake metadata derived from payload
-    bytes. Replace with PIL/turbojpeg for real decode; the signature
-    (two Series in, DataFrame of typed features out, vectorized per
-    Arrow batch) is the production contract.
-    """
-    rows = []
-    for ref, b in zip(refs, payloads):
-        if b is None:
-            rows.append((None, None, None, None, None))
-            continue
-        h = hashlib.sha256(bytes(b)).digest()
-        # fake-but-deterministic dimensions/luma from the content hash
-        rows.append(
-            (
-                64 + h[0] % 192,
-                64 + h[1] % 192,
-                3,
-                float(int.from_bytes(h[2:4], "big") % 25600) / 100.0,
-                hashlib.sha256(bytes(b)).hexdigest(),
-            )
-        )
-    return pd.DataFrame(rows, columns=["width", "height", "channels", "mean_luma", "sha256"])
-
-
-def extract_media_features(docs: DataFrame) -> DataFrame:
-    """Full pipeline: explode media spans -> fetch (stub) -> batch decode
-    (stub) via mapInPandas. Partitioning note: media work is embarrassingly
-    parallel; repartition by doc hash keeps batches balanced regardless of
-    per-doc span counts."""
-    work = fetch_media_stub(explode_media_spans(docs))
-    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            feats = decode_image_batch(pdf["media_ref"], pdf["media_bytes"])
-            out = pd.concat(
-                [pdf[["doc_id", "media_ref", "span_offset"]].reset_index(drop=True), feats], axis=1
-            )
-            yield out
-
-    return work.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = (
@@ -293,13 +233,94 @@ def extract_image_features(docs: DataFrame) -> DataFrame:
     return work.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
-    """STUB video frame-sampling *plan*: emits (media_ref, frame_index)
-    work items deterministically; the decode of each frame would go
-    through ``decode_image_batch``. Keeps the planning math (which is
-    real) separate from the codec (which is stubbed)."""
-    return df.select(
-        "doc_id",
-        "media_ref",
-        F.explode(F.sequence(F.lit(0), F.lit(max_frames - 1))).alias("frame_slot"),
-    ).withColumn("frame_index", F.col("frame_slot") * every_n)
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id bigint, media_ref string, span_offset int, "
+    "width int, height int, n_frames int, frame_index int, mean_luma double"
+)
+
+
+def synthesize_y4m(doc_id: int, offset: int) -> bytes:
+    """Deterministic REAL YUV4MPEG2 (Y4M) video payload: ``Cmono``
+    (luma-plane-only) WxH stream of n frames, frame f a constant luma
+    (doc*7 + off*11 + f*13) % 256. The bytes are a fully valid Y4M file
+    per the public yuv4mpeg grammar (mjpegtools / ffmpeg): stream header
+    line with W/H/F/I/A/C tokens, then per-frame ``FRAME\\n`` markers +
+    raw planes — so the decoder below walks a real video container."""
+    w = 8 + 2 * ((doc_id * 3 + offset) % 12)
+    h = 8 + 2 * ((doc_id * 5 + offset) % 8)
+    nf = 4 + (doc_id + offset) % 8
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+    frames = b"".join(
+        b"FRAME\n" + bytes([(doc_id * 7 + offset * 11 + f * 13) % 256]) * (w * h)
+        for f in range(nf)
+    )
+    return hdr + frames
+
+
+def decode_y4m_frames(payloads: pd.Series, every_n: int = 2, max_frames: int = 4):
+    """REAL Y4M frame sampling: parse the stream-header tokens (W/H/C),
+    walk ``FRAME`` markers (tolerating per-frame parameters), and read
+    the raw luma plane of every ``every_n``-th frame, at most
+    ``max_frames`` per asset — the frame-sampling stage of a video
+    ingestion pipeline. Supports Cmono and C420* plane layouts (mean is
+    over the Y plane). -> list of (payload_idx, width, height, n_frames,
+    frame_index, mean_luma); invalid payloads contribute no rows."""
+    out = []
+    for idx, b in enumerate(payloads):
+        buf = bytes(b) if b is not None else b""
+        nl = buf.find(b"\n")
+        if not buf.startswith(b"YUV4MPEG2") or nl < 0:
+            continue
+        w = h = None
+        colorspace = "420"
+        for tok in buf[:nl].decode("ascii", errors="replace").split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                colorspace = tok[1:]
+        if not w or not h:
+            continue
+        luma = w * h
+        frame_size = luma if colorspace.startswith("mono") else luma * 3 // 2
+        pos, f = nl + 1, 0
+        samples = []
+        while pos < len(buf) and buf[pos : pos + 5] == b"FRAME":
+            fnl = buf.find(b"\n", pos)
+            if fnl < 0 or fnl + 1 + frame_size > len(buf):
+                break
+            if f % every_n == 0 and len(samples) < max_frames:
+                plane = np.frombuffer(buf, dtype=np.uint8, count=luma, offset=fnl + 1)
+                samples.append((f, float(plane.mean())))
+            pos = fnl + 1 + frame_size
+            f += 1
+        for fi, mean in samples:
+            out.append((idx, w, h, f, fi, mean))
+    return out
+
+
+def extract_video_frames(docs: DataFrame, every_n: int = 2, max_frames: int = 4) -> DataFrame:
+    """Media spans -> synthesized Y4M fetch -> REAL container walk +
+    frame sampling via mapInPandas. One output row per sampled frame
+    (the video twin of extract_audio_features/extract_image_features)."""
+    work = explode_media_spans(docs)
+    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = pd.Series(
+                [synthesize_y4m(int(d), int(o)) for d, o in zip(pdf["doc_id"], pdf["span_offset"])]
+            )
+            rows = decode_y4m_frames(payloads, every_n=every_n, max_frames=max_frames)
+            idx = [r[0] for r in rows]
+            base = pdf[["doc_id", "media_ref", "span_offset"]].iloc[idx].reset_index(drop=True)
+            feats = pd.DataFrame(
+                [r[1:] for r in rows],
+                columns=["width", "height", "n_frames", "frame_index", "mean_luma"],
+            )
+            yield pd.concat([base, feats], axis=1)
+
+    return work.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)

@@ -176,6 +176,52 @@ def q_geo_pip_join_salted(spark, sf):
     )
 
 
+_BUCKETED_CACHE: dict = {}
+
+
+def _bucketed_pip_tables(spark, sf):
+    """One-time bucketed WRITE of both PIP join sides (docs + zone cover)
+    on cell_id — the co-location primitive: every subsequent join over
+    these tables runs with ZERO exchanges because the bucketed scans
+    already deliver the join partitioning. Cached per (session, sf),
+    mirroring how a production pipeline writes the bucketed corpus once
+    and joins it many times."""
+    key = (id(spark), sf)
+    hit = _BUCKETED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    from pyogrio_spark.io.writer import write_bucketed
+
+    d = tempfile.mkdtemp(prefix="pyogrio_spark_buckets_")
+    docs = _docs_geo(spark, sf).select("doc_id", "xmin", "ymin", "cell_id")
+    cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    write_bucketed(docs, "pip_docs_bkt", ["cell_id"], 32, sort_cols=["cell_id"], path=f"{d}/docs")
+    write_bucketed(cover, "pip_cover_bkt", ["cell_id"], 32, sort_cols=["cell_id"], path=f"{d}/cover")
+    hit = (spark.table("pip_docs_bkt"), spark.table("pip_cover_bkt"))
+    _BUCKETED_CACHE[key] = hit
+    return hit
+
+
+def q_geo_pip_join_bucketed(spark, sf):
+    """PIP join over CO-LOCATED bucketed tables: same results as
+    geo_pip_join (same oracle), different physical plan — both sides
+    pre-bucketed on cell_id (32 buckets), the shuffle_hash hint keeps
+    the planner off broadcast, and the coarse equi-join runs with zero
+    Exchange operators (plan-asserted in tests/test_plans.py). This is
+    the amortized shape for repeated 100-TB spatial joins: one bucketed
+    write, many shuffle-free joins."""
+    docs_b, cover_b = _bucketed_pip_tables(spark, sf)
+    return point_in_polygon_join(
+        docs_b,
+        cover_b.hint("shuffle_hash"),
+        zone_key="zone_id",
+        keep_doc_cols=["doc_id"],
+        broadcast_cover=False,
+    )
+
+
 def _diamond_zones_pd() -> pd.DataFrame:
     """100 diamond (rotated-square) zones in 10x10 slots of 36x18 deg —
     NON-rectangular polygons, so the PIP join's generic pandas ray-cast
@@ -932,8 +978,14 @@ def q_adaptive_tile_map(spark, sf):  # rows-only (driver checks stability)
     return spark.createDataFrame(tmap, schema="tile_id long, res int, row_count long")
 
 
-def q_media_features(spark, sf):  # rows-only (stubbed decode)
-    from pyogrio_spark.operators.multimodal import extract_media_features
+def q_media_video_frames(spark, sf):
+    """REAL video path, fully oracle-checked: media spans -> deterministic
+    Y4M payloads (valid YUV4MPEG2 streams) -> actual container walk
+    (header tokens, FRAME markers) sampling every 2nd frame up to 4 per
+    asset -> per-frame mean luma. Constant-luma frames make every
+    feature closed-form in SQL (mean == luma exactly: g*n/n is
+    IEEE-exact)."""
+    from pyogrio_spark.operators.multimodal import extract_video_frames
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
@@ -949,8 +1001,33 @@ def q_media_features(spark, sf):  # rows-only (stubbed decode)
             i.cast("int").alias("offset"),
         ),
     )
-    with_spans = docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
-    return extract_media_features(with_spans)
+    with_spans = docs.select("doc_id", spans.alias("spans"))
+    return extract_video_frames(with_spans, every_n=2, max_frames=4)
+
+
+ORACLE_VIDEO = """
+WITH base AS (
+  SELECT doc_id, least(CAST(ceil(len(string_split(text, ' ')) / 2e1) AS INT), 4) AS ns FROM documents),
+spans AS (
+  SELECT doc_id, unnest(generate_series(0, ns - 1)) AS i FROM base),
+media AS (SELECT doc_id, i FROM spans WHERE (doc_id + i) % 3 = 0),
+params AS (
+  SELECT doc_id, i,
+         8 + 2 * ((doc_id * 3 + i) % 12) AS w,
+         8 + 2 * ((doc_id * 5 + i) % 8) AS h,
+         4 + (doc_id + i) % 8 AS nf
+  FROM media),
+frames AS (
+  SELECT doc_id, i, w, h, nf, unnest(generate_series(0, 3)) AS slot FROM params)
+SELECT doc_id,
+       'media://' || doc_id || '/' || i AS media_ref,
+       CAST(i AS INT) AS span_offset,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(slot * 2 AS INT) AS frame_index,
+       CAST((doc_id * 7 + i * 11 + slot * 2 * 13) % 256 AS DOUBLE) AS mean_luma
+FROM frames WHERE slot * 2 < nf
+"""
 
 
 def q_media_audio_features(spark, sf):
@@ -1541,6 +1618,7 @@ QUERIES = {
     "geo_pip_join_salted": q_geo_pip_join_salted,
     "geo_pip_join_poly": q_geo_pip_join_poly,
     "geo_pip_join_boundary": q_geo_pip_join_boundary,
+    "geo_pip_join_bucketed": q_geo_pip_join_bucketed,
     "geo_intersects_join": q_geo_intersects_join,
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "curve_linearize": q_curve_linearize,
@@ -1567,6 +1645,7 @@ QUERIES = {
     "media_audio_features": q_media_audio_features,
     "media_image_features": q_media_image_features,
     "media_resize": q_media_resize,
+    "media_video_frames": q_media_video_frames,
     "tpch_q1_pricing": q_tpch_q1,
     "tpch_q3_top_orders": q_tpch_q3,
     "region_rollup": q_region_rollup,
@@ -1584,9 +1663,11 @@ QUERIES = {
     "token_budget": q_token_budget,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
+    # (media_features, the last stubbed-decode query, retired in round 3:
+    # all four media paths — WAV, PGM, resize, Y4M video — are now real
+    # codecs with closed-form oracles.)
     "sim_ivf_topk": q_ivf_topk,
     "adaptive_tile_map": q_adaptive_tile_map,
-    "media_features": q_media_features,
 }
 
 ORACLES = {
@@ -1606,6 +1687,8 @@ ORACLES = {
         ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
     "geo_pip_join_poly": ORACLE_PIP_POLY,
     "geo_pip_join_boundary": _oracle_pip_boundary(),
+    "geo_pip_join_bucketed": f"""SELECT d.doc_id, z.zone_id FROM {DOCS_GEO_SQL} d JOIN {ZONES_SQL} z
+        ON d.lon > z.zx0 AND d.lon < z.zx1 AND d.lat > z.zy0 AND d.lat < z.zy1""",
     "geo_intersects_join": ORACLE_INTERSECTS,
     "geo_intersects_join_poly": ORACLE_INTERSECTS_POLY,
     "curve_linearize": ORACLE_CURVE,
@@ -1644,6 +1727,7 @@ ORACLES = {
     "media_audio_features": ORACLE_AUDIO,
     "media_image_features": ORACLE_IMAGE,
     "media_resize": ORACLE_RESIZE,
+    "media_video_frames": ORACLE_VIDEO,
     "tpch_q1_pricing": ORACLE_Q1,
     "tpch_q3_top_orders": ORACLE_Q3,
     "region_rollup": ORACLE_REGION,
@@ -1669,6 +1753,6 @@ ORACLES = {
     "geo_curation": ORACLE_GEO_CURATION,
     "dataset_split": ORACLE_SPLIT,
     "token_budget": ORACLE_BUDGET,
-    # sim_ivf_topk, adaptive_tile_map, media_features: rows-only by design
-    # (approximate / stubbed / driver-internal determinism checks)
+    # sim_ivf_topk, adaptive_tile_map: rows-only by design
+    # (approximate / driver-internal determinism checks)
 }

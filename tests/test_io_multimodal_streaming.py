@@ -7,10 +7,11 @@ from pyspark.sql import functions as F
 from pyogrio_spark.fixtures import DOCS_SPARK_SCHEMA, make_docs
 from pyogrio_spark.io.lineage import StageCheckpoint, cell_range_units, unit_filter
 from pyogrio_spark.io.writer import current_snapshot, read_committed, write_table
+import numpy as np
+
 from pyogrio_spark.operators.multimodal import (
     explode_media_spans,
-    extract_media_features,
-    frame_sample_plan,
+    extract_video_frames,
 )
 from pyogrio_spark.streaming.events import sessionize_events, windowed_event_counts
 
@@ -119,23 +120,38 @@ def test_lineage_resume_after_mid_unit_kill(spark, tmp_path):
     assert out.select("doc_id").distinct().count() == docs.count()
 
 
-def test_media_span_extraction_and_features(spark):
+def test_media_span_extraction_and_video_frames(spark):
     docs = spark.createDataFrame(make_docs(300), schema=DOCS_SPARK_SCHEMA)
     media = explode_media_spans(docs)
     n_media = media.count()
     assert n_media > 0
-    feats = extract_media_features(docs).toPandas()
-    assert len(feats) == n_media
-    assert feats["width"].between(64, 255).all()
-    assert feats["sha256"].str.len().eq(64).all()
-    # deterministic: same ref -> same fake features
-    again = extract_media_features(docs).toPandas()
-    pd.testing.assert_frame_equal(
-        feats.sort_values(["doc_id", "media_ref"]).reset_index(drop=True),
-        again.sort_values(["doc_id", "media_ref"]).reset_index(drop=True),
-    )
-    plan = frame_sample_plan(media, every_n=5, max_frames=3)
-    assert plan.count() == n_media * 3
+    # real Y4M codec: deterministic synthesis -> container walk; every
+    # sampled frame's mean luma must equal the closed-form constant
+    docs2 = docs.withColumn("doc_id", F.monotonically_increasing_id())
+    feats = extract_video_frames(docs2, every_n=2, max_frames=4).toPandas()
+    assert len(feats) > 0
+    for _, r in feats.head(50).iterrows():
+        assert r.width == 8 + 2 * ((r.doc_id * 3 + r.span_offset) % 12)
+        assert r.mean_luma == float((r.doc_id * 7 + r.span_offset * 11 + r.frame_index * 13) % 256)
+        assert r.frame_index % 2 == 0 and r.frame_index < r.n_frames
+    # per-asset frame counts: every 2nd frame, capped at 4
+    per = feats.groupby(["doc_id", "span_offset"]).agg(n=("frame_index", "size"), nf=("n_frames", "first"))
+    assert (per.n == np.minimum((per.nf + 1) // 2, 4)).all()
+
+
+def test_y4m_codec_roundtrip_unit():
+    from pyogrio_spark.operators.multimodal import decode_y4m_frames, synthesize_y4m
+
+    b = synthesize_y4m(5, 1)
+    rows = decode_y4m_frames(pd.Series([b, None, b"junk"]), every_n=2, max_frames=4)
+    assert all(r[0] == 0 for r in rows)  # invalid payloads contribute nothing
+    w, h, nf = 8 + 2 * ((5 * 3 + 1) % 12), 8 + 2 * ((5 * 5 + 1) % 8), 4 + (5 + 1) % 8
+    assert rows[0][1:] == (w, h, nf, 0, float((5 * 7 + 1 * 11) % 256))
+    assert [r[4] for r in rows] == [0, 2, 4, 6][: len(rows)]
+    # a C420 stream (chroma planes present) still means over the Y plane
+    y4m420 = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n" + (b"FRAME\n" + bytes([9]) * 16 + bytes([128]) * 8) * 2
+    rows420 = decode_y4m_frames(pd.Series([y4m420]), every_n=1, max_frames=8)
+    assert [(r[4], r[5]) for r in rows420] == [(0, 9.0), (1, 9.0)] and rows420[0][3] == 2
 
 
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):

@@ -192,3 +192,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_zones_b")
+
+
+def test_bucketed_pip_headline_join_no_exchange(spark):
+    """The geo_pip_join_bucketed headline entry must actually run its
+    coarse equi-join exchange-free: both sides are bucketed on cell_id
+    and the shuffle_hash hint keeps the planner off broadcast, so the
+    bucketed scans deliver the join partitioning directly."""
+    from pyogrio_spark.queries import q_geo_pip_join_bucketed
+
+    out = q_geo_pip_join_bucketed(spark, "/root/testdata/sf0.001")
+    plan = plan_of(out)
+    assert "Exchange hashpartitioning" not in plan, "bucketed PIP join must not shuffle"
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan  # a real join, not broadcast
+    assert out.count() > 0
