@@ -52,10 +52,12 @@ HEADLINE = [
 def _materialize(df) -> None:
     """Force full execution INCLUDING every projected column: count()
     lets Catalyst prune projections, undertiming projection-heavy
-    queries; hashing every column into one aggregate does not."""
+    queries; hashing every column into one aggregate does not.
+    bit_xor, not sum: summing 64-bit hashes overflows BIGINT under
+    ANSI mode at sf0.1 row counts; xor never overflows."""
     from pyspark.sql import functions as F
 
-    df.agg(F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+    df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
 
 
 def main() -> None:

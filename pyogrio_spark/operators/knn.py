@@ -43,6 +43,12 @@ DEFAULT_RES = 7
 EARTH_RADIUS_KM = 6371.0088
 _DEG_KM = EARTH_RADIUS_KM * 3.141592653589793 / 180.0
 
+# per-round trace of the most recent knn_join call (round index, window
+# radius, ring-only?, carried rows, pending probes after the round, wall
+# seconds) — the work-trace evidence for the candidate-carry plan; reset
+# at every call, cheap to populate (numbers the loop computes anyway)
+LAST_RUN_TRACE: list[dict] = []
+
 
 def knn_join(
     probes: DataFrame,
@@ -161,6 +167,37 @@ def knn_join(
         spark.conf.set(_coalesce_key, _coalesce_prev)
 
 
+def _guar_expr(metric, r, beta, n, cell_h, cell_w):
+    """Per-probe satisfaction threshold at window radius ``r`` with
+    density cut ``beta``: a LOWER bound of the metric to ANY point in an
+    unexplored cell."""
+    if metric != "haversine":
+        return F.lit(min(r * cell_h, beta))
+    # lat: R * radians(r*cell_h) — an unexplored cell with |dy| > r
+    # differs in latitude alone by at least r rows.
+    lat_bound = _DEG_KM * (r * cell_h)
+    if 2 * r + 1 >= n:
+        # every column explored (modular enumeration): unexplored cells
+        # differ in lat only
+        return F.least(F.lit(lat_bound), F.lit(beta))
+    # lon: an unexplored cell inside the row band differs in WRAPPED lon
+    # by lam >= r*cell_w (columns are enumerated modularly, so a cell
+    # across the antimeridian is explored, not unexplored). The distance
+    # from the probe at latitude phi to the ENTIRE meridian lam away is
+    # the cross-track closed form R*asin(cos(phi)*sin(lam)) for
+    # lam <= 90 deg (beyond 90 the meridian distance is the constant
+    # 90-|phi|, exactly the capped formula's value) — it depends on the
+    # PROBE latitude only, not the window's worst latitude, so it stays
+    # useful near the poles. The previous worst-window-latitude bound
+    # collapsed to 0 once the window touched a pole, silently forcing
+    # every polar probe through full-grid rounds.
+    import math
+
+    lam = math.radians(min(r * cell_w, 90.0))
+    lon_bound = EARTH_RADIUS_KM * F.asin(F.cos(F.radians(F.col("_plat"))) * math.sin(lam))
+    return F.least(F.lit(lat_bound), lon_bound, F.lit(beta))
+
+
 def _knn_rounds(
     pending, docs_pts, k, r, beta, n, cell_h, base, res, max_rounds,
     probe_key, doc_key, broadcast_cap_rows, metric="planar",
@@ -171,7 +208,24 @@ def _knn_rounds(
     wrap_x = metric == "haversine"
     n_pending = pending.count()
     round_results: list[DataFrame] = []
+    # candidate carry (round-2 deferral, now implemented): each re-probe
+    # round scans only the NEW ring of cells; the previous round persists
+    # its unsatisfied probes' PRE-cut candidates (all distances — later
+    # rounds' thresholds grow, so no cut here is sound). ring ∪ carried
+    # == the full window's candidate set exactly, so results are
+    # unchanged while re-entered windows are never rescanned.
+    carried = None  # (probe_key, _plon, _plat, doc_key, _dist) for pending probes
+    prev_r = None
+    LAST_RUN_TRACE.clear()
+    import time as _time
+
     for round_i in range(max_rounds):
+        _t0 = _time.perf_counter()
+        # the window is CLAMPED in y (and in x for planar), so from an
+        # edge probe [px-r, px+r] spans [0, n-1] only when r >= n-1;
+        # (2r+1) >= n would declare coverage with up to half the grid
+        # unexplored from a corner probe and skip the guarantee check
+        window_covers_grid = r >= n - 1
         # window cells: (2r+1)^2 square around the probe cell — columns
         # modular when the metric wraps, clamped otherwise; rows clamped
         cx = (
@@ -179,12 +233,35 @@ def _knn_rounds(
             if wrap_x
             else F.greatest(F.least(F.col("_px") + F.col("_dx"), F.lit(n - 1)), F.lit(0))
         )
-        cand_cells = (
+        cells = (
             pending.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .withColumn("_cx", cx)
             .withColumn("_cy", F.greatest(F.least(F.col("_py") + F.col("_dy"), F.lit(n - 1)), F.lit(0)))
-            .withColumn("_cell", (F.lit(res).cast("long") * F.lit(base)) + F.col("_cx") * n + F.col("_cy"))
+        )
+        use_carry = carried is not None and not window_covers_grid
+        if use_carry:
+            # ring-only enumeration: drop cells inside the previous CLAMPED
+            # (or wrapped) window — their candidates arrive via ``carried``.
+            # The final full-grid round ignores the carry and enumerates
+            # everything fresh (exactness net), so it must NOT union it.
+            if wrap_x:
+                dxw = F.pmod(F.col("_cx") - F.col("_px"), F.lit(n))
+                explored_x = (
+                    F.least(dxw, F.lit(n) - dxw) <= prev_r
+                    if 2 * prev_r + 1 < n
+                    else F.lit(True)
+                )
+            else:
+                explored_x = (F.col("_cx") >= F.greatest(F.col("_px") - prev_r, F.lit(0))) & (
+                    F.col("_cx") <= F.least(F.col("_px") + prev_r, F.lit(n - 1))
+                )
+            explored_y = (F.col("_cy") >= F.greatest(F.col("_py") - prev_r, F.lit(0))) & (
+                F.col("_cy") <= F.least(F.col("_py") + prev_r, F.lit(n - 1))
+            )
+            cells = cells.filter(~(explored_x & explored_y))
+        cand_cells = (
+            cells.withColumn("_cell", (F.lit(res).cast("long") * F.lit(base)) + F.col("_cx") * n + F.col("_cy"))
             .select(probe_key, "_plon", "_plat", "_cell")
             .dropDuplicates([probe_key, "_cell"])
         )
@@ -195,7 +272,7 @@ def _knn_rounds(
         # broadcast them and stream the corpus cache untouched.
         if n_pending * (2 * r + 1) ** 2 <= broadcast_cap_rows:
             cand_cells = F.broadcast(cand_cells)
-        cand = cand_cells.join(docs_pts, cand_cells["_cell"] == docs_pts["_dcell"], "inner")
+        joined = cand_cells.join(docs_pts, cand_cells["_cell"] == docs_pts["_dcell"], "inner")
         # dx*dx, not pow(dx, 2): plain multiplication is bit-reproducible
         # across engines (oracle parity) and cheaper in codegen
         dx = F.col("_plon") - F.col("_dlon")
@@ -210,43 +287,19 @@ def _knn_rounds(
             dist = 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(hav, F.lit(1.0))))
         else:
             dist = F.sqrt(dx * dx + dy * dy)
+        new_cand = joined.withColumn("_dist", dist).select(probe_key, "_plon", "_plat", doc_key, "_dist")
+        # ring cells and the previous window are disjoint and a doc lives
+        # in exactly one cell, so this union cannot duplicate a (probe,
+        # doc) pair — no dedup shuffle needed
+        cand_pre = new_cand.unionByName(carried) if use_carry else new_cand
+
         w = Window.partitionBy(probe_key).orderBy(F.col("_dist").asc(), F.col(doc_key).asc())
         # a probe is satisfied when its k-th neighbor is provably inside
         # the explored window, or the window already covers the grid.
         # The explored window guarantees r*cell_h; the density cut beta
         # may tighten it further (satisfaction then demands dk < beta,
         # which the pre-shuffle filter below enforces symmetrically).
-        if metric == "haversine":
-            # per-probe lower bound (km) on the distance to ANY point in
-            # an unexplored cell: it differs by >= r cells in lat OR in
-            # WRAPPED lon (columns are enumerated modularly above, so a
-            # cell across the antimeridian is explored, not unexplored —
-            # the round-2 lon-wrap soundness gap).
-            # lat: R * radians(r*cell_h). lon: separation r*cell_w at the
-            # worst |latitude| the window reaches (cos shrinks circles);
-            # only meaningful while some column is unexplored (2r+1 < n,
-            # hence r*cell_w < 180 and the haversine term is monotone).
-            lat_bound = EARTH_RADIUS_KM * 3.141592653589793 / 180.0 * (r * cell_h)
-            if 2 * r + 1 >= n:
-                # every column explored: unexplored cells differ in lat only
-                guar_col = F.least(F.lit(lat_bound), F.lit(beta))
-            else:
-                phimax = F.least(
-                    F.greatest(F.abs(F.col("_plat") - r * cell_h), F.abs(F.col("_plat") + r * cell_h)),
-                    F.lit(90.0),
-                )
-                lon_bound = 2.0 * EARTH_RADIUS_KM * F.asin(
-                    F.greatest(F.cos(F.radians(phimax)), F.lit(0.0)) * F.sin(F.radians(F.lit(r * cell_w)) / 2)
-                )
-                guar_col = F.least(F.lit(lat_bound), lon_bound, F.lit(beta))
-        else:
-            guar_col = F.lit(min(r * cell_h, beta))
-        # the window is CLAMPED to the grid (no lon wrap), so from an
-        # edge probe [px-r, px+r] spans [0, n-1] only when r >= n-1;
-        # (2r+1) >= n would declare coverage with up to half the grid
-        # unexplored from a corner probe and skip the guarantee check
-        window_covers_grid = r >= n - 1
-        cand = cand.withColumn("_dist", dist).withColumn("_guar", guar_col)
+        cand = cand_pre.withColumn("_guar", _guar_expr(metric, r, beta, n, cell_h, cell_w))
         if not window_covers_grid:
             # map-side cut: rows at/over the satisfaction threshold can
             # never be in a satisfied probe's top-k — drop them before
@@ -280,20 +333,58 @@ def _knn_rounds(
         )
         sat.count()  # reads cached topk; pins this round's rows
         round_results.append(sat)
-        new_pending = pending.join(F.broadcast(satisfied_keys), on=probe_key, how="left_anti").cache()
-        n_left = n_pending = new_pending.count()  # satisfied_keys still reads cached topk here
+        # localCheckpoint, NOT cache: round t's plan references both
+        # round t-1's pending AND its carried, each of which references
+        # round t-2's — cache materializes data but keeps the full
+        # logical plan, so Catalyst re-analysis doubles per round
+        # (measured: 4.7/3.8/5.2/24/216 s per round at sf0.1 on ~29k
+        # rows — pure driver-side planning). Checkpointing truncates
+        # the plan; same eager materialization semantics.
+        new_pending = pending.join(
+            F.broadcast(satisfied_keys), on=probe_key, how="left_anti"
+        ).localCheckpoint()
+        n_left = n_pending = new_pending.count()
+
+        # carry for the next round (before unpersisting this round's
+        # inputs): every PRE-cut candidate of a still-pending probe —
+        # unfiltered, because round t+2's threshold exceeds round t+1's,
+        # so any distance cut here would silently starve probes that
+        # stay pending for 2+ rounds (a round-t row with dist in
+        # [guar(t+1), guar(t+2)) must still exist at round t+2). The set
+        # is exactly what the old plan re-scanned from disk every round;
+        # storing it is memory-for-CPU with the same row bound. Skipped
+        # when the next round is the full-grid exactness net (it
+        # re-enumerates everything and unions nothing).
+        r_next = n if round_i == max_rounds - 2 else r * 2
+        beta_next = beta * 4.0
+        new_carried = None
+        if n_left > 0 and not window_covers_grid and r_next < n - 1:
+            # localCheckpoint (same lineage-truncation reason as pending)
+            new_carried = cand_pre.join(
+                F.broadcast(new_pending.select(probe_key)), on=probe_key, how="inner"
+            ).localCheckpoint()
+            n_carried = new_carried.count()
+        else:
+            n_carried = 0
+        carried = new_carried  # checkpointed blocks are GC-reclaimed by the ContextCleaner
         topk.unpersist()
         pending.unpersist()
         pending = new_pending
+        prev_r = r
+        LAST_RUN_TRACE.append(
+            {
+                "round": round_i,
+                "r": r,
+                "ring_only": use_carry,
+                "carried_rows": n_carried,
+                "pending_after": n_left,
+                "wall_s": round(_time.perf_counter() - _t0, 3),
+            }
+        )
         if window_covers_grid or n_left == 0:
             break
-        r *= 2
-        beta *= 4.0  # re-probe with 4x the radius cut (16x the area)
-        # correctness net: on the final allowed round, force the window to
-        # span the grid so every remaining probe terminates exactly
-        # (window_covers_grid then disables the distance cut entirely)
-        if round_i == max_rounds - 2:
-            r = n
+        r = r_next
+        beta = beta_next  # re-probe with 4x the radius cut (16x the area)
     results = round_results[0]
     for extra in round_results[1:]:
         results = results.unionByName(extra)

@@ -11,6 +11,10 @@ from pyogrio_spark.operators.budget import budget_filter
 
 def test_release_pins_frees_budget_pin(spark):
     release_pins()  # start clean
+    # other modules legitimately hold session-lifetime caches (query
+    # fixtures, checkpoints pending GC) — assert against a snapshot, not
+    # global emptiness, so the check is order-independent
+    before = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(100), "grp": [i % 3 for i in range(100)],
                       "token_count": [10] * 100}),
@@ -22,6 +26,7 @@ def test_release_pins_frees_budget_pin(spark):
     assert pinned_count() >= 1
     released = release_pins()
     assert released >= 1 and pinned_count() == 0
-    # no cached RDD blocks left behind
+    # no NEW cached RDD blocks left behind by the pinned operator
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [str(i) for i in infos]
+    leaked = [str(i) for i in infos if i.id() not in before]
+    assert not leaked, leaked

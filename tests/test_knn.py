@@ -136,6 +136,62 @@ def test_knn_haversine_dateline_wraps(spark):
     assert abs(got.dist.iloc[0] - _haversine_np(179.9, 0.0, -179.9, 0.0)) < 1e-9
 
 
+def test_knn_carry_rescans_ring_only(spark, docs_pd, probes_pd):
+    """Candidate carry (round-2 VERDICT deferral): re-probe rounds must
+    enumerate only the NEW ring of cells, with prior-window candidates
+    arriving via the carried frame — and the result must still equal the
+    brute-force oracle exactly."""
+    from pyogrio_spark.operators import knn as knn_mod
+
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SPARK_SCHEMA)
+    probes = spark.createDataFrame(
+        probes_pd[["probe_id", "lon", "lat"]].head(3), schema="probe_id string, lon double, lat double"
+    )
+    # initial_ring=1 + k=25 forces several expansion rounds
+    got = knn_join(probes, docs, k=25, initial_ring=1).toPandas()
+    want = oracle_knn(probes_pd.head(3), docs_pd, k=25)
+    assert _norm(got) == _norm(want)
+    trace = knn_mod.LAST_RUN_TRACE
+    assert len(trace) >= 3, trace
+    rescans = [t for t in trace[1:] if not t["ring_only"]]
+    # every re-probe round before a full-grid net is ring-only
+    n = 1 << 7
+    assert all(t["r"] >= n - 1 for t in rescans), trace
+    assert any(t["carried_rows"] > 0 for t in trace), trace
+
+
+def test_knn_haversine_polar_bound_satisfies_early(spark):
+    """Regression: the old longitude guarantee used the window's WORST
+    latitude, which hits the pole (|lat| + r*cell_h >= 90 at r=4 here)
+    and collapses to 0 — a polar probe then stays unsatisfied until the
+    all-columns-explored lat-only branch at r=64 (measured 341 s at
+    sf0.1). The cross-track bound R*asin(cos(probe_lat)*sin(lam)) stays
+    positive (119 km at r=4 for lat -84.5), so a probe whose k-th
+    neighbor is 66.7 km away satisfies at r=4 with nearly every column
+    still unexplored."""
+    import numpy as np
+
+    from pyogrio_spark.index.grid import cell_of
+    from pyogrio_spark.operators import knn as knn_mod
+
+    lats = -84.5 + np.array([0.4, -0.4, 0.5, -0.5, 0.6, -0.6, 0.7, -0.7, 0.8, -0.8])
+    pts = pd.DataFrame({"doc_id": [f"d{i}" for i in range(10)], "xmin": 3.0, "ymin": lats})
+    pts["cell_id"] = cell_of(pts.xmin.to_numpy(), pts.ymin.to_numpy(), 7)
+    docs = spark.createDataFrame(pts, schema="doc_id string, xmin double, ymin double, cell_id long")
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": ["south"], "lon": [3.0], "lat": [-84.5]}),
+        schema="probe_id string, lon double, lat double",
+    )
+    got = knn_join(probes, docs, k=5, metric="haversine", initial_ring=1).toPandas()
+    d = _haversine_np(3.0, -84.5, pts.xmin.to_numpy(), pts.ymin.to_numpy())
+    order = np.lexsort((pts.doc_id.to_numpy(), d))[:5]
+    assert set(got.doc_id) == set(pts.doc_id.to_numpy()[order])
+    # satisfied while some window column was still unexplored (the old
+    # bound only terminated via the all-columns-explored lat-only branch)
+    last = knn_mod.LAST_RUN_TRACE[-1]
+    assert 2 * last["r"] + 1 < (1 << 7), knn_mod.LAST_RUN_TRACE
+
+
 def test_knn_haversine_polar_probe_exact(spark, docs_pd):
     # near the pole the longitude guarantee collapses; the loop must
     # still terminate with the exact answer (full-grid fallback)
