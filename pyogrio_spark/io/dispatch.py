@@ -70,6 +70,8 @@ def detect_format(path: str) -> str:
         return "geojson"
     if low.endswith(".fgb"):
         return "flatgeobuf"
+    if low.endswith((".osm.pbf", ".pbf")):
+        return "osm"
     return "table"  # parquet directory or committed snapshot table
 
 
@@ -98,6 +100,10 @@ def open_table(spark, path, layer: str | None = None, **read_table_kwargs):
         from pyogrio_spark.io.flatgeobuf import read_flatgeobuf
 
         return read_flatgeobuf(spark, str(path), **read_table_kwargs)
+    if fmt == "osm":
+        from pyogrio_spark.io.osm_pbf import read_osm
+
+        return read_osm(spark, str(path), layer=layer, **read_table_kwargs)
     from pyogrio_spark.io.reader import read_table
 
     return read_table(spark, path, **read_table_kwargs)
@@ -120,6 +126,10 @@ def dataset_layers(path: str) -> list[list[str]]:
         from pyogrio_spark.io.flatgeobuf import list_layers as fgb_layers
 
         return fgb_layers(path)
+    if fmt == "osm":
+        from pyogrio_spark.io.osm_pbf import list_layers as osm_layers
+
+        return osm_layers(path)
     if fmt == "geojson":
         from pyogrio_spark.geometry import wkb as W
         from pyogrio_spark.io.geojson import read_geojson_pdf

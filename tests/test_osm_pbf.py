@@ -1,0 +1,228 @@
+"""OSM PBF source tests.
+
+Parity anchors are the reference's OWN expectations for the same
+fixture (/root/reference/pyogrio/tests/test_core.py:676-688: points=8,
+lines=36 in sample.osm.pbf; :386-389,707-712: multi-layer warning;
+feature count -1 unless forced)."""
+
+import numpy as np
+import pytest
+
+from pyogrio_spark.geometry.wkb import parse_wkb
+from pyogrio_spark.io.osm_pbf import (
+    LAYERS,
+    blob_index,
+    list_layers,
+    osm_info,
+    read_osm,
+    read_osm_raw,
+    write_osm_pbf,
+)
+
+SAMPLE = "/root/reference/pyogrio/tests/fixtures/sample.osm.pbf"
+
+
+def test_blob_index_headers_only():
+    idx = blob_index(SAMPLE)
+    assert [t for t, _, _ in idx] == ["OSMHeader", "OSMData", "OSMData", "OSMData"]
+
+
+def test_list_layers_gdal_parity():
+    assert list_layers(SAMPLE) == [
+        ["points", "Point"],
+        ["lines", "LineString"],
+        ["multilinestrings", "MultiLineString"],
+        ["multipolygons", "MultiPolygon"],
+        ["other_relations", "GeometryCollection"],
+    ]
+
+
+def test_dispatch_routes_osm():
+    from pyogrio_spark.io.dispatch import dataset_layers, detect_format
+
+    assert detect_format(SAMPLE) == "osm"
+    assert [name for name, _ in dataset_layers(SAMPLE)] == LAYERS
+
+
+def test_raw_counts_and_blob_partitioning(spark):
+    raw = read_osm_raw(spark, SAMPLE)
+    # one decode partition per OSMData blob — the distributed unit
+    assert raw.rdd.getNumPartitions() == 3
+    counts = {r["kind"]: r["count"] for r in raw.groupBy("kind").count().collect()}
+    assert counts == {0: 290, 1: 44, 2: 5}
+
+
+def test_points_reference_golden(spark):
+    pts = read_osm(spark, SAMPLE, layer="points")
+    rows = {r["osm_id"]: r for r in pts.collect()}
+    assert len(rows) == 8  # reference: test_core.py:680 (points, force -> 8)
+    stop = rows["502550970"]
+    assert stop["highway"] == "bus_stop" and stop["name"] == "Oaktree Close"
+    # other_tags keeps naptan:* but drops ignore-list keys like source
+    assert 'naptan:AtcoCode"=>"210021602510' in stop["other_tags"]
+    assert "source" not in stop["other_tags"]
+    g = parse_wkb(stop["geometry_wkb"])
+    assert g.type == "Point"
+    # Hatfield, UK — the fixture's extract area
+    assert -0.3 < g.coords[0] < -0.1 and 51.7 < g.coords[1] < 51.8
+    # nodes whose only tags are unsignificant (created_by) are excluded,
+    # but a fixme-only node IS significant (fixme is ignore, not unsignificant)
+    assert "675150" not in rows and "692887101" in rows
+
+
+def test_lines_reference_golden(spark):
+    lines = read_osm(spark, SAMPLE, layer="lines")
+    rows = {r["osm_id"]: r for r in lines.collect()}
+    assert len(rows) == 36  # reference: test_core.py:682 (lines, force -> 36)
+    tunnel = rows["156255508"]
+    assert tunnel["name"] == "Hatfield Tunnel" and tunnel["highway"] == "motorway"
+    # z_order: motorway(9) + 10*layer(-1) + tunnel(-10) = -11
+    assert tunnel["z_order"] == -11
+    g = parse_wkb(tunnel["geometry_wkb"])
+    assert g.type == "LineString" and len(g.coords) == 18
+    # consecutive vertices, not a point cloud: every step < ~300 m
+    steps = np.abs(np.diff(g.coords, axis=0)).max()
+    assert 0 < steps < 0.005
+    # closed area ways are NOT lines
+    assert "53588780" not in rows  # building
+
+
+def test_multipolygons_closed_ways(spark):
+    mp = read_osm(spark, SAMPLE, layer="multipolygons")
+    rows = {r["osm_way_id"]: r for r in mp.collect()}
+    assert len(rows) == 8 and all(k is not None for k in rows)
+    house = rows["53588780"]
+    assert house["building"] == "yes" and house["name"] == "Friendship House"
+    g = parse_wkb(house["geometry_wkb"])
+    assert g.type == "Polygon" and len(g.coords) == 1
+    ring = g.coords[0]
+    assert np.array_equal(ring[0], ring[-1]) and len(ring) == 7
+
+
+def test_multilinestrings_route_relation(spark):
+    mls = read_osm(spark, SAMPLE, layer="multilinestrings")
+    rows = mls.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["osm_id"] == "31640" and r["type"] == "route"
+    g = parse_wkb(r["geometry_wkb"])
+    assert g.type == "MultiLineString"
+    # only member ways present in the extract contribute parts
+    raw = read_osm_raw(spark, SAMPLE)
+    way_ids = {x["id"] for x in raw.filter("kind = 1").select("id").collect()}
+    rel = raw.filter("kind = 2 and id = 31640").select("mrefs", "mtypes").first()
+    present = [m for m, t in zip(rel["mrefs"], rel["mtypes"]) if t == 1 and m in way_ids]
+    assert len(g.coords) == len(present) > 0
+
+
+def test_other_relations_collection(spark):
+    other = read_osm(spark, SAMPLE, layer="other_relations")
+    rows = {r["osm_id"]: r for r in other.collect()}
+    # tunnel relation + three naptan stop-area sites
+    assert set(rows) == {"21855", "31640", "267400", "267403", "267404"} - {"31640"}
+    site = rows["267403"]
+    assert site["type"] == "site" and site["name"] == "Oaktree Close"
+    g = parse_wkb(site["geometry_wkb"])
+    assert g.type == "GeometryCollection"
+    assert [p.type for p in g.coords] == ["Point", "Point"]
+    # tunnel relation: only member ways present in the extract contribute
+    tunnel = parse_wkb(rows["21855"]["geometry_wkb"])
+    raw = read_osm_raw(spark, SAMPLE)
+    way_ids = {x["id"] for x in raw.filter("kind = 1").select("id").collect()}
+    rel = raw.filter("kind = 2 and id = 21855").select("mrefs", "mtypes").first()
+    present = [m for m, t in zip(rel["mrefs"], rel["mtypes"]) if t == 1 and m in way_ids]
+    assert [p.type for p in tunnel.coords] == ["LineString"] * len(present) and present
+
+
+def test_read_without_layer_warns(spark):
+    with pytest.warns(UserWarning, match="More than one layer found"):
+        df = read_osm(spark, SAMPLE)
+    assert df.count() == 8  # defaulted to points
+
+
+def test_osm_info_feature_count(spark):
+    with pytest.warns(UserWarning, match="More than one layer found"):
+        info = osm_info(SAMPLE)
+    assert info["features"] == -1
+    assert osm_info(SAMPLE, layer="points", force_feature_count=True, spark=spark)["features"] == 8
+    assert osm_info(SAMPLE, layer="lines", force_feature_count=True, spark=spark)["features"] == 36
+
+
+def test_read_table_filters_compose(spark):
+    got = read_osm(
+        spark, SAMPLE, layer="points", columns=["osm_id", "highway"], where="highway = 'bus_stop'"
+    )
+    pdf = got.toPandas()
+    # geometry rides along unless read_geometry=False (pyogrio semantics)
+    assert list(pdf.columns) == ["osm_id", "highway", "geometry_wkb"] and len(pdf) == 4
+
+
+# ------------------------------------------------- synthetic round trips
+
+
+def _grid_nodes(n, base_id=1000, lon0=10.0, lat0=50.0):
+    return [
+        (base_id + i, lon0 + (i % 100) * 1e-4, lat0 + (i // 100) * 1e-4, {})
+        for i in range(n)
+    ]
+
+
+def test_writer_reader_multiblob_distributed(spark, tmp_path):
+    path = str(tmp_path / "big.osm.pbf")
+    nodes = _grid_nodes(2500)
+    nodes[7] = (*nodes[7][:3], {"highway": "bus_stop", "name": "n7"})
+    ways = [(1, [1000, 1001, 1101], {"highway": "residential", "name": "w1"})]
+    write_osm_pbf(path, nodes, ways, nodes_per_blob=1000)
+    raw = read_osm_raw(spark, path)
+    # 3 node blobs + 1 way blob
+    assert raw.rdd.getNumPartitions() == 4
+    counts = {r["kind"]: r["count"] for r in raw.groupBy("kind").count().collect()}
+    assert counts == {0: 2500, 1: 1}
+    pts = read_osm(spark, path, layer="points").collect()
+    assert len(pts) == 1 and pts[0]["name"] == "n7"
+    line = read_osm(spark, path, layer="lines").collect()[0]
+    g = parse_wkb(line["geometry_wkb"])
+    np.testing.assert_allclose(
+        g.coords,
+        [[10.0, 50.0], [10.0001, 50.0], [10.0001, 50.0001]],
+        atol=1e-9,
+    )
+
+
+def test_relation_ring_stitching_with_hole(spark, tmp_path):
+    """A multipolygon relation whose outer square and inner square are
+    each split across two OPEN member ways must stitch into one polygon
+    with a hole (the fixture has no such relation)."""
+    path = str(tmp_path / "mp.osm.pbf")
+    # outer 4x4 square, inner 1x1 hole
+    coords = {
+        1: (0.0, 0.0), 2: (4.0, 0.0), 3: (4.0, 4.0), 4: (0.0, 4.0),
+        11: (1.0, 1.0), 12: (2.0, 1.0), 13: (2.0, 2.0), 14: (1.0, 2.0),
+    }
+    nodes = [(nid, lon, lat, {}) for nid, (lon, lat) in coords.items()]
+    ways = [
+        (101, [1, 2, 3], {}),
+        (102, [3, 4, 1], {}),  # closes the outer ring with 101
+        (103, [11, 12, 13], {}),
+        (104, [11, 14, 13], {}),  # reversed orientation: stitcher must flip it
+    ]
+    rels = [
+        (
+            201,
+            [(1, 101, "outer"), (1, 102, "outer"), (1, 103, "inner"), (1, 104, "inner")],
+            {"type": "multipolygon", "landuse": "forest"},
+        )
+    ]
+    write_osm_pbf(path, nodes, ways, rels)
+    mp = read_osm(spark, path, layer="multipolygons").collect()
+    assert len(mp) == 1
+    r = mp[0]
+    assert r["osm_id"] == "201" and r["osm_way_id"] is None and r["landuse"] == "forest"
+    g = parse_wkb(r["geometry_wkb"])
+    assert g.type == "MultiPolygon" and len(g.coords) == 1
+    rings = g.coords[0].coords
+    assert len(rings) == 2
+    outer, inner = rings
+    assert np.array_equal(outer[0], outer[-1]) and np.array_equal(inner[0], inner[-1])
+    assert {tuple(p) for p in outer[:-1]} == {(0, 0), (4, 0), (4, 4), (0, 4)}
+    assert {tuple(p) for p in inner[:-1]} == {(1, 1), (2, 1), (2, 2), (1, 2)}
