@@ -256,3 +256,104 @@ def read_geopackage(spark, path: str, layer: str | None = None, **read_table_kwa
             fields.append(f"`{c}` string")
     df = spark.createDataFrame(pdf, schema=", ".join(fields))
     return read_table(spark, df, **read_table_kwargs)
+
+
+def read_geopackage_distributed(
+    spark, path: str, layer: str | None = None, chunk_rows: int = 100_000, **read_table_kwargs
+):
+    """Distributed GPKG scan: the driver reads only the registry tables
+    and the layer's primary-key range; executors each open the SQLite
+    file read-only and range-scan their own pk window inside
+    mapInPandas — SQLite's rowid B-tree makes each range seek O(log n),
+    so no task touches pages outside its chunk. Same shape as
+    ``read_shapefile_distributed``; this is the multi-GB plan the
+    single-node ``read_geopackage`` (fixture-scale interchange)
+    deliberately skips. The path must be executor-visible.
+
+    Typing: Spark-schema-first — INTEGER-family columns come back as
+    nullable BIGINT (per-chunk nulls carried via pandas Int64), FLOAT as
+    float, REAL/DOUBLE as double; the pandas reader's null-typing parity
+    conventions (nullable ints -> float64) apply to the single-node
+    interchange path only."""
+    from pyspark.sql import functions as F  # noqa: F811 (local, matches module import)
+
+    from pyogrio_spark.io.reader import read_table
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        layers = list_layers(path)
+        if not layers:
+            raise ValueError(f"no feature layers in {path}")
+        if layer is None:
+            layer = layers[0][0]
+        (gcol,) = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?", (layer,)
+        ).fetchone()
+        tinfo = list(con.execute(f'PRAGMA table_info("{layer}")'))
+        pk = next((r[1] for r in tinfo if r[5] == 1), "rowid")
+        decl = {r[1]: (r[2] or "").upper() for r in tinfo}
+        attrs = [r[1] for r in tinfo if r[1] not in (pk, gcol)]
+        lo_hi = con.execute(f'SELECT min("{pk}"), max("{pk}") FROM "{layer}"').fetchone()
+    finally:
+        con.close()
+    if lo_hi[0] is None:
+        raise ValueError(f"{path}:{layer} is empty")
+    lo, hi = int(lo_hi[0]), int(lo_hi[1])
+
+    chunks = [
+        (ci, start, min(start + int(chunk_rows) - 1, hi))
+        for ci, start in enumerate(range(lo, hi + 1, int(chunk_rows)))
+    ]
+    chunk_df = spark.createDataFrame(
+        chunks, schema="chunk_id int, pk_lo long, pk_hi long"
+    ).repartition(len(chunks), F.col("chunk_id"))
+
+    def _spark_type(c: str) -> str:
+        d = decl.get(c, "")
+        if d in ("TINYINT", "SMALLINT", "MEDIUMINT", "INT", "INTEGER", "BOOLEAN"):
+            return "bigint"
+        if d == "FLOAT":
+            return "float"
+        if d in ("REAL", "DOUBLE"):
+            return "double"
+        if d == "BLOB":
+            return "binary"
+        return "string"
+
+    schema = ", ".join(
+        ["`fid` bigint"]
+        + [f"`{c}` {_spark_type(c)}" for c in attrs]
+        + ["`geometry_wkb` binary"]
+    )
+    sel = ", ".join([f'"{pk}"'] + [f'"{c}"' for c in attrs] + [f'"{gcol}"'])
+
+    def scan(pdfs):
+        for cpdf in pdfs:
+            for row in cpdf.itertuples(index=False):
+                c = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                try:
+                    rows = c.execute(
+                        f'SELECT {sel} FROM "{layer}" WHERE "{pk}" BETWEEN ? AND ? ORDER BY "{pk}"',
+                        (int(row.pk_lo), int(row.pk_hi)),
+                    ).fetchall()
+                finally:
+                    c.close()
+                out = pd.DataFrame(
+                    {"fid": pd.array([r[0] for r in rows], dtype="Int64")}
+                )
+                for i, cname in enumerate(attrs, start=1):
+                    vals = [r[i] for r in rows]
+                    t = _spark_type(cname)
+                    if t == "bigint":
+                        out[cname] = pd.array(vals, dtype="Int64")
+                    elif t in ("float", "double"):
+                        out[cname] = pd.array(
+                            [np.nan if v is None else v for v in vals], dtype="float64"
+                        )
+                    else:
+                        out[cname] = vals
+                out["geometry_wkb"] = [gpkg_blob_to_wkb(r[-1]) for r in rows]
+                yield out
+
+    df = chunk_df.mapInPandas(scan, schema=schema)
+    return read_table(spark, df, **read_table_kwargs)

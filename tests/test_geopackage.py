@@ -102,3 +102,55 @@ def test_roundtrip_reference_fixture_content(tmp_path):
     for c in [c for c in src.columns if c.startswith("col_") and c != "col_bool"]:
         x, y = src[c].to_numpy(np.float64), back[c].to_numpy(np.float64)
         assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), c
+
+
+def test_distributed_scan_matches_single_node(spark, tmp_path):
+    """read_geopackage_distributed must return the same rows/WKB as the
+    driver-side reader, through genuinely partitioned pk-range chunks."""
+    import pandas as pd
+
+    from pyogrio_spark.io.geopackage import read_geopackage_distributed, write_geopackage
+
+    n = 257
+    pdf = pd.DataFrame(
+        {
+            "name": [f"r{i}" for i in range(n)],
+            "rank": np.arange(n, dtype=np.int64),
+            "score": np.arange(n, dtype=np.float64) / 7.0,
+            "geometry_wkb": [W.encode_point(float(i % 50), float(i % 37)) for i in range(n)],
+        }
+    )
+    path = str(tmp_path / "dist.gpkg")
+    write_geopackage(pdf, path, layer="pts")
+    # inject a NULL into the declared-INTEGER column: the distributed
+    # path must keep it BIGINT (nullable), not fall back to double
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    con.execute('UPDATE "pts" SET "rank" = NULL WHERE "fid" = 4')
+    con.commit()
+    con.close()
+
+    dist = read_geopackage_distributed(spark, path, chunk_rows=64)
+    # 257 rows / 64-pk chunks -> 5 genuinely separate scan partitions
+    assert dist.rdd.getNumPartitions() == 5
+    got = dist.toPandas().sort_values("fid").reset_index(drop=True)
+    want = read_geopackage(spark, path).toPandas().sort_values("fid").reset_index(drop=True)
+    assert len(got) == len(want) == n
+    assert got.name.tolist() == want.name.tolist()
+    assert got.geometry_wkb.tolist() == want.geometry_wkb.tolist()
+    # the SPARK schema keeps BIGINT (toPandas renders nullable bigint as
+    # float64 — a pandas conversion, not a schema fallback)
+    assert dict(dist.dtypes)["rank"] == "bigint"
+    assert got["rank"].isna().iloc[3]
+    # single-node interchange path keeps its pandas parity convention
+    # (nullable int -> float64); values agree where defined
+    np.testing.assert_allclose(
+        got["rank"].astype("float64").to_numpy(), want["rank"].astype("float64").to_numpy()
+    )
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy())
+    # composes with read_table filters like every other source
+    f = read_geopackage_distributed(
+        spark, path, chunk_rows=64, where="score > 30", columns=["name", "score"]
+    ).toPandas()
+    assert (f.score > 30).all() and list(f.columns) == ["name", "score", "geometry_wkb"]
