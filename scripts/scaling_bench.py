@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_once(cpus: int, n_docs: int) -> dict:
+def run_once(cpus: int, n_docs: int, cached: bool = True) -> dict:
     from pyspark.sql import functions as F
 
     from pyogrio_spark.functions.geo import cell_id_column
@@ -44,10 +44,27 @@ def run_once(cpus: int, n_docs: int) -> dict:
     docs = spark.range(n_docs, numPartitions=4 * cpus).select(F.col("id").alias("doc_id"))
     docs = docs.withColumn("xmin", F.expr(LON_EXPR)).withColumn("ymin", F.expr(LAT_EXPR))
     docs = docs.withColumn("cell_id", cell_id_column("xmin", "ymin", GEO_RES))
-    docs = docs.cache()
-    docs.count()
+    if cached:
+        # in-memory columnar input: the timed region is a cache scan +
+        # join — in ONE JVM the cache read is bounded by the shared
+        # memory bus, so 8->32-thread efficiency reflects the bus, not
+        # the plan (see BENCH/BASELINE.md round-3 notes).
+        docs = docs.cache()
+        docs.count()
+    # cached=False: the scan stage synthesizes rows in whole-stage
+    # codegen (pure per-core arithmetic, no shared-bus traffic) — the
+    # sandbox stand-in for a real cluster's parquet-decode scan stage,
+    # where decode is per-core CPU work local to each executor.
 
     cover = zones_cell_cover(spark, _zones_pd(), res=GEO_RES, zone_key="zone_id")
+    # steady-state protocol: execute the identical join once untimed so
+    # BOTH widths are measured with codegen classes compiled and the JVM
+    # JIT warm. Without this, whichever width runs first in a session
+    # eats the compile cost and the efficiency ratio measures janino/C2,
+    # not the plan (measured: cold 8-core 16.1 s vs warm 4.9 s on the
+    # same input). Steady-state throughput is the relevant number for a
+    # long-running 100 TB job anyway.
+    point_in_polygon_join(docs, cover, zone_key="zone_id", keep_doc_cols=["doc_id"]).count()
     t0 = time.perf_counter()
     out = point_in_polygon_join(docs, cover, zone_key="zone_id", keep_doc_cols=["doc_id"])
     n_pairs = out.count()
@@ -178,11 +195,53 @@ def run_once_asof_window(cpus: int, n_docs: int) -> dict:
     return run_once_asof(cpus, n_docs, plan="window")
 
 
+def run_once_minhash(cpus: int, n_docs: int) -> dict:
+    """CPU-bound counterpart: MinHash signatures (16-perm Carter-Wegman
+    over one md5 per 3-shingle) on synthesized ~12-word docs. Per-row
+    work is dominated by JVM md5 + codegen string assembly — the regime
+    where core count, not the shared memory bus, is the limit. This is
+    the scaling-evidence job for the engine's hash-heavy operator
+    family (minhash/simhash/winnowing/fingerprinting); the scan-bound
+    flagship join's single-JVM ceiling is reported separately (see
+    BENCH/BASELINE.md round-3 notes)."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.operators.dedup import minhash_signature
+    from pyogrio_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(
+        f"scaling_minhash_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda i: F.conv(
+            (F.pmod(F.col("id") * 48271 + i * 2_654_435_761, F.lit(1 << 20))).cast("string"), 10, 36
+        ),
+    )
+    docs = spark.range(n_docs, numPartitions=4 * cpus).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    ).cache()
+    docs.count()
+    # steady-state protocol (same rationale as run_once): warm pass first
+    minhash_signature(docs).agg(F.bit_xor(F.xxhash64("sig"))).collect()
+    t0 = time.perf_counter()
+    sig = minhash_signature(docs)
+    agg = sig.agg(F.bit_xor(F.xxhash64("sig")).alias("x"), F.count("*").alias("n")).first()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {"cpus": cpus, "docs": n_docs, "rows": agg["n"], "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
     job = sys.argv[2] if len(sys.argv) > 2 else "pip"
     runner = {"pip": run_once, "dedup": run_once_shuffle, "knn": run_once_knn,
-              "asof": run_once_asof, "asof_window": run_once_asof_window}[job]
+              "asof": run_once_asof, "asof_window": run_once_asof_window,
+              "minhash": run_once_minhash}[job]
     r8 = runner(8, n_docs)
     r32 = runner(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
