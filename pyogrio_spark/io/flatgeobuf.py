@@ -54,7 +54,7 @@ _SCALAR_COL_FMT = {
 
 def packed_rtree_size(num_items: int, node_size: int) -> int:
     """Byte size of the static packed Hilbert R-tree (40-byte nodes:
-    4 doubles + uint64 feature offset) — used only to SKIP it."""
+    4 doubles + uint64 feature offset)."""
     node_size = max(2, min(int(node_size), 65535))
     n = num_items
     num_nodes = n
@@ -62,6 +62,95 @@ def packed_rtree_size(num_items: int, node_size: int) -> int:
         n = (n + node_size - 1) // node_size
         num_nodes += n
     return num_nodes * 40
+
+
+_HILBERT_ORDER = 16  # spec: centers quantized to [0, 2^16) in the envelope
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray, order: int = _HILBERT_ORDER) -> np.ndarray:
+    """Vectorized Hilbert curve index of quantized (x, y) — the classic
+    xy->d bit loop, numpy over all points at once."""
+    x = x.astype(np.uint64).copy()
+    y = y.astype(np.uint64).copy()
+    d = np.zeros_like(x)
+    s = np.uint64(1) << np.uint64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        flip = ry == 0
+        swapflip = flip & (rx == 1)
+        x[swapflip] = s - np.uint64(1) - x[swapflip]
+        y[swapflip] = s - np.uint64(1) - y[swapflip]
+        xt = x[flip].copy()
+        x[flip] = y[flip]
+        y[flip] = xt
+        s >>= np.uint64(1)
+    return d
+
+
+def hilbert_order(bboxes: np.ndarray) -> np.ndarray:
+    """Permutation sorting features by the Hilbert index of their bbox
+    center within the dataset envelope (the spec's sort for indexed
+    files)."""
+    minx, miny = bboxes[:, 0].min(), bboxes[:, 1].min()
+    maxx, maxy = bboxes[:, 2].max(), bboxes[:, 3].max()
+    w = (maxx - minx) or 1.0
+    h = (maxy - miny) or 1.0
+    hmax = (1 << _HILBERT_ORDER) - 1
+    cx = np.floor(hmax * (((bboxes[:, 0] + bboxes[:, 2]) / 2 - minx) / w))
+    cy = np.floor(hmax * (((bboxes[:, 1] + bboxes[:, 3]) / 2 - miny) / h))
+    return np.argsort(hilbert_d(cx, cy), kind="stable")
+
+
+def build_packed_rtree(bboxes: np.ndarray, feature_offsets: np.ndarray, node_size: int = 16) -> bytes:
+    """Static packed Hilbert R-tree bytes for features ALREADY in
+    Hilbert order. Levels stored root-first, leaves last (the layout
+    ``read_flatgeobuf_pdf`` skips and the distributed reader's leaf
+    slice assumes); leaf node offsets are byte offsets into the feature
+    section, internal node offsets index-relative offsets of the first
+    child node."""
+    node_size = max(2, min(int(node_size), 65535))
+    n = len(bboxes)
+    # level sizes bottom-up: [leaves, ..., root]
+    sizes = [n]
+    m = n
+    while m != 1:
+        m = (m + node_size - 1) // node_size
+        sizes.append(m)
+    levels: list[np.ndarray] = []  # bottom-up list of (k, 5) float/record arrays
+    leaf = np.empty((n, 5), dtype=object)
+    leaf[:, :4] = bboxes[:, :4]
+    leaf[:, 4] = feature_offsets
+    levels.append(leaf)
+    for li in range(1, len(sizes)):
+        child = levels[-1]
+        k = sizes[li]
+        node = np.empty((k, 5), dtype=object)
+        for i in range(k):
+            grp = child[i * node_size : (i + 1) * node_size]
+            node[i, 0] = min(g[0] for g in grp)
+            node[i, 1] = min(g[1] for g in grp)
+            node[i, 2] = max(g[2] for g in grp)
+            node[i, 3] = max(g[3] for g in grp)
+            node[i, 4] = i * node_size  # child index within its level, fixed below
+        levels.append(node)
+    # absolute node offsets: levels written top-down (root first)
+    out = bytearray()
+    top_down = levels[::-1]
+    # start offset (in bytes) of each written level, top-down
+    starts = []
+    pos = 0
+    for lvl in top_down:
+        starts.append(pos)
+        pos += len(lvl) * 40
+    for li, lvl in enumerate(top_down):
+        is_leaf = li == len(top_down) - 1
+        for node in lvl:
+            off = int(node[4]) if is_leaf else starts[li + 1] + int(node[4]) * 40
+            out += struct.pack("<4dQ", float(node[0]), float(node[1]), float(node[2]), float(node[3]), off)
+    return bytes(out)
 
 
 # ------------------------------------------------------------ geometry
@@ -263,11 +352,18 @@ def write_flatgeobuf(
     geom_col: str = "geometry_wkb",
     layer_name: str | None = None,
     crs_wkt: str | None = None,
+    index_node_size: int = 0,
 ) -> None:
     """Write a FlatGeobuf file from a frame with a WKB geometry column.
-    No spatial index is written (index_node_size=0), so features keep
+
+    ``index_node_size=0`` (default): no spatial index — features keep
     their input order and round-trip byte-identically through
-    ``read_flatgeobuf_pdf``."""
+    ``read_flatgeobuf_pdf``. ``index_node_size>0`` (spec default 16):
+    writes the static packed Hilbert R-tree; features are re-sorted
+    into Hilbert order (the spec's contract for indexed files) and the
+    leaf nodes carry their byte offsets — which the distributed reader
+    uses for byte-range partitioning. Indexing requires non-null
+    geometries (a bbox per feature)."""
     attr_cols = [c for c in pdf.columns if c != geom_col]
     spec = _column_spec(pdf, attr_cols)
     geoms = [None if b is None else W.parse_wkb(bytes(b)) for b in pdf[geom_col]]
@@ -317,23 +413,44 @@ def write_flatgeobuf(
     hb.add_scalar(3, "<B", 1 if has_z else 0, 0)
     hb.add_offset(7, cols_off)
     hb.add_scalar(8, "<Q", len(pdf), 0)
-    hb.add_scalar(9, "<H", 0, 16)  # NO index (default is 16 — must write 0)
+    # header default for slot 9 is 16, so 0 must be written explicitly
+    hb.add_scalar(9, "<H", max(0, int(index_node_size)), 16)
     hb.add_offset(10, crs_off)
     header = hb.finish(hb.end_table(), size_prefixed=True)
 
     rows = pdf[attr_cols].to_dict("records") if attr_cols else [{}] * len(pdf)
+
+    def frame(g, row) -> bytes:
+        fb = Builder()
+        geom_off = None if g is None else _build_geometry(fb, g)
+        props = _encode_properties(row, spec)
+        props_off = fb.create_scalar_vector(props, len(props), 1) if props else None
+        fb.start_table()
+        fb.add_offset(0, geom_off)
+        fb.add_offset(1, props_off)
+        return fb.finish(fb.end_table(), size_prefixed=True)
+
+    index_bytes = b""
+    if index_node_size > 0 and len(pdf) > 0:
+        if any(g is None for g in geoms):
+            raise ValueError("index_node_size > 0 requires non-null geometries")
+        bboxes = np.array([W._geom_bounds(g) for g in geoms], dtype=np.float64)
+        order = hilbert_order(bboxes)
+        geoms = [geoms[i] for i in order]
+        rows = [rows[i] for i in order]
+        bboxes = bboxes[order]
+        frames = [frame(g, row) for g, row in zip(geoms, rows)]
+        offsets = np.cumsum([0] + [len(fr) for fr in frames[:-1]]).astype(np.uint64)
+        index_bytes = build_packed_rtree(bboxes, offsets, index_node_size)
+    else:
+        frames = [frame(g, row) for g, row in zip(geoms, rows)]
+
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(header)
-        for g, row in zip(geoms, rows):
-            fb = Builder()
-            geom_off = None if g is None else _build_geometry(fb, g)
-            props = _encode_properties(row, spec)
-            props_off = fb.create_scalar_vector(props, len(props), 1) if props else None
-            fb.start_table()
-            fb.add_offset(0, geom_off)
-            fb.add_offset(1, props_off)
-            f.write(fb.finish(fb.end_table(), size_prefixed=True))
+        f.write(index_bytes)
+        for fr in frames:
+            f.write(fr)
 
 
 # ------------------------------------------------------------------ read
@@ -438,3 +555,133 @@ def read_flatgeobuf(spark, path: str, **read_table_kwargs):
 def list_layers(path: str) -> list[list[str]]:
     _, info = read_flatgeobuf_pdf(path)
     return [[info["layer_name"], info["geometry_type"]]]
+
+
+def _fgb_layout(path: str):
+    """(spec, layer_code, feature_section_start, absolute feature
+    offsets) reading only the header and either the R-tree LEAF slice
+    (indexed files: one seek, 40 bytes per feature) or a 4-byte-size
+    seek-walk (index-less files: no payload reads)."""
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:3] != b"fgb" or head[3] != 3 or head[4:7] != b"fgb":
+            raise ValueError(f"{path}: not a FlatGeobuf file (bad magic)")
+        (hsize,) = struct.unpack_from("<I", head, 8)
+        f.seek(8)
+        hdr_buf = f.read(4 + hsize)
+        header = Table.root(hdr_buf, 4)
+        layer_code = header.scalar(2, "<B", 0)
+        features_count = header.scalar(8, "<Q", 0)
+        node_size = header.scalar(9, "<H", 16)
+        spec = [(c.string(0), c.scalar(1, "<B", 0)) for c in header.table_vector(7)]
+        index_off = 8 + 4 + hsize
+        index_size = (
+            packed_rtree_size(features_count, node_size)
+            if node_size > 0 and features_count > 0
+            else 0
+        )
+        feat0 = index_off + index_size
+        if index_size:
+            # leaves are the LAST features_count nodes; their offsets are
+            # feature-section-relative and ascending (features are stored
+            # in the same Hilbert order as the leaf level)
+            f.seek(feat0 - features_count * 40)
+            leaves = np.frombuffer(f.read(features_count * 40), dtype=np.uint8)
+            rel = leaves.reshape(features_count, 40)[:, 32:].copy().view("<u8").ravel()
+            offsets = feat0 + rel.astype(np.int64)
+        else:
+            offsets_l = []
+            pos = feat0
+            while pos + 4 <= file_size:
+                offsets_l.append(pos)
+                f.seek(pos)
+                (fsize,) = struct.unpack("<I", f.read(4))
+                pos += 4 + fsize
+            offsets = np.array(offsets_l, dtype=np.int64)
+    return spec, layer_code, feat0, offsets, file_size
+
+
+def read_flatgeobuf_distributed(
+    spark, path: str, chunk_features: int = 50_000, **read_table_kwargs
+):
+    """Distributed FlatGeobuf scan: per-feature byte offsets come from
+    the packed R-tree's leaf nodes (or a header-only seek-walk for
+    index-less files) on the driver; executors byte-range-read and
+    decode ONLY their own contiguous chunk of feature frames inside
+    mapInPandas — the same plan shape as the distributed shapefile and
+    GeoPackage scans. The path must be executor-visible."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.io.reader import read_table
+
+    spec, layer_code, _feat0, offsets, file_size = _fgb_layout(path)
+    n = len(offsets)
+    if n == 0:
+        raise ValueError(f"{path}: no features")
+    chunks = []
+    for ci, lo in enumerate(range(0, n, int(chunk_features))):
+        hi = min(lo + int(chunk_features), n)
+        end = int(offsets[hi]) if hi < n else file_size
+        chunks.append((ci, int(offsets[lo]), end, lo))
+    chunk_df = spark.createDataFrame(
+        chunks, schema="chunk_id int, byte_lo long, byte_hi long, fid_lo long"
+    ).repartition(len(chunks), F.col("chunk_id"))
+
+    def _spark_type(ctype: int) -> str:
+        if ctype in (COL_BYTE, COL_UBYTE, COL_SHORT, COL_USHORT, COL_INT,
+                     COL_UINT, COL_LONG, COL_ULONG):
+            return "bigint"
+        if ctype in (COL_FLOAT, COL_DOUBLE):
+            return "double"
+        if ctype == COL_BOOL:
+            return "boolean"
+        if ctype == COL_BINARY:
+            return "binary"
+        return "string"
+
+    schema = ", ".join(
+        ["`fid` bigint"]
+        + [f"`{name}` {_spark_type(ct)}" for name, ct in spec]
+        + ["`geometry_wkb` binary"]
+    )
+
+    def scan(pdfs):
+        for cpdf in pdfs:
+            for row in cpdf.itertuples(index=False):
+                with open(path, "rb") as f:
+                    f.seek(row.byte_lo)
+                    buf = f.read(row.byte_hi - row.byte_lo)
+                geoms, prop_rows = [], []
+                off = 0
+                while off + 4 <= len(buf):
+                    (fsize,) = struct.unpack_from("<I", buf, off)
+                    feat = Table.root(buf, off + 4)
+                    off += 4 + fsize
+                    gt = feat._indirect(0)
+                    geoms.append(
+                        None if gt is None else W.encode_geom(_parse_geometry(Table(buf, gt), layer_code))
+                    )
+                    ps, pn = feat.vector(1)
+                    prop_rows.append(_decode_properties(buf[ps : ps + pn], spec) if pn else {})
+                out = pd.DataFrame(
+                    {"fid": np.arange(row.fid_lo, row.fid_lo + len(geoms), dtype=np.int64)}
+                )
+                for name, ct in spec:
+                    vals = [r.get(name) for r in prop_rows]
+                    t = _spark_type(ct)
+                    if t == "bigint":
+                        out[name] = pd.array(vals, dtype="Int64")
+                    elif t == "double":
+                        out[name] = pd.array(
+                            [np.nan if v is None else v for v in vals], dtype="float64"
+                        )
+                    elif t == "boolean":
+                        out[name] = pd.array(vals, dtype="boolean")
+                    else:
+                        out[name] = vals
+                out["geometry_wkb"] = geoms
+                yield out
+
+    df = chunk_df.mapInPandas(scan, schema=schema)
+    return read_table(spark, df, **read_table_kwargs)

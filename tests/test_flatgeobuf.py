@@ -163,3 +163,86 @@ def test_dispatch_and_spark_filters(spark, ne_fgb):
     eu = read_flatgeobuf(spark, out, bbox=(-10.0, 36.0, 20.0, 60.0))
     names = {r["name"] for r in eu.select("name").collect()}
     assert {"France", "Spain", "Germany"} <= names and "Brazil" not in names
+
+
+def test_indexed_write_hilbert_reorder_and_parity(tmp_path):
+    """index_node_size=16 writes the packed Hilbert R-tree: features
+    are re-sorted into Hilbert order (spec contract), the reader skips
+    the index, and every (attrs, geometry) pair survives."""
+    import numpy as np
+
+    from pyogrio_spark.io.flatgeobuf import (
+        _fgb_layout,
+        packed_rtree_size,
+        read_flatgeobuf_pdf,
+        write_flatgeobuf,
+    )
+
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "name": [f"f{i}" for i in range(n)],
+            "v": np.arange(n, dtype=np.int64),
+            "geometry_wkb": [
+                W.encode_point(float((i * 37) % 100), float((i * 53) % 80)) for i in range(n)
+            ],
+        }
+    )
+    path = str(tmp_path / "idx.fgb")
+    write_flatgeobuf(pdf, path, index_node_size=16)
+    got, info = read_flatgeobuf_pdf(path)
+    assert len(got) == n and sorted(got.name) == sorted(pdf.name)
+    # attribute<->geometry pairing survives the reorder
+    m = dict(zip(got.name, map(bytes, got.geometry_wkb)))
+    want = dict(zip(pdf.name, map(bytes, pdf.geometry_wkb)))
+    assert m == want
+    spec, code, feat0, offs, fsize = _fgb_layout(path)
+    # leaf slice yields one ascending offset per feature, starting at the
+    # feature section, and the index block has the spec'd size
+    assert len(offs) == n and offs[0] == feat0 and (np.diff(offs) > 0).all()
+    with open(path, "rb") as f:
+        import struct as _s
+
+        f.seek(8)
+        (hsize,) = _s.unpack("<I", f.read(4))
+    assert feat0 - (8 + 4 + hsize) == packed_rtree_size(n, 16)
+
+
+@pytest.mark.parametrize("node_size", [0, 16])
+def test_distributed_scan_matches_single_node(spark, tmp_path, node_size):
+    """Distributed byte-range scan == single-node reader, through both
+    offset sources: R-tree leaves (indexed) and the seek-walk (not)."""
+    import numpy as np
+
+    from pyogrio_spark.io.flatgeobuf import (
+        read_flatgeobuf,
+        read_flatgeobuf_distributed,
+        write_flatgeobuf,
+    )
+
+    n = 450
+    pdf = pd.DataFrame(
+        {
+            "name": [f"f{i}" for i in range(n)],
+            "v": np.arange(n, dtype=np.int64),
+            "score": np.arange(n, dtype=np.float64) / 3.0,
+            "geometry_wkb": [
+                W.encode_point(float((i * 37) % 100), float((i * 53) % 80)) for i in range(n)
+            ],
+        }
+    )
+    path = str(tmp_path / f"d{node_size}.fgb")
+    write_flatgeobuf(pdf, path, index_node_size=node_size)
+    dist = read_flatgeobuf_distributed(spark, path, chunk_features=100)
+    assert dist.rdd.getNumPartitions() == 5  # 450/100 -> 5 byte-range chunks
+    got = dist.toPandas().sort_values("name").reset_index(drop=True)
+    want = read_flatgeobuf(spark, path).toPandas().sort_values("name").reset_index(drop=True)
+    assert got.name.tolist() == want.name.tolist()
+    assert got.v.tolist() == want.v.tolist()
+    assert [bytes(b) for b in got.geometry_wkb] == [bytes(b) for b in want.geometry_wkb]
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy())
+    # composes with read_table filters
+    f = read_flatgeobuf_distributed(
+        spark, path, chunk_features=100, where="v % 2 = 0", columns=["name", "v"]
+    ).toPandas()
+    assert len(f) == n // 2 and (f.v % 2 == 0).all()
