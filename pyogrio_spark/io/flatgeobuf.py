@@ -587,9 +587,11 @@ def _fgb_layout(path: str):
             # feature-section-relative and ascending (features are stored
             # in the same Hilbert order as the leaf level)
             f.seek(feat0 - features_count * 40)
-            leaves = np.frombuffer(f.read(features_count * 40), dtype=np.uint8)
-            rel = leaves.reshape(features_count, 40)[:, 32:].copy().view("<u8").ravel()
+            raw = f.read(features_count * 40)
+            leaves = np.frombuffer(raw, dtype=np.uint8).reshape(features_count, 40)
+            rel = leaves[:, 32:].copy().view("<u8").ravel()
             offsets = feat0 + rel.astype(np.int64)
+            leaf_boxes = leaves[:, :32].copy().view("<f8").reshape(features_count, 4)
         else:
             offsets_l = []
             pos = feat0
@@ -599,7 +601,8 @@ def _fgb_layout(path: str):
                 (fsize,) = struct.unpack("<I", f.read(4))
                 pos += 4 + fsize
             offsets = np.array(offsets_l, dtype=np.int64)
-    return spec, layer_code, feat0, offsets, file_size
+            leaf_boxes = None
+    return spec, layer_code, feat0, offsets, file_size, leaf_boxes
 
 
 def read_flatgeobuf_distributed(
@@ -615,15 +618,46 @@ def read_flatgeobuf_distributed(
 
     from pyogrio_spark.io.reader import read_table
 
-    spec, layer_code, _feat0, offsets, file_size = _fgb_layout(path)
+    spec, layer_code, _feat0, offsets, file_size, leaf_boxes = _fgb_layout(path)
     n = len(offsets)
     if n == 0:
         raise ValueError(f"{path}: no features")
+    # bbox pushdown to the STORAGE layer: when the file carries the
+    # packed R-tree, prune whole byte ranges on the driver using the
+    # leaf bboxes (a superset of the exact answer — read_table's bbox
+    # refine still runs on what is read). Hilbert order clusters
+    # spatial neighbors, so the surviving features form few contiguous
+    # runs and the scan reads only those ranges — the reference's
+    # reason for the index (bounds-assisted reads, core.py:184-187).
+    bbox = read_table_kwargs.get("bbox")
+    if bbox is not None and leaf_boxes is not None:
+        qx0, qy0, qx1, qy1 = bbox
+        keep = (
+            (leaf_boxes[:, 0] <= qx1)
+            & (leaf_boxes[:, 2] >= qx0)
+            & (leaf_boxes[:, 1] <= qy1)
+            & (leaf_boxes[:, 3] >= qy0)
+        )
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            idx = np.array([], dtype=np.int64)
+        runs = np.split(idx, np.flatnonzero(np.diff(idx) > 1) + 1) if len(idx) else []
+    else:
+        runs = [np.arange(n, dtype=np.int64)]
     chunks = []
-    for ci, lo in enumerate(range(0, n, int(chunk_features))):
-        hi = min(lo + int(chunk_features), n)
-        end = int(offsets[hi]) if hi < n else file_size
-        chunks.append((ci, int(offsets[lo]), end, lo))
+    ci = 0
+    for run in runs:
+        if len(run) == 0:
+            continue
+        for lo_i in range(0, len(run), int(chunk_features)):
+            seg = run[lo_i : lo_i + int(chunk_features)]
+            lo, hi = int(seg[0]), int(seg[-1]) + 1
+            end = int(offsets[hi]) if hi < n else file_size
+            chunks.append((ci, int(offsets[lo]), end, lo))
+            ci += 1
+    if not chunks:
+        # bbox pruned everything: empty frame with the right schema
+        chunks = [(0, int(offsets[0]), int(offsets[0]), 0)]
     chunk_df = spark.createDataFrame(
         chunks, schema="chunk_id int, byte_lo long, byte_hi long, fid_lo long"
     ).repartition(len(chunks), F.col("chunk_id"))

@@ -196,10 +196,11 @@ def test_indexed_write_hilbert_reorder_and_parity(tmp_path):
     m = dict(zip(got.name, map(bytes, got.geometry_wkb)))
     want = dict(zip(pdf.name, map(bytes, pdf.geometry_wkb)))
     assert m == want
-    spec, code, feat0, offs, fsize = _fgb_layout(path)
+    spec, code, feat0, offs, fsize, leaf_boxes = _fgb_layout(path)
     # leaf slice yields one ascending offset per feature, starting at the
     # feature section, and the index block has the spec'd size
     assert len(offs) == n and offs[0] == feat0 and (np.diff(offs) > 0).all()
+    assert leaf_boxes.shape == (n, 4)
     with open(path, "rb") as f:
         import struct as _s
 
@@ -246,3 +247,41 @@ def test_distributed_scan_matches_single_node(spark, tmp_path, node_size):
         spark, path, chunk_features=100, where="v % 2 = 0", columns=["name", "v"]
     ).toPandas()
     assert len(f) == n // 2 and (f.v % 2 == 0).all()
+
+
+def test_distributed_bbox_pushdown_prunes_byte_ranges(spark, tmp_path):
+    """With the R-tree present, a bbox read must prune whole byte
+    ranges on the driver (storage-level pushdown) AND return exactly
+    the rows the unpruned path returns."""
+    import numpy as np
+
+    from pyogrio_spark.io.flatgeobuf import read_flatgeobuf_distributed, write_flatgeobuf
+
+    n = 400
+    xs = np.array([(i * 37) % 100 for i in range(n)], dtype=np.float64)
+    ys = np.array([(i * 53) % 80 for i in range(n)], dtype=np.float64)
+    pdf = pd.DataFrame(
+        {
+            "name": [f"f{i}" for i in range(n)],
+            "geometry_wkb": [W.encode_point(x, y) for x, y in zip(xs, ys)],
+        }
+    )
+    path = str(tmp_path / "bbox.fgb")
+    write_flatgeobuf(pdf, path, index_node_size=16)
+    bbox = (10.0, 10.0, 30.0, 25.0)
+    pruned = read_flatgeobuf_distributed(spark, path, chunk_features=100, bbox=bbox)
+    full = read_flatgeobuf_distributed(spark, path, chunk_features=100)
+    want = {
+        f"f{i}"
+        for i in range(n)
+        if bbox[0] <= xs[i] <= bbox[2] and bbox[1] <= ys[i] <= bbox[3]
+    }
+    got = set(pruned.toPandas().name)
+    assert got == want and 0 < len(want) < n
+    # the pruned plan reads strictly fewer byte-range chunks
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions() or len(want) <= 100
+    # miss-everything bbox still yields a well-formed empty frame
+    empty = read_flatgeobuf_distributed(
+        spark, path, chunk_features=100, bbox=(500.0, 500.0, 600.0, 600.0)
+    )
+    assert empty.count() == 0 and "geometry_wkb" in empty.columns
