@@ -25,6 +25,7 @@ HEADLINE = [
     "geo_pip_join_poly",
     "geo_tile_assignment",
     "geo_knn_join",
+    "geo_knn_join_haversine",
     "geo_range_join",
     "geo_zonal_stats",
     "spans_explode",
