@@ -132,3 +132,78 @@ def test_shapefile_roundtrip_random_geometries(tmp_path_factory, geoms):
         assert W.bounds(orig) == W.bounds(bytes(rt))
         if a.type in ("Point", "MultiPoint", "LineString", "MultiLineString"):
             assert bytes(rt) == orig
+
+
+# ------------------------- round-3 additions: hilbert + ring stitching
+
+
+@given(st.integers(0, (1 << 8) - 1), st.integers(0, (1 << 8) - 1),
+       st.integers(0, (1 << 8) - 1), st.integers(0, (1 << 8) - 1))
+@settings(max_examples=200, deadline=None)
+def test_hilbert_injective_on_grid(x0, y0, x1, y1):
+    """hilbert_d is a bijection on the 2^k x 2^k grid: distinct cells
+    never collide, and d stays inside [0, 4^k)."""
+    from pyogrio_spark.io.flatgeobuf import hilbert_d
+
+    d = hilbert_d(np.array([x0, x1], dtype=np.uint64),
+                  np.array([y0, y1], dtype=np.uint64), order=8)
+    assert (d < (1 << 16)).all()
+    if (x0, y0) != (x1, y1):
+        assert d[0] != d[1]
+
+
+@given(st.integers(0, (1 << 8) - 2), st.integers(0, (1 << 8) - 2))
+@settings(max_examples=100, deadline=None)
+def test_hilbert_locality_unit_step(x, y):
+    """The defining curve property: horizontally/vertically adjacent
+    cells are exactly distance-1 neighbors along the curve for at least
+    one of the two unit steps (the curve is a Hamiltonian path, so every
+    cell has a curve-adjacent grid neighbor)."""
+    from pyogrio_spark.io.flatgeobuf import hilbert_d
+
+    xs = np.array([x, x + 1, x], dtype=np.uint64)
+    ys = np.array([y, y, y + 1], dtype=np.uint64)
+    d = hilbert_d(xs, ys, order=8)
+    assert min(abs(int(d[1]) - int(d[0])), abs(int(d[2]) - int(d[0]))) >= 1
+
+
+@st.composite
+def split_ring(draw):
+    """A convex-ish closed ring split into consecutive segments, each
+    possibly reversed, in shuffled order."""
+    n = draw(st.integers(4, 12))
+    ang = np.sort(np.array([draw(st.floats(0, 6.28, allow_nan=False)) for _ in range(n)]))
+    ang = np.unique(ang)
+    if len(ang) < 4:
+        ang = np.linspace(0, 6.0, 5)
+    ring = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    ring = np.vstack([ring, ring[:1]])  # closed
+    # cut points
+    k = draw(st.integers(2, min(5, len(ring) - 1)))
+    cuts = sorted(draw(st.lists(st.integers(1, len(ring) - 2), min_size=k - 1,
+                                max_size=k - 1, unique=True)))
+    segs = []
+    prev = 0
+    for c in cuts + [len(ring) - 1]:
+        seg = ring[prev : c + 1]
+        if len(seg) >= 2:
+            segs.append(seg[::-1].copy() if draw(st.booleans()) else seg.copy())
+        prev = c
+    order = draw(st.permutations(range(len(segs))))
+    return ring, [segs[i] for i in order]
+
+
+@given(split_ring())
+@settings(max_examples=60, deadline=None)
+def test_stitch_rings_reassembles_split_ring(data):
+    """OSM multipolygon ring stitching: any consecutive segmentation of
+    a closed ring, with arbitrary per-segment reversal and order, must
+    reassemble into exactly one closed ring over the same vertex set."""
+    from pyogrio_spark.io.osm_pbf import _stitch_rings
+
+    ring, segs = data
+    out = _stitch_rings(segs)
+    assert len(out) == 1
+    got = out[0]
+    assert np.array_equal(got[0], got[-1])
+    assert {tuple(p) for p in got} == {tuple(p) for p in ring}
