@@ -157,3 +157,43 @@ def write_geojson(pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb") 
                 f.write(json.dumps(feat) + "\n")
         else:
             json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+
+def write_geojson_seq_distributed(df, out_dir: str, geom_col: str = "geometry_wkb") -> None:
+    """Distributed GeoJSONSeq sink: every partition serializes its own
+    rows to feature-per-line JSON (the same encoding as
+    ``write_geojson``'s .geojsonl branch, repr-exact floats) and Spark's
+    text writer emits one part file per partition — the write-side
+    mirror of ``read_geojson_seq_distributed``, and the engine's first
+    distributed non-parquet sink. Read the directory back with
+    ``read_geojson_seq_distributed(spark, f"{out_dir}/part-*")``.
+
+    Driver does no per-row work; the encode runs in an Arrow-batched
+    mapInPandas stage (format sinks are Python-side by nature — the
+    same boundary as every other codec here)."""
+    cols = [c for c in df.columns if c not in (geom_col, "fid")]
+
+    def enc(pdfs):
+        for pdf in pdfs:
+            lines = []
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                g = d.get(geom_col)
+                props = {
+                    k: (
+                        None
+                        if (v is None or (isinstance(v, float) and np.isnan(v)))
+                        else (v.item() if isinstance(v, np.generic) else v)
+                    )
+                    for k, v in d.items()
+                    if k in cols
+                }
+                feat = {
+                    "type": "Feature",
+                    "properties": props,
+                    "geometry": None if g is None else _geom_to_coords(W.parse_wkb(bytes(g))),
+                }
+                lines.append(json.dumps(feat))
+            yield pd.DataFrame({"value": lines})
+
+    df.mapInPandas(enc, schema="value string").write.mode("overwrite").text(out_dir)

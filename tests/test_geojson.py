@@ -86,3 +86,49 @@ def test_open_table_dispatch(tmp_path, spark, frame):
     gp = "/root/reference/pyogrio/tests/fixtures/curve.gpkg"
     assert ps.dataset_layers(gp) == [["curve", "LineString"]]
     assert ps.open_table(spark, gp).count() >= 1
+
+
+def test_distributed_seq_sink_roundtrip(spark, tmp_path):
+    """write_geojson_seq_distributed -> part-per-partition .jsonl files
+    -> read_geojson_seq_distributed returns the same features with
+    WKB-identical geometry (repr-exact float round trip)."""
+    import json as _json
+
+    import numpy as np
+
+    from pyogrio_spark.io.geojson import (
+        read_geojson_seq_distributed,
+        write_geojson_seq_distributed,
+    )
+
+    n = 250
+    pdf = pd.DataFrame(
+        {
+            "name": [f"r{i}" for i in range(n)],
+            "v": np.arange(n, dtype=np.int64),
+            "geometry_wkb": [
+                W.encode_point(float(i) / 7.0 - 90.0, float(i) / 11.0 - 40.0) for i in range(n)
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, schema="name string, v bigint, geometry_wkb binary"
+    ).repartition(4)
+    out = str(tmp_path / "seq_out")
+    write_geojson_seq_distributed(df, out)
+    import glob as _glob
+
+    parts = _glob.glob(f"{out}/part-*")
+    assert len(parts) == 4  # one file per partition, no driver funnel
+    back = read_geojson_seq_distributed(spark, f"{out}/part-*").toPandas()
+    assert len(back) == n
+    got = sorted(
+        (
+            _json.loads(p)["name"],
+            _json.loads(p)["v"],
+            bytes(g),
+        )
+        for p, g in zip(back.properties_json, back.geometry_wkb)
+    )
+    want = sorted((r.name, int(r.v), bytes(r.geometry_wkb)) for r in pdf.itertuples(index=False))
+    assert got == want
