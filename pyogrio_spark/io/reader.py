@@ -97,6 +97,12 @@ def read_table(
         df.createOrReplaceTempView("layer")
         df = spark.sql(sql)
 
+    # file sources carry the reference's "fid" column; the default
+    # fid_column targets the testdata tables' doc_id — fall back so
+    # fids=/skip/max work unchanged through every dispatch route
+    if fid_column not in df.columns and "fid" in df.columns:
+        fid_column = "fid"
+
     if fids is not None:
         df = df.filter(F.col(fid_column).isin(list(fids)))
 
