@@ -226,3 +226,32 @@ def test_relation_ring_stitching_with_hole(spark, tmp_path):
     assert np.array_equal(outer[0], outer[-1]) and np.array_equal(inner[0], inner[-1])
     assert {tuple(p) for p in outer[:-1]} == {(0, 0), (4, 0), (4, 4), (0, 4)}
     assert {tuple(p) for p in inner[:-1]} == {(1, 1), (2, 1), (2, 2), (1, 2)}
+
+
+def test_packed_np_matches_scalar_decoder():
+    """The vectorized varint decoder must agree with the scalar one on
+    arbitrary value mixes (full signed 64-bit range incl. 10-byte
+    encodings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyogrio_spark.io.osm_pbf import _enc_varint, _packed, _packed_np, _zz
+
+    @given(
+        st.lists(
+            st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1), min_size=0, max_size=50
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(vals, signed):
+        if signed:
+            buf = b"".join(_enc_varint(_zz(v)) for v in vals)
+        else:
+            vals = [abs(v) for v in vals]
+            buf = b"".join(_enc_varint(v) for v in vals)
+        got = _packed_np(buf, signed=signed).tolist()
+        ref = _packed(buf, signed=signed)
+        assert got == ref == vals
+
+    check()
