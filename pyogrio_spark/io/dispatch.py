@@ -75,31 +75,55 @@ def detect_format(path: str) -> str:
     return "table"  # parquet directory or committed snapshot table
 
 
-def open_table(spark, path, layer: str | None = None, **read_table_kwargs):
+def open_table(
+    spark, path, layer: str | None = None, distributed: bool = False, **read_table_kwargs
+):
     """Any supported source -> engine DataFrame with read_table filters.
     Zip-archive variants (.shp.zip/.shz/.gpkg.zip/.zip) extract to a
-    cached temp dir first."""
+    cached temp dir first.
+
+    ``distributed=True`` routes to the byte-range-partitioned scan of
+    each format (shapefile .shx offsets, GeoPackage pk ranges,
+    FlatGeobuf R-tree leaves; GeoJSONSeq and OSM are always
+    distributed) — the multi-GB path; requires the file to be
+    executor-visible. Plain GeoJSON FeatureCollection has no
+    distributed variant (single JSON document; GeoJSONSeq is the
+    declared scale layout) and raises."""
     if isinstance(path, (str, os.PathLike)):
         path = resolve_archive(str(path))
         fmt = detect_format(path)
     else:
         fmt = "table"
     if fmt == "shapefile":
-        from pyogrio_spark.io.shapefile import read_shapefile
+        from pyogrio_spark.io.shapefile import read_shapefile, read_shapefile_distributed
 
-        return read_shapefile(spark, str(path), **read_table_kwargs)
+        fn = read_shapefile_distributed if distributed else read_shapefile
+        return fn(spark, str(path), **read_table_kwargs)
     if fmt == "geopackage":
-        from pyogrio_spark.io.geopackage import read_geopackage
+        from pyogrio_spark.io.geopackage import read_geopackage, read_geopackage_distributed
 
-        return read_geopackage(spark, str(path), layer=layer, **read_table_kwargs)
+        fn = read_geopackage_distributed if distributed else read_geopackage
+        return fn(spark, str(path), layer=layer, **read_table_kwargs)
     if fmt == "geojson":
+        low = str(path).lower()
+        if low.endswith((".geojsonl", ".geojsons")):
+            from pyogrio_spark.io.geojson import read_geojson_seq_distributed
+
+            if distributed:
+                return read_geojson_seq_distributed(spark, str(path))
+        elif distributed:
+            raise ValueError(
+                "GeoJSON FeatureCollection has no distributed scan (one JSON "
+                "document); convert to GeoJSONSeq (.geojsonl) for the scale path"
+            )
         from pyogrio_spark.io.geojson import read_geojson
 
         return read_geojson(spark, str(path), **read_table_kwargs)
     if fmt == "flatgeobuf":
-        from pyogrio_spark.io.flatgeobuf import read_flatgeobuf
+        from pyogrio_spark.io.flatgeobuf import read_flatgeobuf, read_flatgeobuf_distributed
 
-        return read_flatgeobuf(spark, str(path), **read_table_kwargs)
+        fn = read_flatgeobuf_distributed if distributed else read_flatgeobuf
+        return fn(spark, str(path), **read_table_kwargs)
     if fmt == "osm":
         from pyogrio_spark.io.osm_pbf import read_osm
 

@@ -69,3 +69,50 @@ def test_multi_dataset_zip_rejected(tmp_path):
         z.writestr("b.gpkg", b"y")
     with pytest.raises(ValueError, match="exactly one"):
         resolve_archive(p)
+
+
+def test_open_table_distributed_routing(spark, tmp_path):
+    """open_table(distributed=True) must route every format to its
+    byte-range scan with identical rows, and refuse the one layout with
+    no distributed variant (GeoJSON FeatureCollection)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyogrio_spark.geometry import wkb as W
+    from pyogrio_spark.io.dispatch import open_table
+    from pyogrio_spark.io.flatgeobuf import write_flatgeobuf
+    from pyogrio_spark.io.geojson import write_geojson
+    from pyogrio_spark.io.geopackage import write_geopackage
+    from pyogrio_spark.io.shapefile import write_shapefile
+
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "name": [f"r{i}" for i in range(n)],
+            "v": np.arange(n, dtype=np.int64),
+            "geometry_wkb": [W.encode_point(float(i), float(i % 7)) for i in range(n)],
+        }
+    )
+    paths = {
+        "shp": str(tmp_path / "d.shp"),
+        "gpkg": str(tmp_path / "d.gpkg"),
+        "fgb": str(tmp_path / "d.fgb"),
+    }
+    write_shapefile(pdf, paths["shp"])
+    write_geopackage(pdf, paths["gpkg"])
+    write_flatgeobuf(pdf, paths["fgb"])
+    for fmt, p in paths.items():
+        a = open_table(spark, p).toPandas().sort_values("name").reset_index(drop=True)
+        b = (
+            open_table(spark, p, distributed=True)
+            .toPandas()
+            .sort_values("name")
+            .reset_index(drop=True)
+        )
+        assert a.name.tolist() == b.name.tolist(), fmt
+        assert [bytes(x) for x in a.geometry_wkb] == [bytes(x) for x in b.geometry_wkb], fmt
+    fc = str(tmp_path / "d.geojson")
+    write_geojson(pdf, fc)
+    with _pytest.raises(ValueError, match="no distributed scan"):
+        open_table(spark, fc, distributed=True)
