@@ -23,11 +23,31 @@ from pyspark.sql import DataFrame
 
 _PINS: list[DataFrame] = []
 
+# Auto-eviction bound (round-3 ADVICE: long-running sessions that never
+# call release_pins() must not accumulate pinned storage blocks without
+# limit). A pin only needs to survive until its operator's output is
+# materialized; by the time a pin is MAX_PINS operator invocations old
+# that has either happened (the normal flow — each output materializes
+# before the next operator runs) or the plan was abandoned. An evicted
+# pin whose output is materialized LATER anyway loses the pid-pin
+# guarantee — callers interleaving >MAX_PINS deferred two-phase plans
+# must materialize or release explicitly before that depth.
+MAX_PINS = 16
+
 
 def pin_cache(df: DataFrame) -> DataFrame:
-    """cache() + register in the session-wide pin list."""
+    """cache() + register in the session-wide pin list. The registry is
+    bounded: beyond ``MAX_PINS`` entries the oldest pin is unpersisted
+    (FIFO), so sessions that never call ``release_pins()`` hold at most
+    a fixed number of pinned frames."""
     pinned = df.cache()
     _PINS.append(pinned)
+    while len(_PINS) > MAX_PINS:
+        old = _PINS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped: nothing to free
+            pass
     return pinned
 
 

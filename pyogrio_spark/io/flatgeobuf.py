@@ -285,21 +285,34 @@ def _column_spec(pdf: pd.DataFrame, cols: list[str]) -> list[tuple[str, int]]:
     spec = []
     for c in cols:
         dt = pdf[c].dtype
-        if dt == np.int64:
+        name = str(dt)
+        if dt == np.int64 or name == "Int64":
             spec.append((c, COL_LONG))
-        elif dt == np.int32:
+        elif dt == np.int32 or name == "Int32":
             spec.append((c, COL_INT))
-        elif dt == np.float64:
+        elif dt == np.float64 or name == "Float64":
             spec.append((c, COL_DOUBLE))
-        elif dt == np.float32:
+        elif dt == np.float32 or name == "Float32":
             spec.append((c, COL_FLOAT))
-        elif dt == bool:
+        elif dt == bool or name == "boolean":
             spec.append((c, COL_BOOL))
-        elif str(dt).startswith("datetime64"):
+        elif name.startswith("datetime64"):
             spec.append((c, COL_DATETIME))
         else:
+            # object column: type the first non-null sample (nulls render
+            # as omitted slots either way). bool before int: Python bool
+            # is an int subclass.
             sample = next((v for v in pdf[c] if v is not None and not pd.isna(v)), None)
-            spec.append((c, COL_BINARY if isinstance(sample, (bytes, bytearray)) else COL_STRING))
+            if isinstance(sample, (bytes, bytearray)):
+                spec.append((c, COL_BINARY))
+            elif isinstance(sample, (bool, np.bool_)):
+                spec.append((c, COL_BOOL))
+            elif isinstance(sample, (int, np.integer)):
+                spec.append((c, COL_LONG))
+            elif isinstance(sample, (float, np.floating)):
+                spec.append((c, COL_DOUBLE))
+            else:
+                spec.append((c, COL_STRING))
     return spec
 
 
@@ -524,31 +537,67 @@ def read_flatgeobuf_pdf(path: str) -> tuple[pd.DataFrame, dict]:
         "geometry_type": gtype,
         "crs": crs,
         "encoding": "UTF-8",
+        "column_spec": spec,
     }
     return pdf, info
+
+
+def _spark_type(ctype: int) -> str:
+    """FGB ColumnType -> Spark SQL type (shared by the driver-side and
+    distributed scans, so both produce the same schema for one file)."""
+    if ctype in (COL_BYTE, COL_UBYTE, COL_SHORT, COL_USHORT, COL_INT,
+                 COL_UINT, COL_LONG, COL_ULONG):
+        return "bigint"
+    if ctype in (COL_FLOAT, COL_DOUBLE):
+        return "double"
+    if ctype == COL_BOOL:
+        return "boolean"
+    if ctype == COL_BINARY:
+        return "binary"
+    return "string"
 
 
 def read_flatgeobuf(spark, path: str, **read_table_kwargs):
     """FlatGeobuf -> engine DataFrame (fid, attributes, geometry_wkb),
     composable with every read_table filter (where/bbox/mask/columns...).
     Driver-side parse, like the other interchange format drivers —
-    corpus-scale data lives in parquet/committed tables."""
+    corpus-scale data lives in parquet/committed tables.
+
+    The Spark schema comes from the file's COLUMN SPEC, not pandas
+    dtype sniffing — a binary attribute (object dtype of bytes) or a
+    nullable boolean would otherwise fall into the string branch and
+    fail createDataFrame (round-3 ADVICE)."""
     from pyogrio_spark.io.reader import read_table
 
-    pdf, _ = read_flatgeobuf_pdf(path)
-    fields = []
-    for c in pdf.columns:
-        if c == "geometry_wkb":
-            fields.append(f"`{c}` binary")
-        elif pdf[c].dtype == np.int64:
-            fields.append(f"`{c}` bigint")
-        elif pdf[c].dtype == np.float64:
-            fields.append(f"`{c}` double")
-        elif pdf[c].dtype == bool:
-            fields.append(f"`{c}` boolean")
-        else:
-            fields.append(f"`{c}` string")
-    df = spark.createDataFrame(pdf, schema=", ".join(fields))
+    pdf, info = read_flatgeobuf_pdf(path)
+    spec = info["column_spec"]
+    out = pd.DataFrame({"fid": pdf["fid"].to_numpy(dtype=np.int64)})
+    for name, ct in spec:
+        t = _spark_type(ct)
+        vals = list(pdf[name])
+        if t == "bigint":
+            out[name] = pd.array(
+                [None if v is None or (np.isscalar(v) and pd.isna(v)) else int(v) for v in vals],
+                dtype="Int64",
+            )
+        elif t == "double":
+            out[name] = pd.array(
+                [np.nan if v is None else v for v in vals], dtype="float64"
+            )
+        elif t == "boolean":
+            out[name] = pd.array(
+                [None if v is None or (np.isscalar(v) and pd.isna(v)) else bool(v) for v in vals],
+                dtype="boolean",
+            )
+        else:  # string / binary pass through as objects
+            out[name] = vals
+    out["geometry_wkb"] = list(pdf["geometry_wkb"])
+    schema = ", ".join(
+        ["`fid` bigint"]
+        + [f"`{name}` {_spark_type(ct)}" for name, ct in spec]
+        + ["`geometry_wkb` binary"]
+    )
+    df = spark.createDataFrame(out, schema=schema)
     return read_table(spark, df, **read_table_kwargs)
 
 
@@ -621,7 +670,15 @@ def read_flatgeobuf_distributed(
     spec, layer_code, _feat0, offsets, file_size, leaf_boxes = _fgb_layout(path)
     n = len(offsets)
     if n == 0:
-        raise ValueError(f"{path}: no features")
+        # valid zero-feature file: same empty frame (and schema) the
+        # single-node reader returns — distributed=True must only change
+        # the plan, never the result (round-3 ADVICE)
+        empty_schema = ", ".join(
+            ["`fid` bigint"]
+            + [f"`{name}` {_spark_type(ct)}" for name, ct in spec]
+            + ["`geometry_wkb` binary"]
+        )
+        return read_table(spark, spark.createDataFrame([], schema=empty_schema), **read_table_kwargs)
     # bbox pushdown to the STORAGE layer: when the file carries the
     # packed R-tree, prune whole byte ranges on the driver using the
     # leaf bboxes (a superset of the exact answer — read_table's bbox
@@ -661,18 +718,6 @@ def read_flatgeobuf_distributed(
     chunk_df = spark.createDataFrame(
         chunks, schema="chunk_id int, byte_lo long, byte_hi long, fid_lo long"
     ).repartition(len(chunks), F.col("chunk_id"))
-
-    def _spark_type(ctype: int) -> str:
-        if ctype in (COL_BYTE, COL_UBYTE, COL_SHORT, COL_USHORT, COL_INT,
-                     COL_UINT, COL_LONG, COL_ULONG):
-            return "bigint"
-        if ctype in (COL_FLOAT, COL_DOUBLE):
-            return "double"
-        if ctype == COL_BOOL:
-            return "boolean"
-        if ctype == COL_BINARY:
-            return "binary"
-        return "string"
 
     schema = ", ".join(
         ["`fid` bigint"]

@@ -577,12 +577,16 @@ def _rel_multipolygons(raw):
                 if not oring:
                     wkbs.append(None)
                     continue
-                # hole assignment by bbox containment: an inner ring
-                # belongs to the first outer whose bbox contains its own
+                # hole assignment: an inner ring belongs to the SMALLEST
+                # outer ring that contains it (point-in-ring test on the
+                # inner's first vertex) — with nested outers (donut in a
+                # donut) the largest-containing-bbox rule would attach
+                # the hole to the outermost polygon (round-3 ADVICE)
                 polys = [[o] for o in sorted(oring, key=lambda r: -_ring_area(r))]
+                by_area_asc = sorted(polys, key=lambda p: _ring_area(p[0]))
                 for ir in iring:
-                    for p in polys:
-                        if _bbox_contains(p[0], ir):
+                    for p in by_area_asc:
+                        if _bbox_contains(p[0], ir) and _point_in_ring(p[0], ir[0]):
                             p.append(ir)
                             break
                 wkbs.append(W.encode_multipolygon(polys))
@@ -595,6 +599,13 @@ def _rel_multipolygons(raw):
 def _ring_area(r: np.ndarray) -> float:
     x, y = r[:, 0], r[:, 1]
     return 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def _point_in_ring(ring: np.ndarray, pt: np.ndarray) -> bool:
+    """Ray-cast containment of one point in one closed ring."""
+    from pyogrio_spark.geometry.predicates import points_in_ring
+
+    return bool(points_in_ring(np.array([pt[0]]), np.array([pt[1]]), ring)[0])
 
 
 def _bbox_contains(outer: np.ndarray, inner: np.ndarray) -> bool:
@@ -752,6 +763,10 @@ def osm_info(path: str, layer: str | None = None, force_feature_count: bool = Fa
             stacklevel=2,
         )
         layer = "points"
+    if isinstance(layer, int):  # same normalization as read_osm
+        layer = LAYERS[layer]
+    if layer not in LAYERS:
+        raise ValueError(f"unknown OSM layer {layer!r}; expected one of {LAYERS}")
     features = -1
     if force_feature_count:
         if spark is None:

@@ -285,3 +285,53 @@ def test_distributed_bbox_pushdown_prunes_byte_ranges(spark, tmp_path):
         spark, path, chunk_features=100, bbox=(500.0, 500.0, 600.0, 600.0)
     )
     assert empty.count() == 0 and "geometry_wkb" in empty.columns
+
+
+def test_driver_side_read_binary_and_nullable_bool(spark, tmp_path):
+    """A file the engine itself wrote with a binary attribute and a
+    boolean column containing nulls must read back through open_table
+    WITHOUT distributed=True (round-3 ADVICE: pandas dtype sniffing put
+    both in the string branch and createDataFrame raised TypeError)."""
+    from pyogrio_spark.io.dispatch import open_table
+    from pyogrio_spark.io.flatgeobuf import COL_BINARY, COL_BOOL
+
+    pdf = pd.DataFrame(
+        {
+            "geometry_wkb": [W.encode_point(float(i), 0.0) for i in range(3)],
+            "blob": [b"\x00\xffx", None, b""],
+            "flag": [True, None, False],
+            "n": pd.array([1, None, 3], dtype="Int64"),
+        }
+    )
+    p = str(tmp_path / "binbool.fgb")
+    write_flatgeobuf(pdf, p)
+    _, info = read_flatgeobuf_pdf(p)
+    assert dict(info["column_spec"])["blob"] == COL_BINARY
+    assert dict(info["column_spec"])["flag"] == COL_BOOL
+    df = open_table(spark, p)
+    assert dict(df.dtypes)["blob"] == "binary"
+    assert dict(df.dtypes)["flag"] == "boolean"
+    assert dict(df.dtypes)["n"] == "bigint"
+    rows = {r["fid"]: r for r in df.collect()}
+    assert bytes(rows[0]["blob"]) == b"\x00\xffx" and rows[1]["blob"] is None
+    assert rows[0]["flag"] is True and rows[1]["flag"] is None and rows[2]["flag"] is False
+    assert rows[1]["n"] is None and rows[2]["n"] == 3
+    # distributed scan agrees on schema and values
+    ddf = open_table(spark, p, distributed=True)
+    assert ddf.schema == df.schema
+    assert sorted(map(tuple, ddf.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_distributed_empty_file_matches_single_node(spark, tmp_path):
+    """A valid zero-feature file returns an empty frame (same schema)
+    from BOTH scan paths — distributed=True changes the plan, not the
+    behavior (round-3 ADVICE: it used to raise ValueError)."""
+    from pyogrio_spark.io.flatgeobuf import read_flatgeobuf_distributed
+
+    pdf = pd.DataFrame({"geometry_wkb": pd.Series([], dtype=object), "tag": pd.Series([], dtype=object)})
+    p = str(tmp_path / "empty.fgb")
+    write_flatgeobuf(pdf, p)
+    single = read_flatgeobuf(spark, p)
+    dist = read_flatgeobuf_distributed(spark, p)
+    assert single.count() == 0 and dist.count() == 0
+    assert dist.schema == single.schema

@@ -255,3 +255,59 @@ def test_packed_np_matches_scalar_decoder():
         assert got == ref == vals
 
     check()
+
+
+def test_osm_info_accepts_int_layer():
+    """compat.read_info forwards integer layer ids; osm_info must apply
+    the same int->name normalization as read_osm (round-3 ADVICE)."""
+    info = osm_info(SAMPLE, layer=0)
+    assert info["layer_name"] == "points"
+    assert osm_info(SAMPLE, layer=1)["layer_name"] == "lines"
+    with pytest.raises(ValueError, match="unknown OSM layer"):
+        osm_info(SAMPLE, layer="nope")
+
+
+def test_nested_donut_hole_assignment(spark, tmp_path):
+    """Donut-in-donut relation: a hole inside the INNER outer ring must
+    attach to that inner polygon, not the outermost one (round-3
+    ADVICE: largest-bbox-first assignment got this wrong)."""
+    path = str(tmp_path / "donut.osm.pbf")
+    # outer 10x10 ring with a 6x6 hole; nested 4x4 outer with a 1x1 hole
+    rings = {
+        301: [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],   # outer A
+        302: [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)],       # hole of A
+        303: [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0), (3.0, 3.0)],       # outer B (inside A's hole)
+        304: [(4.0, 4.0), (5.0, 4.0), (5.0, 5.0), (4.0, 5.0), (4.0, 4.0)],       # hole of B
+    }
+    nodes, ways, nid = [], [], 1
+    for wid, cs in rings.items():
+        refs = []
+        for lon, lat in cs[:-1]:
+            nodes.append((nid, lon, lat, {}))
+            refs.append(nid)
+            nid += 1
+        refs.append(refs[0])
+        ways.append((wid, refs, {}))
+    rels = [
+        (
+            401,
+            [(1, 301, "outer"), (1, 302, "inner"), (1, 303, "outer"), (1, 304, "inner")],
+            {"type": "multipolygon", "natural": "water"},
+        )
+    ]
+    write_osm_pbf(path, nodes, ways, rels)
+    mp = read_osm(spark, path, layer="multipolygons").collect()
+    assert len(mp) == 1
+    g = parse_wkb(mp[0]["geometry_wkb"])
+    assert g.type == "MultiPolygon" and len(g.coords) == 2
+    polys = sorted(g.coords, key=lambda p: -abs(_area(p.coords[0])))
+    big, small = polys
+    assert len(big.coords) == 2 and len(small.coords) == 2
+    # hole 304 (1x1 around (4.5,4.5)) belongs to the SMALL polygon
+    assert {tuple(p) for p in small.coords[1][:-1]} == {(4, 4), (5, 4), (5, 5), (4, 5)}
+    assert {tuple(p) for p in big.coords[1][:-1]} == {(2, 2), (8, 2), (8, 8), (2, 8)}
+
+
+def _area(r):
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
