@@ -107,6 +107,15 @@ def read_dataframe(
     if fid_as_index and "fid" in pdf.columns:
         pdf = pdf.set_index("fid")
         pdf.index.name = "fid"
+    # surface the layer CRS the way a frame without a geo accessor can:
+    # pandas .attrs (geopandas users re-wrap with gpd.GeoSeries.from_wkb
+    # + this value)
+    try:
+        from pyogrio_spark.io.dispatch import dataset_info
+
+        pdf.attrs["crs"] = dataset_info(path_or_buffer, layer=layer).get("crs")
+    except (ValueError, OSError, TypeError):
+        pass  # committed tables / non-file sources carry no layer CRS here
     return pdf
 
 
@@ -115,6 +124,47 @@ def list_layers(path_or_buffer, /) -> np.ndarray:
     from pyogrio_spark.io.dispatch import dataset_layers
 
     return np.array(dataset_layers(str(path_or_buffer)), dtype=object)
+
+
+def list_drivers(read: bool = False, write: bool = False) -> dict:
+    """Reference: list_drivers (core.py:112-149) — {name: 'rw'|'r'|'w'}
+    for the engine's native drivers; ``read=``/``write=`` filter like
+    the reference."""
+    drivers = {
+        "ESRI Shapefile": "rw",
+        "GPKG": "rw",
+        "GeoJSON": "rw",
+        "GeoJSONSeq": "rw",
+        "FlatGeobuf": "rw",
+        "OSM": "r",  # read-only, like the reference's driver
+    }
+    if read:
+        drivers = {k: v for k, v in drivers.items() if "r" in v}
+    if write:
+        drivers = {k: v for k, v in drivers.items() if "w" in v}
+    return drivers
+
+
+# per-format GDAL-style capability flags (reference read_info parity:
+# tests/test_core.py:546-552). fast_spatial_filter for FlatGeobuf is
+# resolved per-file (presence of the packed R-tree).
+_CAPABILITIES = {
+    "shapefile": {"random_read": True, "fast_set_next_by_index": True,
+                  "fast_spatial_filter": False, "fast_feature_count": True,
+                  "fast_total_bounds": True},
+    "geopackage": {"random_read": True, "fast_set_next_by_index": True,
+                   "fast_spatial_filter": False, "fast_feature_count": True,
+                   "fast_total_bounds": True},
+    "flatgeobuf": {"random_read": True, "fast_set_next_by_index": False,
+                   "fast_spatial_filter": False, "fast_feature_count": True,
+                   "fast_total_bounds": True},
+    "geojson": {"random_read": True, "fast_set_next_by_index": False,
+                "fast_spatial_filter": False, "fast_feature_count": False,
+                "fast_total_bounds": False},
+    "geojsonseq": {"random_read": False, "fast_set_next_by_index": False,
+                   "fast_spatial_filter": False, "fast_feature_count": False,
+                   "fast_total_bounds": False},
+}
 
 
 def read_info(
@@ -127,12 +177,14 @@ def read_info(
     spark=None,
     **kwargs,
 ) -> dict:
-    """Reference: read_info (core.py:241-327) — same dict keys. OSM
-    layers report features=-1 unless forced, like the reference's
-    driver (test_core.py:676-688); file formats count eagerly (they
-    are fixture-scale interchange here)."""
-    from pyogrio_spark.geometry import wkb as W
-    from pyogrio_spark.io.dispatch import dataset_layers, detect_format, open_table
+    """Reference: read_info (core.py:241-327) — same dict keys, same
+    cost profile: metadata comes from format HEADERS (.shp/.dbf
+    headers, GPKG registry, FlatGeobuf header), no feature scan and no
+    Spark job. Dtypes are derived from the format's declared column
+    types (a nullable int64 column reports int64, never the post-pandas
+    float64). OSM layers report features=-1 unless forced, like the
+    reference's driver (test_core.py:676-688)."""
+    from pyogrio_spark.io.dispatch import dataset_info, detect_format
 
     path = str(path_or_buffer)
     fmt = detect_format(path)
@@ -149,43 +201,40 @@ def read_info(
             "encoding": "UTF-8",
             "fields": np.array([], dtype=object),
             "dtypes": np.array([], dtype=object),
+            "fid_column": "",
+            "geometry_name": "",
             "geometry_type": info["geometry_type"],
             "features": info["features"],
             "total_bounds": None,
             "driver": info["driver"],
-            "capabilities": {},
+            "capabilities": {"random_read": False, "fast_set_next_by_index": False,
+                             "fast_spatial_filter": False, "fast_feature_count": False,
+                             "fast_total_bounds": False},
             "layer_metadata": None,
             "dataset_metadata": None,
         }
-    layers = dataset_layers(path)
-    if layer is None:
-        name, gtype = layers[0]
-    else:
-        name, gtype = next(l for l in layers if l[0] == layer)
-    df = open_table(_spark(spark), path, layer=layer)
-    attr_cols = [c for c in df.columns if c not in ("fid", "geometry_wkb")]
-    pdf = df.toPandas()
-    total_bounds = None
-    if "geometry_wkb" in pdf.columns:
-        bs = W.bounds_many([None if b is None else bytes(b) for b in pdf.geometry_wkb])
-        if len(bs):
-            total_bounds = (
-                float(np.nanmin(bs[:, 0])), float(np.nanmin(bs[:, 1])),
-                float(np.nanmax(bs[:, 2])), float(np.nanmax(bs[:, 3])),
-            )
+    info = dataset_info(path, layer=layer, force_total_bounds=force_total_bounds)
+    caps = dict(_CAPABILITIES[info["format"]])
+    if info["format"] == "flatgeobuf":
+        caps["fast_spatial_filter"] = info.get("index_node_size", 0) > 0
     return {
-        "layer_name": name,
-        "crs": "EPSG:4326",
-        "encoding": "UTF-8",
-        "fields": np.array(attr_cols, dtype=object),
-        "dtypes": np.array([str(pdf[c].dtype) for c in attr_cols], dtype=object),
-        "geometry_type": gtype,
-        "features": len(pdf),
-        "total_bounds": total_bounds,
-        "driver": fmt,
-        "capabilities": {},
-        "layer_metadata": None,
-        "dataset_metadata": None,
+        "layer_name": info["layer_name"],
+        "crs": info.get("crs"),
+        "encoding": info.get("encoding", "UTF-8"),
+        "fields": np.array(info["fields"], dtype=object),
+        "dtypes": np.array(info["dtypes"], dtype=object),
+        # fid_column/geometry_name are ''/'' for formats where the fid /
+        # geometry column is not physically stored or nameable
+        # (reference test_core.py:560-566); GPKG reports its real names
+        "fid_column": info.get("fid_column", ""),
+        "geometry_name": info.get("geometry_name", ""),
+        "geometry_type": info["geometry_type"],
+        "features": info["features"],
+        "total_bounds": info["total_bounds"],
+        "driver": info["driver"],
+        "capabilities": caps,
+        "layer_metadata": info.get("layer_metadata"),
+        "dataset_metadata": info.get("dataset_metadata"),
     }
 
 
@@ -241,11 +290,15 @@ def write_dataframe(
     driver=None,
     encoding=None,
     geometry_column: str = "geometry",
+    crs=None,
     **kwargs,
 ) -> None:
     """Reference: write_dataframe (geopandas.py:541-627). ``df`` is
     pandas with WKB bytes in ``geometry`` (or ``geometry_wkb``);
-    format from ``driver`` or the path extension."""
+    format from ``driver`` or the path extension. ``crs`` (int EPSG /
+    'EPSG:<n>' / WKT) is persisted per format — .prj, GPKG srs
+    registry, FlatGeobuf Crs table, GeoJSON 'crs' member; default
+    EPSG:4326."""
     path = str(path)
     pdf = df.copy()
     if geometry_column in pdf.columns and geometry_column != "geometry_wkb":
@@ -257,20 +310,20 @@ def write_dataframe(
     if drv in ("esri shapefile", "shapefile") or (not drv and low.endswith(".shp")):
         from pyogrio_spark.io.shapefile import write_shapefile
 
-        write_shapefile(pdf, path)
+        write_shapefile(pdf, path, crs=crs)
     elif drv in ("gpkg", "geopackage") or (not drv and low.endswith(".gpkg")):
         from pyogrio_spark.io.geopackage import write_geopackage
 
-        write_geopackage(pdf, path, layer=layer or "layer")
+        write_geopackage(pdf, path, layer=layer or "layer", crs=crs)
     elif drv in ("flatgeobuf",) or (not drv and low.endswith(".fgb")):
         from pyogrio_spark.io.flatgeobuf import write_flatgeobuf
 
-        write_flatgeobuf(pdf, path, layer_name=layer, **kwargs)
+        write_flatgeobuf(pdf, path, layer_name=layer, crs=crs, **kwargs)
     elif drv in ("geojson", "geojsonseq") or (
         not drv and low.endswith((".geojson", ".geojsonl", ".geojsons", ".json"))
     ):
         from pyogrio_spark.io.geojson import write_geojson
 
-        write_geojson(pdf, path)
+        write_geojson(pdf, path, crs=crs)
     else:
         raise ValueError(f"cannot infer driver for {path!r} (driver={driver!r})")

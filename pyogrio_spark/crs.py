@@ -1,0 +1,166 @@
+"""CRS identification and serialization without a PROJ database.
+
+Reference behavior anchor: ``get_crs``
+(/root/reference/pyogrio/_io.pyx:426-478) reports ``EPSG:<code>`` when
+the layer SRS identifies to an EPSG authority, else the WKT string; the
+writers persist the caller's CRS instead of assuming one
+(/root/reference/pyogrio/_io.pyx:2810-2816). This container carries no
+GDAL/PROJ, so:
+
+- **identification** reads the ``AUTHORITY``/``ID`` nodes of the WKT
+  itself, falling back to a name table of ubiquitous CRSs (Esri ``.prj``
+  files routinely omit authorities) and the WGS84-UTM zone naming
+  pattern;
+- **serialization** emits full WKT for the well-known table and
+  WGS84-UTM zones, and an authority-bearing ``LOCAL_CS`` skeleton for
+  any other EPSG code — identification round-trips through every
+  format, but exact projection parameters for arbitrary codes would
+  need a PROJ database (documented divergence, not a silent one).
+
+Accepted CRS spellings everywhere a writer takes ``crs=``: an int EPSG
+code, ``"EPSG:<code>"`` (any case), or a WKT string.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Full WKT1 for the CRSs that cover the overwhelming majority of real
+# datasets (values are the standard public definitions).
+_WGS84_GEOGCS = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]'
+)
+
+WKT_BY_EPSG: dict[int, str] = {
+    4326: _WGS84_GEOGCS + ',AUTHORITY["EPSG","4326"]]',
+    4269: (
+        'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+        'SPHEROID["GRS_1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433],'
+        'AUTHORITY["EPSG","4269"]]'
+    ),
+    3857: (
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+        + _WGS84_GEOGCS
+        + '],PROJECTION["Mercator_Auxiliary_Sphere"],'
+        'PARAMETER["False_Easting",0],PARAMETER["False_Northing",0],'
+        'PARAMETER["Central_Meridian",0],PARAMETER["Standard_Parallel_1",0],'
+        'PARAMETER["Auxiliary_Sphere_Type",0],UNIT["Meter",1],'
+        'AUTHORITY["EPSG","3857"]]'
+    ),
+    27700: (
+        'PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",'
+        'DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["False_Easting",400000],PARAMETER["False_Northing",-100000],'
+        'PARAMETER["Central_Meridian",-2],PARAMETER["Scale_Factor",0.9996012717],'
+        'PARAMETER["Latitude_Of_Origin",49],UNIT["Meter",1],'
+        'AUTHORITY["EPSG","27700"]]'
+    ),
+}
+
+# name fragment (case/sep-insensitive) -> EPSG code, for authority-less
+# .prj files; checked longest-first so Web-Mercator wins over its own
+# embedded GCS_WGS_1984
+_NAME_TABLE: list[tuple[str, int]] = [
+    ("wgs1984webmercatorauxiliarysphere", 3857),
+    ("wgs84pseudomercator", 3857),
+    ("webmercator", 3857),
+    ("britishnationalgrid", 27700),
+    ("gcsnorthamerican1983", 4269),
+    ("nad83", 4269),
+    ("gcswgs1984", 4326),
+    ("wgs84", 4326),
+    ("wgs1984", 4326),
+]
+
+_UTM_RE = re.compile(r"WGS[_ ]?1984[_ ]?UTM[_ ]?Zone[_ ]?(\d{1,2})([NS])", re.IGNORECASE)
+
+
+def _utm_wkt(code: int) -> str:
+    north = code < 32700
+    zone = code - (32600 if north else 32700)
+    cm = zone * 6 - 183
+    return (
+        f'PROJCS["WGS_1984_UTM_Zone_{zone}{"N" if north else "S"}",'
+        + _WGS84_GEOGCS
+        + '],PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["False_Easting",500000],'
+        f'PARAMETER["False_Northing",{0 if north else 10000000}],'
+        f'PARAMETER["Central_Meridian",{cm}],PARAMETER["Scale_Factor",0.9996],'
+        'PARAMETER["Latitude_Of_Origin",0],UNIT["Meter",1],'
+        f'AUTHORITY["EPSG","{code}"]]'
+    )
+
+
+def epsg_from_wkt(wkt: str) -> int | None:
+    """Identify the EPSG code of a WKT string (or an ``EPSG:<code>``
+    spelling), None when unidentifiable. Mirrors GDAL's
+    AutoIdentifyEPSG order: explicit authority first, then name."""
+    if not wkt:
+        return None
+    s = wkt.strip()
+    m = re.fullmatch(r"(?i)EPSG:(\d+)", s)
+    if m:
+        return int(m.group(1))
+    # root authority: WKT1 AUTHORITY[...] / WKT2 ID[...] — the ROOT node's
+    # is serialized last in well-formed WKT, so take the final match
+    auth = re.findall(r'(?:AUTHORITY|ID)\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s)
+    if auth:
+        return int(auth[-1])
+    m = _UTM_RE.search(s)
+    if m:
+        zone = int(m.group(1))
+        if 1 <= zone <= 60:
+            return (32600 if m.group(2).upper() == "N" else 32700) + zone
+    # name match on the ROOT name (first quoted string)
+    nm = re.search(r'^\s*\w+\s*\[\s*"([^"]*)"', s)
+    if nm:
+        flat = re.sub(r"[^a-z0-9]", "", nm.group(1).lower())
+        for frag, code in _NAME_TABLE:
+            if frag in flat:
+                return code
+    return None
+
+
+def crs_to_epsg(crs) -> int | None:
+    """Any accepted CRS spelling -> EPSG code or None."""
+    if crs is None:
+        return None
+    if isinstance(crs, (int,)):
+        return int(crs)
+    return epsg_from_wkt(str(crs))
+
+
+def crs_to_wkt(crs) -> str:
+    """Any accepted CRS spelling -> WKT to persist (e.g. into a .prj).
+    WKT input passes through unchanged; EPSG codes get the full known
+    definition or the identification-only skeleton."""
+    if crs is None:
+        crs = 4326
+    if isinstance(crs, str) and "[" in crs:
+        return crs  # already WKT
+    code = crs_to_epsg(crs)
+    if code is None:
+        raise ValueError(f"cannot interpret crs {crs!r} (want int EPSG, 'EPSG:n', or WKT)")
+    if code in WKT_BY_EPSG:
+        return WKT_BY_EPSG[code]
+    if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+        return _utm_wkt(code)
+    # identification-only skeleton: round-trips the code through every
+    # format reader; full parameters need a PROJ database (module doc)
+    return f'LOCAL_CS["EPSG:{code}",UNIT["Meter",1],AUTHORITY["EPSG","{code}"]]'
+
+
+def display_crs(wkt_or_code) -> str | None:
+    """Reader-side convention (reference get_crs parity): ``EPSG:<code>``
+    when identifiable, else the raw WKT."""
+    if wkt_or_code is None:
+        return None
+    if isinstance(wkt_or_code, int):
+        return f"EPSG:{wkt_or_code}"
+    code = epsg_from_wkt(str(wkt_or_code))
+    return f"EPSG:{code}" if code is not None else str(wkt_or_code)

@@ -133,6 +133,50 @@ def open_table(
     return read_table(spark, path, **read_table_kwargs)
 
 
+# reference (GDAL) driver names, as read_info/list_drivers report them
+DRIVER_NAMES = {
+    "shapefile": "ESRI Shapefile",
+    "geopackage": "GPKG",
+    "geojson": "GeoJSON",
+    "geojsonseq": "GeoJSONSeq",
+    "flatgeobuf": "FlatGeobuf",
+    "osm": "OSM",
+}
+
+
+def dataset_info(path: str, layer=None, force_total_bounds: bool = False) -> dict:
+    """Header-only metadata for any file-based source (the read_info
+    backend): .shp/.dbf headers, GPKG registry tables, the FlatGeobuf
+    header — no feature scan. GeoJSON FeatureCollections are one JSON
+    document (parsed by definition); GeoJSONSeq reports total_bounds
+    None unless forced, like the reference."""
+    path = resolve_archive(path)
+    fmt = detect_format(path)
+    if fmt == "shapefile":
+        from pyogrio_spark.io.shapefile import shapefile_info
+
+        info = shapefile_info(path)
+    elif fmt == "geopackage":
+        from pyogrio_spark.io.geopackage import geopackage_info
+
+        info = geopackage_info(path, layer=layer)
+    elif fmt == "flatgeobuf":
+        from pyogrio_spark.io.flatgeobuf import flatgeobuf_info
+
+        info = flatgeobuf_info(path)
+    elif fmt == "geojson":
+        from pyogrio_spark.io.geojson import geojson_info
+
+        info = geojson_info(path, force_total_bounds=force_total_bounds)
+        if path.lower().endswith((".geojsonl", ".geojsons")):
+            fmt = "geojsonseq"
+    else:
+        raise ValueError(f"dataset_info needs a file-based source, got {path}")
+    info["driver"] = DRIVER_NAMES[fmt]
+    info["format"] = fmt
+    return info
+
+
 def dataset_layers(path: str) -> list[list[str]]:
     """[[layer_name, geometry_type], ...] for file-based sources."""
     path = resolve_archive(path)
@@ -142,9 +186,9 @@ def dataset_layers(path: str) -> list[list[str]]:
 
         return gpkg_layers(path)
     if fmt == "shapefile":
-        from pyogrio_spark.io.shapefile import read_shapefile_pdf
+        from pyogrio_spark.io.shapefile import shapefile_info
 
-        _, info = read_shapefile_pdf(path)
+        info = shapefile_info(path)
         return [[info["layer_name"], info["geometry_type"]]]
     if fmt == "flatgeobuf":
         from pyogrio_spark.io.flatgeobuf import list_layers as fgb_layers

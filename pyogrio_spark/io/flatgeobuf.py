@@ -364,6 +364,7 @@ def write_flatgeobuf(
     path: str,
     geom_col: str = "geometry_wkb",
     layer_name: str | None = None,
+    crs=None,
     crs_wkt: str | None = None,
     index_node_size: int = 0,
 ) -> None:
@@ -411,10 +412,25 @@ def write_flatgeobuf(
         # width/precision/scale keep their -1 defaults; nullable default true
         col_offs.append(hb.end_table())
     cols_off = hb.create_offset_vector(col_offs) if col_offs else None
+    # Crs table (Header.fbs slots: org=0 code=1 name=2 description=3
+    # wkt=4): persist the caller's CRS — org/code when it identifies to
+    # an EPSG code, plus the WKT when one is available/derivable
     crs_off = None
-    if crs_wkt is not None:
-        wkt_off = hb.create_string(crs_wkt)
+    if crs is None and crs_wkt is not None:
+        crs = crs_wkt  # back-compat alias
+    if crs is not None:
+        from pyogrio_spark.crs import crs_to_epsg, crs_to_wkt
+
+        code = crs_to_epsg(crs)
+        wkt = str(crs) if isinstance(crs, str) and "[" in crs else (
+            crs_to_wkt(code) if code is not None else None
+        )
+        wkt_off = hb.create_string(wkt) if wkt else None
+        org_off = hb.create_string("EPSG") if code is not None else None
         hb.start_table()
+        hb.add_offset(0, org_off)
+        if code is not None:
+            hb.add_scalar(1, "<i", int(code), 0)
         hb.add_offset(4, wkt_off)
         crs_off = hb.end_table()
     name_off = hb.create_string(layer_name or os.path.splitext(os.path.basename(path))[0])
@@ -469,6 +485,61 @@ def write_flatgeobuf(
 # ------------------------------------------------------------------ read
 
 
+def _crs_from_header(buf, header: Table) -> str | None:
+    """Header -> reference-convention CRS string: 'ORG:code' when the
+    Crs table carries an authority code, else the (identified) WKT."""
+    crs_t = header._indirect(10)
+    if crs_t is None:
+        return None
+    t = Table(buf, crs_t)
+    code = t.scalar(1, "<i", 0)
+    org = t.string(0)
+    if code:
+        return f"{(org or 'EPSG').upper()}:{code}"
+    wkt = t.string(4)
+    if wkt:
+        from pyogrio_spark.crs import display_crs
+
+        return display_crs(wkt)
+    return None
+
+
+_NUMPY_OF_SPARK = {"bigint": "int64", "double": "float64", "boolean": "bool",
+                   "string": "object", "binary": "object"}
+
+
+def flatgeobuf_info(path: str) -> dict:
+    """read_info fields from the HEADER ONLY (name, envelope, geometry
+    type, column spec, features_count, crs) — no feature reads; the
+    features_count/envelope fields exist in the format precisely so
+    metadata queries stay O(1)."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:3] != b"fgb" or head[3] != 3 or head[4:7] != b"fgb":
+            raise ValueError(f"{path}: not a FlatGeobuf file (bad magic)")
+        (hsize,) = struct.unpack_from("<I", head, 8)
+        f.seek(8)
+        hdr_buf = f.read(4 + hsize)
+    header = Table.root(hdr_buf, 4)
+    envelope = header.scalar_vector(1, "d")
+    layer_code = header.scalar(2, "<B", 0)
+    has_z = header.scalar(3, "<B", 0)
+    spec = [(c.string(0), c.scalar(1, "<B", 0)) for c in header.table_vector(7)]
+    gtype = GEOM_CODE_TO_NAME.get(layer_code, "Unknown")
+    return {
+        "layer_name": header.string(0) or os.path.splitext(os.path.basename(path))[0],
+        "features": header.scalar(8, "<Q", 0),
+        "fields": [s[0] for s in spec],
+        "dtypes": [_NUMPY_OF_SPARK[_spark_type(ct)] for _, ct in spec],
+        "column_spec": spec,
+        "total_bounds": tuple(envelope) if envelope else None,
+        "geometry_type": gtype + (" Z" if has_z and gtype != "Unknown" else ""),
+        "crs": _crs_from_header(hdr_buf, header),
+        "encoding": "UTF-8",
+        "index_node_size": header.scalar(9, "<H", 16),
+    }
+
+
 def read_flatgeobuf_pdf(path: str) -> tuple[pd.DataFrame, dict]:
     """Parse a FlatGeobuf file into (pandas frame with fid/attrs/
     geometry_wkb, info dict mirroring read_info)."""
@@ -487,8 +558,7 @@ def read_flatgeobuf_pdf(path: str) -> tuple[pd.DataFrame, dict]:
     features_count = header.scalar(8, "<Q", 0)
     index_node_size = header.scalar(9, "<H", 16)
     spec = [(c.string(0), c.scalar(1, "<B", 0)) for c in header.table_vector(7)]
-    crs_t = header._indirect(10)
-    crs = Table(data, crs_t).string(4) if crs_t is not None else None
+    crs = _crs_from_header(data, header)
 
     if index_node_size > 0 and features_count > 0:
         off += packed_rtree_size(features_count, index_node_size)

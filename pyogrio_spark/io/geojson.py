@@ -15,11 +15,85 @@ feature parser (``read_geojson_seq_distributed``).
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
 
 from pyogrio_spark.geometry import wkb as W
+
+
+def _crs_member(doc) -> str:
+    """GeoJSON 'crs' member (2008 spec, still emitted by GDAL for
+    non-WGS84 data) -> 'EPSG:<code>'; RFC 7946 files have none and are
+    WGS84 by definition."""
+    c = doc.get("crs") if isinstance(doc, dict) else None
+    if isinstance(c, dict):
+        name = (c.get("properties") or {}).get("name", "") or ""
+        m = re.search(r"EPSG:{1,2}(\d+)", name)
+        if m:
+            return f"EPSG:{m.group(1)}"
+    return "EPSG:4326"
+
+
+def _infer_dtypes(pdf: pd.DataFrame, cols: list[str]) -> list[str]:
+    """JSON carries no declarations; type each column from its non-null
+    values (bool before int: Python bool is an int subclass)."""
+    out = []
+    for c in cols:
+        vals = [v for v in pdf[c] if v is not None and not (isinstance(v, float) and np.isnan(v))]
+        if vals and all(isinstance(v, bool) for v in vals):
+            out.append("bool")
+        elif vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            out.append("int64")
+        elif vals and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+            out.append("float64")
+        else:
+            out.append("object")
+    return out
+
+
+def geojson_info(path: str, force_total_bounds: bool = False) -> dict:
+    """read_info fields for GeoJSON sources. A FeatureCollection is one
+    JSON document (driver-parsed by definition), so its info comes from
+    the parse; GeoJSONSeq reports total_bounds None unless forced — the
+    reference's capability split (fast_total_bounds False for seq,
+    tests/test_core.py:698-706)."""
+    import os
+
+    seq = path.endswith((".geojsonl", ".geojsons"))
+    pdf = read_geojson_pdf(path)
+    if seq:
+        crs = "EPSG:4326"
+    else:
+        with open(path) as f:
+            crs = _crs_member(json.load(f))
+    cols = [c for c in pdf.columns if c not in ("fid", "geometry_wkb")]
+    total_bounds = None
+    if not seq or force_total_bounds:
+        bs = W.bounds_many([None if b is None else bytes(b) for b in pdf.geometry_wkb])
+        if len(bs) and np.isfinite(bs).any():
+            total_bounds = (
+                float(np.nanmin(bs[:, 0])), float(np.nanmin(bs[:, 1])),
+                float(np.nanmax(bs[:, 2])), float(np.nanmax(bs[:, 3])),
+            )
+    seen = {W.geom_type_name(b) for b in pdf.geometry_wkb if b is not None}
+    if len(seen) == 1:
+        gtype = next(iter(seen))
+    elif seen <= {"Polygon", "MultiPolygon"} and seen:
+        gtype = "MultiPolygon"
+    else:
+        gtype = "Unknown"
+    return {
+        "layer_name": os.path.splitext(os.path.basename(path))[0],
+        "features": len(pdf),
+        "fields": cols,
+        "dtypes": _infer_dtypes(pdf, cols),
+        "total_bounds": total_bounds,
+        "geometry_type": gtype,
+        "crs": crs,
+        "encoding": "UTF-8",
+    }
 
 
 def _coords_to_geom(gj: dict) -> bytes | None:
@@ -132,10 +206,21 @@ def read_geojson_seq_distributed(spark, path: str):
     return lines.select(props("value").alias("properties_json"), to_wkb("value").alias("geometry_wkb"))
 
 
-def write_geojson(pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb") -> None:
+def write_geojson(
+    pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb", crs=None
+) -> None:
     """Frame with WKB geometry -> .geojson FeatureCollection or
     .geojsonl sequence (by extension). Round-trips through
-    read_geojson_pdf with coordinate identity (repr-exact floats)."""
+    read_geojson_pdf with coordinate identity (repr-exact floats).
+
+    RFC 7946 GeoJSON is WGS84 by definition; a non-4326 ``crs`` is
+    persisted as the 2008-spec 'crs' member (the same convention GDAL
+    uses for non-WGS84 data), FeatureCollection layout only."""
+    from pyogrio_spark.crs import crs_to_epsg
+
+    epsg = crs_to_epsg(crs) if crs is not None else None
+    if epsg is not None and epsg != 4326 and path.endswith((".geojsonl", ".geojsons")):
+        raise ValueError("GeoJSONSeq has no 'crs' member; data must be EPSG:4326")
     feats = []
     for _, row in pdf.iterrows():
         props = {
@@ -156,7 +241,17 @@ def write_geojson(pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb") 
             for feat in feats:
                 f.write(json.dumps(feat) + "\n")
         else:
-            json.dump({"type": "FeatureCollection", "features": feats}, f)
+            doc = {"type": "FeatureCollection", "features": feats}
+            if epsg is not None and epsg != 4326:
+                doc = {
+                    "type": "FeatureCollection",
+                    "crs": {
+                        "type": "name",
+                        "properties": {"name": f"urn:ogc:def:crs:EPSG::{epsg}"},
+                    },
+                    "features": feats,
+                }
+            json.dump(doc, f)
 
 
 def write_geojson_seq_distributed(df, out_dir: str, geom_col: str = "geometry_wkb") -> None:

@@ -75,6 +75,117 @@ def list_layers(path: str) -> list[list[str]]:
     return [[t, _GPKG_TYPE.get((g or "").upper(), g)] for t, g in rows]
 
 
+def _srs_display(con, srs_id) -> str | None:
+    """srs_id -> reference-convention CRS string: 'EPSG:<code>' when the
+    registry row carries an EPSG organization (or the definition WKT
+    identifies), else the definition WKT itself."""
+    from pyogrio_spark.crs import display_crs
+
+    if srs_id is None or srs_id <= 0:
+        return None
+    row = con.execute(
+        "SELECT organization, organization_coordsys_id, definition "
+        "FROM gpkg_spatial_ref_sys WHERE srs_id = ?",
+        (srs_id,),
+    ).fetchone()
+    if row is None:
+        return f"EPSG:{srs_id}"
+    org, org_id, definition = row
+    if (org or "").upper() == "EPSG" and org_id:
+        return f"EPSG:{org_id}"
+    disp = display_crs(definition) if definition and definition != "undefined" else None
+    return disp or f"EPSG:{srs_id}"
+
+
+def _sqlite_dtype(decl: str) -> str:
+    """GPKG declared type -> the numpy dtype name the engine surfaces."""
+    if decl in ("TINYINT", "SMALLINT", "MEDIUMINT", "INT", "INTEGER", "BOOLEAN"):
+        return "int64"
+    if decl == "FLOAT":
+        return "float32"
+    if decl in ("REAL", "DOUBLE"):
+        return "float64"
+    return "object"
+
+
+def geopackage_info(path: str, layer: str | None = None) -> dict:
+    """read_info fields from the REGISTRY tables only (gpkg_contents
+    bounds, gpkg_geometry_columns type/srs, table_info decls) plus an
+    sqlite COUNT(*) (B-tree walk, no geometry decode) — the metadata
+    cost profile the reference's GPKG driver capabilities advertise
+    (fast_feature_count/fast_total_bounds). Dtypes are DECL-derived, so
+    nullable integer columns report int64, not post-pandas float64."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        layers = list_layers(path)
+        if not layers:
+            raise ValueError(f"no feature layers in {path}")
+        if layer is None:
+            layer = layers[0][0]
+        gcol, gtype, srs, zflag = con.execute(
+            "SELECT column_name, geometry_type_name, srs_id, z FROM gpkg_geometry_columns WHERE table_name = ?",
+            (layer,),
+        ).fetchone()
+        bounds_row = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents WHERE table_name = ?",
+            (layer,),
+        ).fetchone()
+        tinfo = list(con.execute(f'PRAGMA table_info("{layer}")'))
+        pk = next((r[1] for r in tinfo if r[5] == 1), tinfo[0][1])
+        attrs = [(r[1], (r[2] or "").upper()) for r in tinfo if r[1] not in (pk, gcol)]
+        (nrec,) = con.execute(f'SELECT COUNT(*) FROM "{layer}"').fetchone()
+        crs = _srs_display(con, srs)
+        # layer metadata: GDAL surfaces gpkg_contents identifier/
+        # description as IDENTIFIER/DESCRIPTION, plus any gpkg_metadata
+        # rows referenced at table scope (reference returns these dicts
+        # from read_info; _io.pyx:2391-2397)
+        ident_row = con.execute(
+            "SELECT identifier, description FROM gpkg_contents WHERE table_name = ?",
+            (layer,),
+        ).fetchone()
+        layer_md: dict = {}
+        if ident_row:
+            if ident_row[0] and ident_row[0] != layer:
+                layer_md["IDENTIFIER"] = ident_row[0]
+            if ident_row[1]:
+                layer_md["DESCRIPTION"] = ident_row[1]
+        dataset_md: dict = {}
+        has_md = con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name='gpkg_metadata'"
+        ).fetchone()
+        if has_md:
+            for scope, table_name, md in con.execute(
+                "SELECT r.reference_scope, r.table_name, m.metadata "
+                "FROM gpkg_metadata_reference r JOIN gpkg_metadata m ON m.id = r.md_file_id"
+            ):
+                if scope == "geopackage":
+                    dataset_md["GPKG_METADATA_ITEM_%d" % len(dataset_md)] = md
+                elif table_name == layer:
+                    layer_md["GPKG_METADATA_ITEM_%d" % len(layer_md)] = md
+    finally:
+        con.close()
+    total_bounds = (
+        tuple(float(v) for v in bounds_row)
+        if bounds_row is not None and all(v is not None for v in bounds_row)
+        else None
+    )
+    return {
+        "layer_name": layer,
+        "features": int(nrec),
+        "fields": [n for n, _ in attrs],
+        "dtypes": [_sqlite_dtype(d) for _, d in attrs],
+        "total_bounds": total_bounds,
+        "geometry_type": _GPKG_TYPE.get((gtype or "").upper(), gtype)
+        + (" Z" if zflag == 1 else ""),
+        "crs": crs,
+        "encoding": "UTF-8",
+        "fid_column": pk,
+        "geometry_name": gcol,
+        "layer_metadata": layer_md or None,
+        "dataset_metadata": dataset_md or None,
+    }
+
+
 def read_geopackage_pdf(path: str, layer: str | None = None) -> tuple[pd.DataFrame, dict]:
     """One GPKG feature layer -> (pandas frame with fid/attrs/geometry_wkb,
     info dict). Defaults to the first (only) feature layer."""
@@ -126,12 +237,17 @@ def read_geopackage_pdf(path: str, layer: str | None = None) -> tuple[pd.DataFra
         inferred = "MultiPolygon"
     else:
         inferred = _GPKG_TYPE.get((gtype or "").upper(), "Unknown")
+    con2 = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        crs = _srs_display(con2, srs)
+    finally:
+        con2.close()
     info = {
         "layer_name": layer,
         "features": len(pdf),
         "fields": [c for c in pdf.columns if c not in ("fid", "geometry_wkb")],
         "geometry_type": inferred,
-        "crs": f"EPSG:{srs}" if srs and srs > 0 else None,
+        "crs": crs,
         "encoding": "UTF-8",
     }
     return pdf, info
@@ -150,14 +266,33 @@ def write_geopackage(
     layer: str = "layer",
     geom_col: str = "geometry_wkb",
     geometry_type: str | None = None,
-    srs_id: int = 4326,
+    srs_id: int | None = None,
+    crs=None,
 ) -> None:
     """Write a frame with a WKB geometry column as a valid GeoPackage:
     standard registry tables + GP-headered geometry blobs (envelope
     indicator 1, little-endian). The write-side half of the reference's
     round-trip contract — ``read_geopackage_pdf(write_geopackage(df))``
     returns the same rows, and external GPKG readers see a conformant
-    file."""
+    file.
+
+    ``crs`` (int EPSG / 'EPSG:<n>' / WKT, default EPSG:4326) is
+    registered in ``gpkg_spatial_ref_sys`` and referenced by the layer
+    — the reference persists the caller's CRS (_io.pyx:2810-2816). A
+    WKT that doesn't identify to an EPSG code registers as a custom SRS
+    (organization NONE, srs_id 100000). ``srs_id`` remains as a
+    back-compat alias for an EPSG code."""
+    from pyogrio_spark.crs import crs_to_epsg, crs_to_wkt
+
+    if crs is None:
+        crs = srs_id if srs_id is not None else 4326
+    epsg = crs_to_epsg(crs)
+    if epsg is not None:
+        srs_id = epsg
+        srs_row = (f"EPSG:{epsg}", epsg, "EPSG", epsg, crs_to_wkt(epsg))
+    else:  # unidentifiable WKT: custom SRS entry carrying the definition
+        srs_id = 100000
+        srs_row = ("custom", 100000, "NONE", 100000, str(crs))
     geoms = list(pdf[geom_col])
     if geometry_type is None:
         seen = {W.geom_type_name(g) for g in geoms if g is not None}
@@ -195,9 +330,12 @@ def write_geopackage(
         cur.executemany(
             "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?, ?, ?, ?, ?, NULL)",
             [
+                # spec-mandated baseline rows (undefined + WGS84) ...
                 ("Undefined cartesian SRS", -1, "NONE", -1, "undefined"),
                 ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
-                ("WGS 84 geodetic", 4326, "EPSG", 4326, "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"]]"),
+                ("EPSG:4326", 4326, "EPSG", 4326, crs_to_wkt(4326)),
+                # ... plus the layer's actual SRS
+                srs_row,
             ],
         )
         cur.execute(

@@ -1,0 +1,217 @@
+"""CRS end-to-end (round-4 VERDICT items 1-2, 7): writers persist the
+caller's CRS, readers identify it back as EPSG:<code> through every
+binary format (reference get_crs semantics, _io.pyx:426-478 /
+tests/test_core.py:538-731), read_info derives dtypes from format
+declarations (nullable ints stay int64) and reads counts/bounds from
+headers with NO Spark job, and list_drivers enumerates r/w flags."""
+
+import sqlite3
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyogrio_spark.crs import crs_to_epsg, crs_to_wkt, display_crs, epsg_from_wkt
+from pyogrio_spark.geometry import wkb as W
+
+NE = "/root/reference/pyogrio/tests/fixtures/naturalearth_lowres/naturalearth_lowres.shp"
+
+ESRI_MERCATOR = (
+    'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Mercator_Auxiliary_Sphere"],UNIT["Meter",1.0]]'
+)  # authority-less Esri .prj, as shipped by ArcGIS
+
+
+def test_epsg_identification_rules():
+    # explicit authority node wins (root = last)
+    assert epsg_from_wkt('GEOGCS["x",AUTHORITY["EPSG","9999"]]') == 9999
+    # WKT2 ID node
+    assert epsg_from_wkt('GEOGCRS["WGS 84",ID["EPSG",4326]]') == 4326
+    # EPSG:n spelling
+    assert epsg_from_wkt("epsg:3035") == 3035
+    # authority-less Esri names
+    assert epsg_from_wkt(ESRI_MERCATOR) == 3857
+    assert epsg_from_wkt('GEOGCS["GCS_North_American_1983"]') == 4269
+    # WGS84 UTM naming pattern
+    assert epsg_from_wkt('PROJCS["WGS_1984_UTM_Zone_33N"]') == 32633
+    assert epsg_from_wkt('PROJCS["WGS 84 / UTM zone 19S",AUTHORITY["EPSG","32719"]]') == 32719
+    # unidentifiable stays None -> display falls back to the WKT itself
+    weird = 'PROJCS["Mystery_Grid_1901"]'
+    assert epsg_from_wkt(weird) is None
+    assert display_crs(weird) == weird
+
+
+def test_crs_wkt_roundtrip_identification():
+    for code in (4326, 3857, 4269, 27700, 32633, 32719, 2154):
+        assert epsg_from_wkt(crs_to_wkt(code)) == code
+    assert crs_to_epsg("EPSG:31370") == 31370
+    with pytest.raises(ValueError, match="cannot interpret"):
+        crs_to_wkt("not-a-crs")
+
+
+@pytest.mark.parametrize("crs", [3857, "EPSG:32633", ESRI_MERCATOR])
+def test_crs_roundtrip_all_binary_formats(tmp_path, crs):
+    """VERDICT done-criterion: read_info crs round-trips a non-4326
+    dataset through shapefile, GeoPackage, and FlatGeobuf."""
+    from pyogrio_spark.compat import read_info, write_dataframe
+
+    pdf = pd.DataFrame(
+        {
+            "v": np.array([1, 2], dtype=np.int64),
+            "geometry": [W.encode_point(0.0, 0.0), W.encode_point(100.0, 200.0)],
+        }
+    )
+    want = f"EPSG:{crs_to_epsg(crs)}"
+    for ext in (".shp", ".gpkg", ".fgb"):
+        path = str(tmp_path / f"t{ext}")
+        write_dataframe(pdf, path, crs=crs)
+        assert read_info(path)["crs"] == want, ext
+
+
+def test_geojson_crs_member_roundtrip(tmp_path):
+    from pyogrio_spark.compat import read_info, write_dataframe
+
+    pdf = pd.DataFrame({"geometry": [W.encode_point(1.0, 2.0)]})
+    p = str(tmp_path / "m.geojson")
+    write_dataframe(pdf, p, crs=3857)
+    assert read_info(p)["crs"] == "EPSG:3857"
+    p2 = str(tmp_path / "default.geojson")
+    write_dataframe(pdf, p2)
+    assert read_info(p2)["crs"] == "EPSG:4326"
+
+
+def test_read_info_headers_only_no_spark(monkeypatch):
+    """read_info must not start (or touch) a SparkSession for file
+    formats — counts/bounds/dtypes come from headers (VERDICT item 2)."""
+    import pyogrio_spark.compat as C
+
+    def boom(spark=None):  # pragma: no cover - would fail the test
+        raise AssertionError("read_info must not need Spark")
+
+    monkeypatch.setattr(C, "_spark", boom)
+    info = C.read_info(NE)
+    assert info["features"] == 177
+    assert np.allclose(info["total_bounds"], (-180, -90, 180, 83.64513))
+    assert info["dtypes"].tolist() == ["int64", "object", "object", "object", "float64"]
+    assert info["crs"] == "EPSG:4326"
+    assert info["driver"] == "ESRI Shapefile"
+    assert info["fid_column"] == "" and info["geometry_name"] == ""
+    assert info["capabilities"]["fast_feature_count"] is True
+    assert info["capabilities"]["fast_total_bounds"] is True
+
+
+def test_read_info_nullable_int_gpkg_reports_int64(tmp_path):
+    """The reference reports the declared field type; a nullable int64
+    column must NOT degrade to float64 through pandas (VERDICT item 2).
+    NULLs are injected post-write so the writer declares INTEGER."""
+    from pyogrio_spark.compat import read_info, write_dataframe
+
+    pdf = pd.DataFrame(
+        {
+            "n": np.array([10, 20, 30], dtype=np.int64),
+            "geometry": [W.encode_point(float(i), 0.0) for i in range(3)],
+        }
+    )
+    p = str(tmp_path / "nullint.gpkg")
+    write_dataframe(pdf, p)
+    con = sqlite3.connect(p)
+    con.execute('UPDATE "layer" SET n = NULL WHERE fid = 2')
+    con.commit()
+    con.close()
+    info = read_info(p)
+    assert info["fields"].tolist() == ["n"]
+    assert info["dtypes"].tolist() == ["int64"]
+    assert info["features"] == 3
+    assert info["fid_column"] == "fid"
+    assert info["geometry_name"] == "geometry_wkb"
+
+
+def test_read_info_geojsonseq_bounds_none_unless_forced(tmp_path):
+    """Reference parity: .geojsonl total_bounds is None unless forced
+    (test_core.py test_read_info_force_total_bounds)."""
+    from pyogrio_spark.compat import read_info, write_dataframe
+
+    pdf = pd.DataFrame(
+        {"geometry": [W.encode_point(1.0, 2.0), W.encode_point(3.0, 4.0)]}
+    )
+    p = str(tmp_path / "seq.geojsonl")
+    write_dataframe(pdf, p)
+    assert read_info(p)["total_bounds"] is None
+    forced = read_info(p, force_total_bounds=True)
+    assert np.allclose(forced["total_bounds"], (1.0, 2.0, 3.0, 4.0))
+    assert read_info(p)["driver"] == "GeoJSONSeq"
+
+
+def test_list_drivers():
+    from pyogrio_spark.compat import list_drivers
+
+    d = list_drivers()
+    assert d["ESRI Shapefile"] == "rw" and d["GPKG"] == "rw" and d["OSM"] == "r"
+    assert "OSM" not in list_drivers(write=True)
+    assert set(list_drivers(read=True)) == set(d)
+
+
+def test_gpkg_layer_metadata_dicts(tmp_path):
+    """GPKG identifier/description + gpkg_metadata rows surface as
+    layer/dataset metadata dicts (VERDICT item 7; reference returns
+    these from read_info, _io.pyx:2391-2397)."""
+    from pyogrio_spark.compat import read_info, write_dataframe
+
+    pdf = pd.DataFrame({"geometry": [W.encode_point(1.0, 2.0)]})
+    p = str(tmp_path / "md.gpkg")
+    write_dataframe(pdf, p)
+    con = sqlite3.connect(p)
+    con.execute("UPDATE gpkg_contents SET description = 'test layer', identifier = 'pretty name'")
+    con.execute(
+        "CREATE TABLE gpkg_metadata (id INTEGER PRIMARY KEY, md_scope TEXT, "
+        "md_standard_uri TEXT, mime_type TEXT, metadata TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_metadata_reference (reference_scope TEXT, table_name TEXT, "
+        "column_name TEXT, row_id_value INTEGER, timestamp DATETIME, md_file_id INTEGER, "
+        "md_parent_id INTEGER)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_metadata VALUES (1, 'dataset', 'http://gdal.org', 'text/xml', '<x/>')"
+    )
+    con.execute(
+        "INSERT INTO gpkg_metadata_reference VALUES ('geopackage', NULL, NULL, NULL, NULL, 1, NULL)"
+    )
+    con.commit()
+    con.close()
+    info = read_info(p)
+    assert info["layer_metadata"]["DESCRIPTION"] == "test layer"
+    assert info["layer_metadata"]["IDENTIFIER"] == "pretty name"
+    assert "<x/>" in list(info["dataset_metadata"].values())
+
+
+def test_read_dataframe_surfaces_crs(tmp_path):
+    from pyogrio_spark.compat import read_dataframe, write_dataframe
+
+    pdf = pd.DataFrame({"geometry": [W.encode_point(1.0, 2.0)]})
+    p = str(tmp_path / "crs.fgb")
+    write_dataframe(pdf, p, crs="EPSG:32633")
+    back = read_dataframe(p)
+    assert back.attrs["crs"] == "EPSG:32633"
+
+
+def test_shapefile_prj_roundtrip_through_engine_reader(tmp_path):
+    """Write with a WKT crs, read back through the format reader's own
+    info (not just compat)."""
+    from pyogrio_spark.io.shapefile import read_shapefile_pdf, write_shapefile
+
+    pdf = pd.DataFrame(
+        {"geometry_wkb": [W.encode_point(500000.0, 4649776.0)], "tag": ["a"]}
+    )
+    p = str(tmp_path / "utm.shp")
+    write_shapefile(pdf, p, crs=32633)
+    _, info = read_shapefile_pdf(p)
+    assert info["crs"] == "EPSG:32633"
+    # and an unidentifiable custom WKT comes back verbatim
+    weird = 'PROJCS["Mystery_Grid_1901",UNIT["Meter",1]]'
+    p2 = str(tmp_path / "weird.shp")
+    write_shapefile(pdf, p2, crs=weird)
+    _, info2 = read_shapefile_pdf(p2)
+    assert info2["crs"] == weird
