@@ -282,6 +282,130 @@ def read_bounds(
     return fids, bounds
 
 
+_OGR_TYPE = {
+    "int64": ("OFTInteger64", "OFSTNone"),
+    "int32": ("OFTInteger", "OFSTNone"),
+    "float64": ("OFTReal", "OFSTNone"),
+    "float32": ("OFTReal", "OFSTFloat32"),
+    "bool": ("OFTInteger", "OFSTBoolean"),
+    "object": ("OFTString", "OFSTNone"),
+}
+
+
+def _open_arrow_impl(
+    path_or_buffer,
+    layer=None,
+    encoding=None,
+    columns=None,
+    read_geometry=True,
+    force_2d=False,
+    skip_features=0,
+    max_features=None,
+    where=None,
+    bbox=None,
+    mask=None,
+    fids=None,
+    sql=None,
+    sql_dialect=None,
+    return_fids=False,
+    batch_size=65_536,
+    use_pyarrow=False,
+    spark=None,
+    **kwargs,
+):
+    import pyarrow as pa
+
+    from pyogrio_spark.io.dispatch import dataset_info, open_table
+
+    path = str(path_or_buffer)
+    info = dataset_info(path, layer=layer)
+    df = open_table(
+        _spark(spark),
+        path,
+        layer=layer,
+        columns=list(columns) if columns is not None else None,
+        read_geometry=read_geometry,
+        where=where,
+        bbox=tuple(bbox) if bbox is not None else None,
+        mask=_norm_mask(mask),
+        fids=list(fids) if fids is not None else None,
+        skip_features=int(skip_features),
+        max_features=max_features,
+        sql=sql,
+        force_2d=force_2d,
+    )
+    if not return_fids and "fid" in df.columns:
+        df = df.drop("fid")
+    # combine first: Spark yields one chunk per partition and
+    # to_batches(max_chunksize) only ever splits, never merges
+    table = df.toArrow().combine_chunks()
+    batches = table.to_batches(max_chunksize=max(1, int(batch_size)))
+    if not batches:  # zero rows: a single empty batch keeps the schema
+        batches = [pa.RecordBatch.from_pylist([], schema=table.schema)]
+    reader = pa.RecordBatchReader.from_batches(table.schema, iter(batches))
+    meta = {
+        "crs": info.get("crs"),
+        "fields": np.array(info["fields"], dtype=object),
+        "dtypes": np.array(info["dtypes"], dtype=object),
+        "ogr_types": [_OGR_TYPE.get(d, ("OFTString", "OFSTNone"))[0] for d in info["dtypes"]],
+        "ogr_subtypes": [_OGR_TYPE.get(d, ("OFTString", "OFSTNone"))[1] for d in info["dtypes"]],
+        "encoding": info.get("encoding", "UTF-8"),
+        "geometry_type": info["geometry_type"],
+        "geometry_name": "geometry_wkb" if read_geometry else "",
+        "fid_column": "fid" if return_fids else "",
+    }
+    return meta, reader
+
+
+class _ArrowSource:
+    """Context manager mirroring the reference's ``ogr_open_arrow``
+    yield shape: ``with open_arrow(p) as (meta, reader)``. A pyarrow
+    RecordBatchReader implements the Arrow PyCapsule stream protocol
+    (``__arrow_c_stream__``), so it serves both the default and the
+    ``use_pyarrow=True`` contract."""
+
+    def __init__(self, meta, reader):
+        self._pair = (meta, reader)
+
+    def __enter__(self):
+        return self._pair
+
+    def __exit__(self, *exc):
+        self._pair[1].close()
+        return False
+
+
+def open_arrow(path_or_buffer, /, **kwargs):
+    """Reference: open_arrow (raw.py:350-470) — context manager yielding
+    ``(meta, reader)`` where reader is a pyarrow RecordBatchReader
+    streaming record batches of at most ``batch_size`` features.
+
+    Divergence (module docstring): batches are produced from the engine
+    result via Arrow transfer on the driver — this is the reference's
+    single-node interchange workflow; corpus-scale work should stay in
+    ``open_table``."""
+    meta, reader = _open_arrow_impl(path_or_buffer, **kwargs)
+    return _ArrowSource(meta, reader)
+
+
+def read_arrow(path_or_buffer, /, **kwargs):
+    """Reference: read_arrow (raw.py:221-347) — ``(meta, pyarrow.Table)``.
+    ``skip_features``/``max_features`` slice exactly like the reference
+    (they push into the engine scan, the same semantics GDAL >= 3.8
+    applies in-driver)."""
+    if kwargs.get("skip_features", 0) < 0:
+        raise ValueError("'skip_features' must be >= 0")
+    max_features = kwargs.get("max_features")
+    if max_features is not None and max_features < 0:
+        raise ValueError("'max_features' must be >= 0")
+    if max_features is not None:
+        kwargs.setdefault("batch_size", 65_536)
+        kwargs["batch_size"] = min(kwargs["batch_size"], max(1, int(max_features)))
+    with open_arrow(path_or_buffer, **kwargs) as (meta, reader):
+        table = reader.read_all()
+    return meta, table
+
+
 def write_dataframe(
     df: pd.DataFrame,
     path,
@@ -291,6 +415,7 @@ def write_dataframe(
     encoding=None,
     geometry_column: str = "geometry",
     crs=None,
+    append: bool = False,
     **kwargs,
 ) -> None:
     """Reference: write_dataframe (geopandas.py:541-627). ``df`` is
@@ -298,7 +423,9 @@ def write_dataframe(
     format from ``driver`` or the path extension. ``crs`` (int EPSG /
     'EPSG:<n>' / WKT) is persisted per format — .prj, GPKG srs
     registry, FlatGeobuf Crs table, GeoJSON 'crs' member; default
-    EPSG:4326."""
+    EPSG:4326. ``append=True`` adds features to an existing dataset
+    (raw.py:668); FlatGeobuf refuses, matching the reference driver's
+    missing append capability."""
     path = str(path)
     pdf = df.copy()
     if geometry_column in pdf.columns and geometry_column != "geometry_wkb":
@@ -310,20 +437,24 @@ def write_dataframe(
     if drv in ("esri shapefile", "shapefile") or (not drv and low.endswith(".shp")):
         from pyogrio_spark.io.shapefile import write_shapefile
 
-        write_shapefile(pdf, path, crs=crs)
+        write_shapefile(pdf, path, crs=crs, append=append)
     elif drv in ("gpkg", "geopackage") or (not drv and low.endswith(".gpkg")):
         from pyogrio_spark.io.geopackage import write_geopackage
 
-        write_geopackage(pdf, path, layer=layer or "layer", crs=crs)
+        write_geopackage(pdf, path, layer=layer or "layer", crs=crs, append=append)
     elif drv in ("flatgeobuf",) or (not drv and low.endswith(".fgb")):
         from pyogrio_spark.io.flatgeobuf import write_flatgeobuf
 
+        if append:
+            raise ValueError(
+                "append is not supported for FlatGeobuf (reference driver parity)"
+            )
         write_flatgeobuf(pdf, path, layer_name=layer, crs=crs, **kwargs)
     elif drv in ("geojson", "geojsonseq") or (
         not drv and low.endswith((".geojson", ".geojsonl", ".geojsons", ".json"))
     ):
         from pyogrio_spark.io.geojson import write_geojson
 
-        write_geojson(pdf, path, crs=crs)
+        write_geojson(pdf, path, crs=crs, append=append)
     else:
         raise ValueError(f"cannot infer driver for {path!r} (driver={driver!r})")

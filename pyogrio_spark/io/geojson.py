@@ -207,7 +207,8 @@ def read_geojson_seq_distributed(spark, path: str):
 
 
 def write_geojson(
-    pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb", crs=None
+    pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb", crs=None,
+    append: bool = False,
 ) -> None:
     """Frame with WKB geometry -> .geojson FeatureCollection or
     .geojsonl sequence (by extension). Round-trips through
@@ -215,12 +216,21 @@ def write_geojson(
 
     RFC 7946 GeoJSON is WGS84 by definition; a non-4326 ``crs`` is
     persisted as the 2008-spec 'crs' member (the same convention GDAL
-    uses for non-WGS84 data), FeatureCollection layout only."""
+    uses for non-WGS84 data), FeatureCollection layout only.
+
+    ``append=True``: GeoJSONSeq appends lines in place (O(new data) —
+    the layout exists for exactly this); a FeatureCollection is one
+    JSON document, so append re-serializes existing + new features
+    (the same cost GDAL pays)."""
+    import os
+
     from pyogrio_spark.crs import crs_to_epsg
 
     epsg = crs_to_epsg(crs) if crs is not None else None
     if epsg is not None and epsg != 4326 and path.endswith((".geojsonl", ".geojsons")):
         raise ValueError("GeoJSONSeq has no 'crs' member; data must be EPSG:4326")
+    if append and not os.path.exists(path):
+        raise ValueError(f"append=True but {path} does not exist")
     feats = []
     for _, row in pdf.iterrows():
         props = {
@@ -236,22 +246,30 @@ def write_geojson(
                 "geometry": None if g is None else _geom_to_coords(W.parse_wkb(bytes(g))),
             }
         )
-    with open(path, "w") as f:
-        if path.endswith((".geojsonl", ".geojsons")):
+    if path.endswith((".geojsonl", ".geojsons")):
+        with open(path, "a" if append else "w") as f:
             for feat in feats:
                 f.write(json.dumps(feat) + "\n")
-        else:
-            doc = {"type": "FeatureCollection", "features": feats}
-            if epsg is not None and epsg != 4326:
-                doc = {
-                    "type": "FeatureCollection",
-                    "crs": {
-                        "type": "name",
-                        "properties": {"name": f"urn:ogc:def:crs:EPSG::{epsg}"},
-                    },
-                    "features": feats,
-                }
-            json.dump(doc, f)
+        return
+    if append:
+        with open(path) as f:
+            doc = json.load(f)
+        if doc.get("type") != "FeatureCollection":
+            raise ValueError(f"append=True needs a FeatureCollection in {path}")
+        doc["features"].extend(feats)
+    else:
+        doc = {"type": "FeatureCollection", "features": feats}
+        if epsg is not None and epsg != 4326:
+            doc = {
+                "type": "FeatureCollection",
+                "crs": {
+                    "type": "name",
+                    "properties": {"name": f"urn:ogc:def:crs:EPSG::{epsg}"},
+                },
+                "features": feats,
+            }
+    with open(path, "w") as f:
+        json.dump(doc, f)
 
 
 def write_geojson_seq_distributed(df, out_dir: str, geom_col: str = "geometry_wkb") -> None:

@@ -268,6 +268,7 @@ def write_geopackage(
     geometry_type: str | None = None,
     srs_id: int | None = None,
     crs=None,
+    append: bool = False,
 ) -> None:
     """Write a frame with a WKB geometry column as a valid GeoPackage:
     standard registry tables + GP-headered geometry blobs (envelope
@@ -281,7 +282,17 @@ def write_geopackage(
     — the reference persists the caller's CRS (_io.pyx:2810-2816). A
     WKT that doesn't identify to an EPSG code registers as a custom SRS
     (organization NONE, srs_id 100000). ``srs_id`` remains as a
-    back-compat alias for an EPSG code."""
+    back-compat alias for an EPSG code.
+
+    ``append=True`` INSERTs into the existing layer table (schema must
+    match) and widens the gpkg_contents bounds — the reference's
+    write_dataframe(append=True) semantics (raw.py:668)."""
+    import os as _os
+
+    if append:
+        if not _os.path.exists(path):
+            raise ValueError(f"append=True but {path} does not exist")
+        return _append_geopackage(pdf, path, layer=layer, geom_col=geom_col)
     from pyogrio_spark.crs import crs_to_epsg, crs_to_wkt
 
     if crs is None:
@@ -370,6 +381,61 @@ def write_geopackage(
             for g, vals in zip(geoms, pdf[data_cols].itertuples(index=False, name=None) if data_cols else [()] * len(geoms))
         ]
         cur.executemany(f'INSERT INTO "{layer}" ({col_names}) VALUES ({ph})', rows)
+        con.commit()
+    finally:
+        con.close()
+
+
+def _append_geopackage(
+    pdf: pd.DataFrame, path: str, layer: str = "layer", geom_col: str = "geometry_wkb"
+) -> None:
+    """INSERT new features into an existing GPKG layer: same blob
+    encoding as the fresh write, layer srs_id reused, gpkg_contents
+    bounds widened to cover the union."""
+    import struct as _s
+
+    con = sqlite3.connect(path)
+    try:
+        row = con.execute(
+            "SELECT column_name, srs_id FROM gpkg_geometry_columns WHERE table_name = ?",
+            (layer,),
+        ).fetchone()
+        if row is None:
+            raise ValueError(f"append=True: layer {layer!r} not found in {path}")
+        gcol, srs_id = row
+        tinfo = list(con.execute(f'PRAGMA table_info("{layer}")'))
+        pk = next((r[1] for r in tinfo if r[5] == 1), tinfo[0][1])
+        existing = [r[1] for r in tinfo if r[1] not in (pk, gcol)]
+        incoming = [c for c in pdf.columns if c not in (geom_col, "fid")]
+        if set(incoming) != set(existing):
+            raise ValueError(
+                f"append=True: column mismatch — layer has {existing}, frame has {incoming}"
+            )
+
+        geoms = list(pdf[geom_col])
+
+        def to_blob(wkb: bytes | None) -> bytes | None:
+            if wkb is None:
+                return None
+            x0, y0, x1, y1 = W.bounds(wkb)
+            return b"GP\x00\x03" + _s.pack("<i", srs_id) + _s.pack("<4d", x0, x1, y0, y1) + wkb
+
+        ph = ", ".join(["?"] * (1 + len(existing)))
+        col_names = f'"{gcol}"' + ("".join(f', "{c}"' for c in existing))
+        rows = [
+            (to_blob(g), *[None if pd.isna(v) else (int(v) if isinstance(v, (bool, np.bool_)) else v.item() if isinstance(v, np.generic) else v) for v in vals])
+            for g, vals in zip(geoms, pdf[existing].itertuples(index=False, name=None) if existing else [()] * len(geoms))
+        ]
+        con.executemany(f'INSERT INTO "{layer}" ({col_names}) VALUES ({ph})', rows)
+        bounds = [W.bounds(g) for g in geoms if g is not None]
+        if bounds:
+            arr = np.array(bounds)
+            con.execute(
+                "UPDATE gpkg_contents SET min_x = min(min_x, ?), min_y = min(min_y, ?), "
+                "max_x = max(max_x, ?), max_y = max(max_y, ?) WHERE table_name = ?",
+                (float(arr[:, 0].min()), float(arr[:, 1].min()),
+                 float(arr[:, 2].max()), float(arr[:, 3].max()), layer),
+            )
         con.commit()
     finally:
         con.close()

@@ -320,7 +320,8 @@ def _poly_body(stype: int, parts: list[np.ndarray]) -> bytes:
 
 
 def write_shapefile(
-    pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb", crs=None
+    pdf: pd.DataFrame, path: str, geom_col: str = "geometry_wkb", crs=None,
+    append: bool = False,
 ) -> None:
     """Write .shp/.shx/.dbf/.cpg/.prj from a frame with a WKB geometry
     column — the reference's default driver, written from the public
@@ -328,8 +329,31 @@ def write_shapefile(
 
     ``crs`` is an int EPSG code, ``"EPSG:<n>"``, or WKT (default
     EPSG:4326) and is persisted to ``.prj`` — the reference writes the
-    caller's CRS rather than assuming one (_io.pyx:2810-2816)."""
+    caller's CRS rather than assuming one (_io.pyx:2810-2816).
+
+    ``append=True`` keeps the existing features and CRS and adds the
+    frame's rows (implemented as parse + rewrite: the record sections
+    of all three files are length-prefixed but the headers carry global
+    bounds/counts, so an in-place tail append would still rewrite the
+    headers; at interchange scale the difference is noise)."""
     base = os.path.splitext(path)[0]
+    if append:
+        if not os.path.exists(base + ".shp"):
+            raise ValueError(f"append=True but {path} does not exist")
+        existing, info = read_shapefile_pdf(path)
+        incoming = pdf.rename(columns={geom_col: "geometry_wkb"})
+        want = [c for c in existing.columns if c != "fid"]
+        have = [c for c in incoming.columns if c != "fid"]
+        if set(want) != set(have):
+            raise ValueError(
+                f"append=True: column mismatch — layer has {want}, frame has {have}"
+            )
+        merged = pd.concat(
+            [existing.drop(columns=["fid"]), incoming[want]], ignore_index=True
+        )
+        return write_shapefile(
+            merged, path, geom_col="geometry_wkb", crs=crs if crs is not None else info["crs"]
+        )
     geoms = [W.parse_wkb(bytes(b)) if b is not None else None for b in pdf[geom_col]]
 
     records, shp_types = [], set()

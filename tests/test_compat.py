@@ -92,3 +92,104 @@ def test_write_dataframe_roundtrip(tmp_path):
         back = read_dataframe(path)
         assert sorted(back.name) == ["a", "b", "c"]
         assert sorted(map(bytes, back.geometry)) == sorted(map(bytes, pdf.geometry))
+
+
+def test_read_arrow_naturalearth():
+    """Reference: read_arrow returns (meta, pyarrow.Table)
+    (tests/test_arrow.py:41-60 semantics)."""
+    from pyogrio_spark.compat import read_arrow
+
+    meta, table = read_arrow(NE)
+    assert table.num_rows == 177
+    assert "geometry_wkb" in table.column_names
+    assert meta["geometry_name"] == "geometry_wkb"
+    assert meta["crs"] == "EPSG:4326"
+    assert meta["fields"].tolist() == ["pop_est", "continent", "name", "iso_a3", "gdp_md_est"]
+    assert meta["dtypes"].tolist() == ["int64", "object", "object", "object", "float64"]
+    assert meta["ogr_types"][0] == "OFTInteger64"
+    assert meta["fid_column"] == ""  # return_fids defaults False
+    # WKB payload parses
+    g = W.parse_wkb(table["geometry_wkb"][0].as_py())
+    assert g.type in ("Polygon", "MultiPolygon")
+
+
+def test_open_arrow_batch_size():
+    """Reference parity: tests/test_arrow.py:211-228 — batch_size splits
+    the stream into ceil(n / batch_size) batches."""
+    import math
+
+    from pyogrio_spark.compat import open_arrow
+
+    batch_size = math.ceil(177 / 2)
+    with open_arrow(NE, batch_size=batch_size, use_pyarrow=True) as (meta, reader):
+        batches = list(reader)
+    assert len(batches) == 2
+    assert len(batches[0]) == batch_size
+    assert sum(len(b) for b in batches) == 177
+
+
+def test_read_arrow_skip_max_and_filters():
+    from pyogrio_spark.compat import read_arrow
+
+    _, sliced = read_arrow(NE, skip_features=10, max_features=5, return_fids=True)
+    assert sliced.num_rows == 5
+    assert sliced["fid"].to_pylist() == [10, 11, 12, 13, 14]
+    _, filtered = read_arrow(NE, columns=["name"], where="continent = 'Africa'")
+    assert filtered.column_names == ["name", "geometry_wkb"]
+    assert 0 < filtered.num_rows < 177
+    with pytest.raises(ValueError, match="'max_features' must be >= 0"):
+        read_arrow(NE, max_features=-1)
+    _, nogeom = read_arrow(NE, read_geometry=False, max_features=3)
+    assert "geometry_wkb" not in nogeom.column_names
+
+
+@pytest.mark.parametrize("ext", [".gpkg", ".geojsonl", ".geojson", ".shp"])
+def test_write_dataframe_append_roundtrip(tmp_path, ext):
+    """Reference: write_dataframe(append=True) adds features to an
+    existing dataset (raw.py:668, test_geopandas_io append cases) —
+    write 3, append 2, read back 5 with values and geometry intact."""
+    first = pd.DataFrame(
+        {
+            "name": ["a", "b", "c"],
+            "v": np.array([1, 2, 3], dtype=np.int64),
+            "geometry": [W.encode_point(float(i), 0.0) for i in range(3)],
+        }
+    )
+    more = pd.DataFrame(
+        {
+            "name": ["d", "e"],
+            "v": np.array([4, 5], dtype=np.int64),
+            "geometry": [W.encode_point(float(i), 1.0) for i in (3, 4)],
+        }
+    )
+    path = str(tmp_path / f"ap{ext}")
+    write_dataframe(first, path)
+    write_dataframe(more, path, append=True)
+    back = read_dataframe(path)
+    assert sorted(back.name) == ["a", "b", "c", "d", "e"]
+    assert sorted(back.v) == [1, 2, 3, 4, 5]
+    assert sorted(map(bytes, back.geometry)) == sorted(
+        map(bytes, list(first.geometry) + list(more.geometry))
+    )
+    # info stays consistent (count + widened bounds where headers track them)
+    info = read_info(path)
+    assert info["features"] == 5
+    if ext in (".gpkg", ".shp"):
+        assert np.allclose(info["total_bounds"], (0.0, 0.0, 4.0, 1.0))
+
+
+def test_append_errors():
+    pdf = pd.DataFrame({"geometry": [W.encode_point(0.0, 0.0)]})
+    with pytest.raises(ValueError, match="does not exist"):
+        write_dataframe(pdf, "/tmp/definitely_missing_x9.gpkg", append=True)
+    with pytest.raises(ValueError, match="not supported for FlatGeobuf"):
+        write_dataframe(pdf, "/tmp/whatever.fgb", append=True)
+
+
+def test_append_column_mismatch_raises(tmp_path):
+    a = pd.DataFrame({"x": [1], "geometry": [W.encode_point(0.0, 0.0)]})
+    b = pd.DataFrame({"y": [2], "geometry": [W.encode_point(1.0, 1.0)]})
+    p = str(tmp_path / "mm.gpkg")
+    write_dataframe(a, p)
+    with pytest.raises(ValueError, match="column mismatch"):
+        write_dataframe(b, p, append=True)
