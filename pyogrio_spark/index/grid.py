@@ -136,6 +136,22 @@ def cover_bbox(xmin: float, ymin: float, xmax: float, ymax: float, res: int) -> 
     return xy_to_cell(gx.ravel(), gy.ravel(), res)
 
 
+def parent_expr_sql(cell_sql: str, res: int) -> str:
+    """SQL fragment computing the res-1 parent of a res-``res`` cell id
+    — pure integer arithmetic (codegen + oracle-reproducible), the
+    expression form of :func:`parent`."""
+    if res < 1:
+        raise ValueError("res must be >= 1 to take a parent")
+    n = _n(res)
+    base = f"({cell_sql} - cast({res} as bigint) * {1 << _RES_SHIFT})"
+    x = f"({base} div {n})"
+    y = f"({base} % {n})"
+    return (
+        f"(cast({res - 1} as bigint) * {1 << _RES_SHIFT}"
+        f" + ({x} div 2) * {n >> 1} + ({y} div 2))"
+    )
+
+
 def cell_expr_sql(lon_sql: str, lat_sql: str, res: int) -> str:
     """SQL fragment computing cell_id from lon/lat expressions.
 

@@ -206,3 +206,40 @@ def test_bucketed_pip_headline_join_no_exchange(spark):
     assert "Exchange hashpartitioning" not in plan, "bucketed PIP join must not shuffle"
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan  # a real join, not broadcast
     assert out.count() > 0
+
+
+def test_adaptive_frontier_is_semijoin_not_isin(spark):
+    """The adaptive-tiling frontier must travel as a broadcast semi-join,
+    never as a driver-side isin literal — at planetary scale a level has
+    10^6-10^7 hot children and a multi-million-element In blows up plan
+    analysis (round-3 VERDICT). Also checks the split output itself on a
+    synthetic hot-cell fixture."""
+    import pandas as pd
+
+    from pyogrio_spark.operators.tiling import _next_frontier, adaptive_tiles
+
+    # 400 rows crammed into one base cell (hot), 10 in another (cold)
+    docs = make_docs(410)
+    docs.loc[: 399, "xmin"] = 10.0 + (docs.index[:400] % 20) * 0.004
+    docs.loc[: 399, "ymin"] = 10.0 + (docs.index[:400] // 20) * 0.004
+    docs.loc[400:, "xmin"] = -120.0
+    docs.loc[400:, "ymin"] = -45.0
+    df = spark.createDataFrame(docs, schema=DOCS_SPARK_SCHEMA)
+
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.index.grid import cell_expr_sql
+
+    frontier = df.groupBy(F.expr(cell_expr_sql("xmin", "ymin", 4)).alias("cell")).count()
+    hot = frontier.filter(F.col("count") > 100)
+    nxt = _next_frontier(df, hot, 5, "xmin", "ymin")
+    plan = nxt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert " IN (" not in plan and "isin" not in plan
+
+    tiles = adaptive_tiles(df, base_res=4, max_res=8, target_rows=100)
+    assert (tiles.row_count <= 100).all() or (tiles.res == 8).any()
+    assert tiles.row_count.sum() == 410  # every row lands in exactly one tile
+    # determinism: identical map on recompute
+    tiles2 = adaptive_tiles(df, base_res=4, max_res=8, target_rows=100)
+    pd.testing.assert_frame_equal(tiles, tiles2)
