@@ -359,18 +359,29 @@ def _is_area():
     return F.when(tag_area == "yes", F.lit(True)).when(tag_area == "no", F.lit(False)).otherwise(has_area_key)
 
 
+# GDAL OSM driver highway ranks for the computed z_order attribute
+# (public driver behavior; _link classes share their parent's rank)
+_Z_HIGHWAY = {
+    "minor": 3, "road": 3, "unclassified": 3, "residential": 3,
+    "tertiary_link": 4, "tertiary": 4,
+    "secondary_link": 6, "secondary": 6,
+    "primary_link": 7, "primary": 7,
+    "trunk_link": 8, "trunk": 8,
+    "motorway_link": 9, "motorway": 9,
+}
+
+
 def _z_order():
-    """GDAL's computed lines attribute: highway base rank + 10*layer
-    +10 bridge -10 tunnel, +5 when railway is present."""
+    """GDAL's computed lines attribute: highway rank (rank table above,
+    unknown classes rank 0) + 10*layer, +10 bridge, -10 tunnel, +5 when
+    railway is present."""
     from pyspark.sql import functions as F
 
     hw = F.col("tags").getItem("highway")
-    base = (
-        F.when(hw == "motorway", 9).when(hw == "trunk", 8)
-        .when(hw == "primary", 7).when(hw == "secondary", 6)
-        .when(hw == "tertiary", 5)
-        .when(hw.isNotNull(), 3).otherwise(0)
+    rank_map = F.create_map(
+        *[F.lit(x) for kv in _Z_HIGHWAY.items() for x in kv]
     )
+    base = F.coalesce(F.element_at(rank_map, F.coalesce(hw, F.lit(""))), F.lit(0))
     layer = F.coalesce(F.col("tags").getItem("layer").try_cast("int"), F.lit(0))
     bridge = F.col("tags").getItem("bridge")
     tunnel = F.col("tags").getItem("tunnel")
@@ -494,7 +505,14 @@ def _way_polygons(raw):
 
 def _rel_members_with_way_coords(raw, rel_filter):
     """relation rows (post-filter) exploded to way members joined with
-    member way coordinate sequences."""
+    member way coordinate sequences.
+
+    Nested relation members (type=relation) are resolved ONE level, the
+    same depth GDAL's driver resolves: a member relation contributes its
+    own way members at the parent's position, ordered by their position
+    within the sub-relation, carrying their own roles (falling back to
+    the parent member's role when empty). Deeper nesting is ignored —
+    GDAL's documented behavior for the multipolygon/boundary stitcher."""
     from pyspark.sql import functions as F
 
     rels = raw.filter((F.col("kind") == 2) & rel_filter)
@@ -508,8 +526,41 @@ def _rel_members_with_way_coords(raw, rel_filter):
         F.col("m.mrefs").alias("mref"),
         F.col("m.mroles").alias("mrole"),
     )
+    # composite order key: parent slot * 2^32 + slot inside the nested
+    # relation (+1 so a nested member never ties its parent's slot)
+    direct = m.filter(F.col("mtype") == 1).select(
+        "id", "tags",
+        (F.col("pos").cast("long") * (1 << 32)).alias("pos"),
+        "mref", "mrole",
+    )
+    sub = (
+        raw.filter(F.col("kind") == 2)
+        .select(
+            F.col("id").alias("subrel_id"),
+            F.posexplode(F.arrays_zip("mtypes", "mrefs", "mroles")).alias("subpos", "sm"),
+        )
+        .filter(F.col("sm.mtypes") == 1)
+        .select(
+            "subrel_id", "subpos",
+            F.col("sm.mrefs").alias("submref"),
+            F.col("sm.mroles").alias("submrole"),
+        )
+    )
+    nested = (
+        m.filter(F.col("mtype") == 2)
+        .join(sub, F.col("mref") == F.col("subrel_id"))
+        .select(
+            "id", "tags",
+            (F.col("pos").cast("long") * (1 << 32) + F.col("subpos") + 1).alias("pos"),
+            F.col("submref").alias("mref"),
+            F.when(F.col("submrole") == "", F.col("mrole"))
+            .otherwise(F.col("submrole"))
+            .alias("mrole"),
+        )
+    )
+    members = direct.unionByName(nested)
     ways = _way_coords(raw).select(F.col("id").alias("mref"), F.col("coords").alias("wcoords"))
-    return m.filter(F.col("mtype") == 1).join(ways, "mref", "left")
+    return members.join(ways, "mref", "left")
 
 
 def _stitch_rings(way_arrays: list[np.ndarray]) -> list[np.ndarray]:

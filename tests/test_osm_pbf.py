@@ -311,3 +311,55 @@ def test_nested_donut_hole_assignment(spark, tmp_path):
 def _area(r):
     x, y = r[:, 0], r[:, 1]
     return 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def test_nested_relation_members_resolve_one_level(spark, tmp_path):
+    """A multipolygon relation whose ring ways arrive via a NESTED
+    relation member must stitch correctly — GDAL resolves one level of
+    type=relation members (round-3 VERDICT item 6)."""
+    path = str(tmp_path / "nested.osm.pbf")
+    coords = {
+        1: (0.0, 0.0), 2: (4.0, 0.0), 3: (4.0, 4.0), 4: (0.0, 4.0),
+        11: (1.0, 1.0), 12: (2.0, 1.0), 13: (2.0, 2.0), 14: (1.0, 2.0),
+    }
+    nodes = [(nid, lon, lat, {}) for nid, (lon, lat) in coords.items()]
+    ways = [
+        (101, [1, 2, 3], {}),        # half the outer ring (direct member)
+        (102, [3, 4, 1], {}),        # other half (via nested relation)
+        (103, [11, 12, 13, 14, 11], {}),  # hole (via nested relation)
+    ]
+    rels = [
+        # sub-relation holding way members with their own roles
+        (200, [(1, 102, "outer"), (1, 103, "inner")], {"type": "collection"}),
+        # parent multipolygon: one direct way + one nested relation
+        (201, [(1, 101, "outer"), (2, 200, "")],
+         {"type": "multipolygon", "landuse": "meadow"}),
+    ]
+    write_osm_pbf(path, nodes, ways, rels)
+    mp = read_osm(spark, path, layer="multipolygons").collect()
+    by_id = {r["osm_id"]: r for r in mp if r["osm_id"] is not None}
+    assert "201" in by_id
+    g = parse_wkb(by_id["201"]["geometry_wkb"])
+    assert g.type == "MultiPolygon" and len(g.coords) == 1
+    rings = g.coords[0].coords
+    assert len(rings) == 2  # stitched outer + hole, both via nesting
+    assert {tuple(p) for p in rings[0][:-1]} == {(0, 0), (4, 0), (4, 4), (0, 4)}
+    assert {tuple(p) for p in rings[1][:-1]} == {(1, 1), (2, 1), (2, 2), (1, 2)}
+
+
+def test_z_order_gdal_rank_table(spark, tmp_path):
+    """z_order uses the GDAL rank table: link classes share their
+    parent's rank, tertiary ranks 4, unknown classes 0."""
+    path = str(tmp_path / "zorder.osm.pbf")
+    nodes = [(i, float(i) * 1e-3, 0.0, {}) for i in range(1, 13)]
+    ways = [
+        (1, [1, 2], {"highway": "motorway_link"}),            # 9
+        (2, [3, 4], {"highway": "tertiary"}),                 # 4
+        (3, [5, 6], {"highway": "footway"}),                  # 0 (not in table)
+        (4, [7, 8], {"highway": "primary", "bridge": "yes", "layer": "2"}),  # 7+10+20
+        (5, [9, 10], {"railway": "rail"}),                    # 5
+        (6, [11, 12], {"highway": "secondary_link", "tunnel": "yes"}),  # 6-10
+    ]
+    write_osm_pbf(path, nodes, ways)
+    z = {r["osm_id"]: r["z_order"] for r in read_osm(spark, path, layer="lines").collect()}
+    assert z == {"1": 9, "2": 4, "3": 0, "4": 37, "5": 5, "6": -4}
