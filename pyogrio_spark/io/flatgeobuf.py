@@ -359,6 +359,77 @@ def _decode_properties(buf, spec: list[tuple[str, int]]) -> dict:
 # ----------------------------------------------------------------- write
 
 
+def _build_header(
+    spec: list[tuple[str, int]],
+    layer_code: int,
+    has_z: bool,
+    env: list[float],
+    count: int,
+    layer_name: str,
+    crs,
+    index_node_size: int,
+) -> bytes:
+    """Size-prefixed Header flatbuffer (slots: name=0 envelope=1
+    geometry_type=2 has_z=3 columns=7 features_count=8
+    index_node_size=9 crs=10) — shared by the driver-side and
+    distributed sinks."""
+    hb = Builder()
+    col_offs = []
+    for name, ctype in spec:
+        n_off = hb.create_string(name)
+        hb.start_table()
+        hb.add_offset(0, n_off)
+        hb.add_scalar(1, "<B", ctype, 0)
+        # width/precision/scale keep their -1 defaults; nullable default true
+        col_offs.append(hb.end_table())
+    cols_off = hb.create_offset_vector(col_offs) if col_offs else None
+    # Crs table (Header.fbs slots: org=0 code=1 name=2 description=3
+    # wkt=4): persist the caller's CRS — org/code when it identifies to
+    # an EPSG code, plus the WKT when one is available/derivable
+    crs_off = None
+    if crs is not None:
+        from pyogrio_spark.crs import crs_to_epsg, crs_to_wkt
+
+        code = crs_to_epsg(crs)
+        wkt = str(crs) if isinstance(crs, str) and "[" in crs else (
+            crs_to_wkt(code) if code is not None else None
+        )
+        wkt_off = hb.create_string(wkt) if wkt else None
+        org_off = hb.create_string("EPSG") if code is not None else None
+        hb.start_table()
+        hb.add_offset(0, org_off)
+        if code is not None:
+            hb.add_scalar(1, "<i", int(code), 0)
+        hb.add_offset(4, wkt_off)
+        crs_off = hb.end_table()
+    name_off = hb.create_string(layer_name)
+    env_off = hb.create_scalar_vector(struct.pack("<4d", *env), 4, 8)
+    hb.start_table()
+    hb.add_offset(0, name_off)
+    hb.add_offset(1, env_off)
+    hb.add_scalar(2, "<B", layer_code, 0)
+    hb.add_scalar(3, "<B", 1 if has_z else 0, 0)
+    hb.add_offset(7, cols_off)
+    hb.add_scalar(8, "<Q", int(count), 0)
+    # header default for slot 9 is 16, so 0 must be written explicitly
+    hb.add_scalar(9, "<H", max(0, int(index_node_size)), 16)
+    hb.add_offset(10, crs_off)
+    return hb.finish(hb.end_table(), size_prefixed=True)
+
+
+def _encode_feature(g, row, spec: list[tuple[str, int]]) -> bytes:
+    """One (Geom | None, property dict) -> size-prefixed Feature
+    flatbuffer — shared by the driver-side and distributed sinks."""
+    fb = Builder()
+    geom_off = None if g is None else _build_geometry(fb, g)
+    props = _encode_properties(row, spec)
+    props_off = fb.create_scalar_vector(props, len(props), 1) if props else None
+    fb.start_table()
+    fb.add_offset(0, geom_off)
+    fb.add_offset(1, props_off)
+    return fb.finish(fb.end_table(), size_prefixed=True)
+
+
 def write_flatgeobuf(
     pdf: pd.DataFrame,
     path: str,
@@ -400,64 +471,18 @@ def write_flatgeobuf(
     if not np.isfinite(env[0]):
         env = [0.0, 0.0, 0.0, 0.0]
 
-    # header (slots: name=0 envelope=1 geometry_type=2 has_z=3 ... columns=7
-    # features_count=8 index_node_size=9 crs=10)
-    hb = Builder()
-    col_offs = []
-    for name, ctype in spec:
-        n_off = hb.create_string(name)
-        hb.start_table()
-        hb.add_offset(0, n_off)
-        hb.add_scalar(1, "<B", ctype, 0)
-        # width/precision/scale keep their -1 defaults; nullable default true
-        col_offs.append(hb.end_table())
-    cols_off = hb.create_offset_vector(col_offs) if col_offs else None
-    # Crs table (Header.fbs slots: org=0 code=1 name=2 description=3
-    # wkt=4): persist the caller's CRS — org/code when it identifies to
-    # an EPSG code, plus the WKT when one is available/derivable
-    crs_off = None
     if crs is None and crs_wkt is not None:
         crs = crs_wkt  # back-compat alias
-    if crs is not None:
-        from pyogrio_spark.crs import crs_to_epsg, crs_to_wkt
-
-        code = crs_to_epsg(crs)
-        wkt = str(crs) if isinstance(crs, str) and "[" in crs else (
-            crs_to_wkt(code) if code is not None else None
-        )
-        wkt_off = hb.create_string(wkt) if wkt else None
-        org_off = hb.create_string("EPSG") if code is not None else None
-        hb.start_table()
-        hb.add_offset(0, org_off)
-        if code is not None:
-            hb.add_scalar(1, "<i", int(code), 0)
-        hb.add_offset(4, wkt_off)
-        crs_off = hb.end_table()
-    name_off = hb.create_string(layer_name or os.path.splitext(os.path.basename(path))[0])
-    env_off = hb.create_scalar_vector(struct.pack("<4d", *env), 4, 8)
-    hb.start_table()
-    hb.add_offset(0, name_off)
-    hb.add_offset(1, env_off)
-    hb.add_scalar(2, "<B", layer_code, 0)
-    hb.add_scalar(3, "<B", 1 if has_z else 0, 0)
-    hb.add_offset(7, cols_off)
-    hb.add_scalar(8, "<Q", len(pdf), 0)
-    # header default for slot 9 is 16, so 0 must be written explicitly
-    hb.add_scalar(9, "<H", max(0, int(index_node_size)), 16)
-    hb.add_offset(10, crs_off)
-    header = hb.finish(hb.end_table(), size_prefixed=True)
+    header = _build_header(
+        spec, layer_code, has_z, env, len(pdf),
+        layer_name or os.path.splitext(os.path.basename(path))[0],
+        crs, index_node_size,
+    )
 
     rows = pdf[attr_cols].to_dict("records") if attr_cols else [{}] * len(pdf)
 
     def frame(g, row) -> bytes:
-        fb = Builder()
-        geom_off = None if g is None else _build_geometry(fb, g)
-        props = _encode_properties(row, spec)
-        props_off = fb.create_scalar_vector(props, len(props), 1) if props else None
-        fb.start_table()
-        fb.add_offset(0, geom_off)
-        fb.add_offset(1, props_off)
-        return fb.finish(fb.end_table(), size_prefixed=True)
+        return _encode_feature(g, row, spec)
 
     index_bytes = b""
     if index_node_size > 0 and len(pdf) > 0:
@@ -480,6 +505,128 @@ def write_flatgeobuf(
         f.write(index_bytes)
         for fr in frames:
             f.write(fr)
+
+
+def _spec_from_spark_schema(dtypes: list[tuple[str, str]]) -> list[tuple[str, int]]:
+    """Spark (name, type) pairs -> FGB column spec (inverse of
+    _spark_type; both sinks of one frame agree on typing)."""
+    to_col = {
+        "tinyint": COL_BYTE, "smallint": COL_SHORT, "int": COL_INT,
+        "bigint": COL_LONG, "float": COL_FLOAT, "double": COL_DOUBLE,
+        "boolean": COL_BOOL, "binary": COL_BINARY, "string": COL_STRING,
+    }
+    spec = []
+    for name, t in dtypes:
+        if t.startswith("timestamp") or t == "date":
+            spec.append((name, COL_DATETIME))
+        else:
+            spec.append((name, to_col.get(t, COL_STRING)))
+    return spec
+
+
+def write_flatgeobuf_distributed(
+    df,
+    path: str,
+    geom_col: str = "geometry_wkb",
+    layer_name: str | None = None,
+    crs=None,
+) -> None:
+    """Distributed FlatGeobuf sink: the EXPENSIVE work — WKB parse and
+    FlatBuffers feature encoding — runs once per partition inside
+    mapInPandas, each task writing its encoded feature section to a
+    part file; the driver then writes the header (feature count,
+    envelope, geometry type aggregated from per-part metadata) and
+    streams the parts into the single output file in partition order.
+    The driver's share of the job is sequential byte copying only — the
+    irreducible cost of a single-file target — so encode throughput
+    scales with executors (the write-side mirror of the distributed
+    byte-range scans; parts dir must be on a filesystem shared with
+    executors, the same contract as those scans).
+
+    Layout: index_node_size=0 (features keep partition order), same as
+    the driver-side writer's default; round-trips byte-identically
+    through both readers."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    cols = [c for c in df.columns if c != geom_col]
+    spec = _spec_from_spark_schema([(c, t) for c, t in df.dtypes if c != geom_col])
+    parts_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
+    os.makedirs(parts_dir, exist_ok=True)
+
+    meta_schema = (
+        "pid int, part string, n long, minx double, miny double, "
+        "maxx double, maxy double, gtypes string, has_z boolean"
+    )
+
+    def encode(pdfs):
+        import pandas as _pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part = os.path.join(parts_dir, f"part-{pid:05d}")
+        n = 0
+        env = [np.inf, np.inf, -np.inf, -np.inf]
+        gtypes: set[str] = set()
+        has_z = False
+        with open(part, "wb") as f:
+            for pdf in pdfs:
+                rows = pdf[cols].to_dict("records") if cols else [{}] * len(pdf)
+                for g_wkb, row in zip(pdf[geom_col], rows):
+                    g = None if g_wkb is None else W.parse_wkb(bytes(g_wkb))
+                    if g is not None:
+                        gtypes.add(g.type)
+                        has_z = has_z or g.has_z
+                        x0, y0, x1, y1 = W._geom_bounds(g)
+                        env = [min(env[0], x0), min(env[1], y0),
+                               max(env[2], x1), max(env[3], y1)]
+                    f.write(_encode_feature(g, row, spec))
+                    n += 1
+        yield _pd.DataFrame(
+            [(pid, part, n, env[0], env[1], env[2], env[3],
+              ",".join(sorted(gtypes)), has_z)],
+            columns=["pid", "part", "n", "minx", "miny", "maxx", "maxy",
+                     "gtypes", "has_z"],
+        )
+
+    meta = df.mapInPandas(encode, schema=meta_schema).collect()
+    try:
+        meta = sorted(meta, key=lambda r: r["pid"])
+        total = sum(r["n"] for r in meta)
+        env = [
+            min((r["minx"] for r in meta if r["n"]), default=np.inf),
+            min((r["miny"] for r in meta if r["n"]), default=np.inf),
+            max((r["maxx"] for r in meta if r["n"]), default=-np.inf),
+            max((r["maxy"] for r in meta if r["n"]), default=-np.inf),
+        ]
+        if not np.isfinite(env[0]):
+            env = [0.0, 0.0, 0.0, 0.0]
+        types = set()
+        for r in meta:
+            types.update(t for t in r["gtypes"].split(",") if t)
+        if len(types) == 1:
+            layer_code = GEOM_NAME_TO_CODE[next(iter(types))]
+        elif types <= {"Polygon", "MultiPolygon"} and types:
+            layer_code = GEOM_NAME_TO_CODE["MultiPolygon"]
+        else:
+            layer_code = 0
+        has_z = any(r["has_z"] for r in meta)
+        header = _build_header(
+            spec, layer_code, has_z, env, total,
+            layer_name or os.path.splitext(os.path.basename(path))[0],
+            crs, 0,
+        )
+        with open(path, "wb") as out:
+            out.write(MAGIC)
+            out.write(header)
+            for r in meta:
+                with open(r["part"], "rb") as f:
+                    shutil.copyfileobj(f, out, 1 << 20)
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
 
 
 # ------------------------------------------------------------------ read

@@ -335,3 +335,47 @@ def test_distributed_empty_file_matches_single_node(spark, tmp_path):
     dist = read_flatgeobuf_distributed(spark, p)
     assert single.count() == 0 and dist.count() == 0
     assert dist.schema == single.schema
+
+
+def test_distributed_sink_roundtrip_and_parity(spark, tmp_path):
+    """write_flatgeobuf_distributed: executors encode feature sections,
+    the driver only concatenates — output must round-trip through both
+    readers and (single partition) match the driver-side writer
+    byte-for-byte."""
+    from pyogrio_spark.io.flatgeobuf import (
+        flatgeobuf_info,
+        read_flatgeobuf_distributed,
+        write_flatgeobuf_distributed,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "name": [f"f{i}" for i in range(200)],
+            "v": np.arange(200, dtype=np.int64),
+            "geometry_wkb": [W.encode_point(float(i % 50), float(i // 50)) for i in range(200)],
+        }
+    )
+    pdf.loc[3, "geometry_wkb"] = None
+    df = spark.createDataFrame(pdf, schema="name string, v bigint, geometry_wkb binary")
+
+    # multi-partition write: full content parity (order follows partitions)
+    multi = str(tmp_path / "multi.fgb")
+    write_flatgeobuf_distributed(df.repartition(7, "v"), multi, crs="EPSG:3857")
+    back, info = read_flatgeobuf_pdf(multi)
+    assert info["features"] == 200 and info["crs"] == "EPSG:3857"
+    assert sorted(back.v) == list(range(200))
+    got = {(r.v, None if r.geometry_wkb is None else bytes(r.geometry_wkb)) for r in back.itertuples()}
+    want = {(r.v, None if r.geometry_wkb is None else bytes(r.geometry_wkb)) for r in pdf.itertuples()}
+    assert got == want
+    hdr = flatgeobuf_info(multi)
+    assert hdr["total_bounds"] == (0.0, 0.0, 49.0, 3.0)
+    assert hdr["geometry_type"] == "Point"
+    # distributed reader reads the distributed write
+    assert read_flatgeobuf_distributed(spark, multi, chunk_features=64).count() == 200
+
+    # single-partition write is byte-identical to the driver-side writer
+    one = str(tmp_path / "one.fgb")
+    write_flatgeobuf_distributed(df.coalesce(1), one, crs="EPSG:3857")
+    ref = str(tmp_path / "ref.fgb")
+    write_flatgeobuf(pdf, ref, crs="EPSG:3857", layer_name="one")
+    assert open(one, "rb").read() == open(ref, "rb").read()
