@@ -217,12 +217,17 @@ def read_info(
     caps = dict(_CAPABILITIES[info["format"]])
     if info["format"] == "flatgeobuf":
         caps["fast_spatial_filter"] = info.get("index_node_size", 0) > 0
+    elif info["format"] == "geopackage":
+        # per-file: true when the gpkg_rtree_index extension is present
+        caps["fast_spatial_filter"] = bool(info.get("has_spatial_index"))
     return {
         "layer_name": info["layer_name"],
         "crs": info.get("crs"),
         "encoding": info.get("encoding", "UTF-8"),
         "fields": np.array(info["fields"], dtype=object),
         "dtypes": np.array(info["dtypes"], dtype=object),
+        "ogr_types": [_OGR_TYPE.get(d, ("OFTString", "OFSTNone"))[0] for d in info["dtypes"]],
+        "ogr_subtypes": [_OGR_TYPE.get(d, ("OFTString", "OFSTNone"))[1] for d in info["dtypes"]],
         # fid_column/geometry_name are ''/'' for formats where the fid /
         # geometry column is not physically stored or nameable
         # (reference test_core.py:560-566); GPKG reports its real names
@@ -416,6 +421,9 @@ def write_dataframe(
     geometry_column: str = "geometry",
     crs=None,
     append: bool = False,
+    metadata=None,
+    layer_metadata=None,
+    dataset_metadata=None,
     **kwargs,
 ) -> None:
     """Reference: write_dataframe (geopandas.py:541-627). ``df`` is
@@ -425,7 +433,14 @@ def write_dataframe(
     registry, FlatGeobuf Crs table, GeoJSON 'crs' member; default
     EPSG:4326. ``append=True`` adds features to an existing dataset
     (raw.py:668); FlatGeobuf refuses, matching the reference driver's
-    missing append capability."""
+    missing append capability. ``metadata``/``layer_metadata``/
+    ``dataset_metadata`` follow the reference's validation
+    (raw.py:490-505) and persist for GPKG (the reference's
+    metadata-bearing driver)."""
+    if metadata is not None:
+        if layer_metadata is not None:
+            raise ValueError("Cannot pass both metadata and layer_metadata")
+        layer_metadata = metadata
     path = str(path)
     pdf = df.copy()
     if geometry_column in pdf.columns and geometry_column != "geometry_wkb":
@@ -441,7 +456,11 @@ def write_dataframe(
     elif drv in ("gpkg", "geopackage") or (not drv and low.endswith(".gpkg")):
         from pyogrio_spark.io.geopackage import write_geopackage
 
-        write_geopackage(pdf, path, layer=layer or "layer", crs=crs, append=append)
+        write_geopackage(
+            pdf, path, layer=layer or "layer", crs=crs, append=append,
+            layer_metadata=layer_metadata, dataset_metadata=dataset_metadata,
+            **kwargs,
+        )
     elif drv in ("flatgeobuf",) or (not drv and low.endswith(".fgb")):
         from pyogrio_spark.io.flatgeobuf import write_flatgeobuf
 

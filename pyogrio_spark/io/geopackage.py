@@ -154,14 +154,29 @@ def geopackage_info(path: str, layer: str | None = None) -> dict:
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name='gpkg_metadata'"
         ).fetchone()
         if has_md:
+            import json as _json
+
             for scope, table_name, md in con.execute(
                 "SELECT r.reference_scope, r.table_name, m.metadata "
                 "FROM gpkg_metadata_reference r JOIN gpkg_metadata m ON m.id = r.md_file_id"
             ):
-                if scope == "geopackage":
-                    dataset_md["GPKG_METADATA_ITEM_%d" % len(dataset_md)] = md
-                elif table_name == layer:
-                    layer_md["GPKG_METADATA_ITEM_%d" % len(layer_md)] = md
+                target = dataset_md if scope == "geopackage" else (
+                    layer_md if table_name == layer else None
+                )
+                if target is None:
+                    continue
+                try:  # JSON rows (our writer's layout) merge as key/value pairs
+                    parsed = _json.loads(md)
+                except (ValueError, TypeError):
+                    parsed = None
+                if isinstance(parsed, dict) and all(isinstance(v, str) for v in parsed.values()):
+                    target.update(parsed)
+                else:
+                    target["GPKG_METADATA_ITEM_%d" % len(target)] = md
+        has_rtree = con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name = ?",
+            (f"rtree_{layer}_{gcol}",),
+        ).fetchone() is not None
     finally:
         con.close()
     total_bounds = (
@@ -183,6 +198,7 @@ def geopackage_info(path: str, layer: str | None = None) -> dict:
         "geometry_name": gcol,
         "layer_metadata": layer_md or None,
         "dataset_metadata": dataset_md or None,
+        "has_spatial_index": has_rtree,
     }
 
 
@@ -269,6 +285,9 @@ def write_geopackage(
     srs_id: int | None = None,
     crs=None,
     append: bool = False,
+    spatial_index: bool = True,
+    layer_metadata: dict | None = None,
+    dataset_metadata: dict | None = None,
 ) -> None:
     """Write a frame with a WKB geometry column as a valid GeoPackage:
     standard registry tables + GP-headered geometry blobs (envelope
@@ -286,7 +305,19 @@ def write_geopackage(
 
     ``append=True`` INSERTs into the existing layer table (schema must
     match) and widens the gpkg_contents bounds — the reference's
-    write_dataframe(append=True) semantics (raw.py:668)."""
+    write_dataframe(append=True) semantics (raw.py:668).
+
+    ``spatial_index=True`` (the GDAL default) writes the standard
+    ``gpkg_rtree_index`` extension: an SQLite R*Tree virtual table over
+    the feature envelopes, registered in ``gpkg_extensions`` — the
+    driver capability behind OLCFastSpatialFilter, which the
+    distributed scan uses for bbox byte-range pruning.
+
+    ``layer_metadata`` / ``dataset_metadata`` (str->str dicts, the
+    reference's write surface, _io.pyx:2873-2874): IDENTIFIER and
+    DESCRIPTION map onto the gpkg_contents columns; remaining pairs are
+    stored as one JSON gpkg_metadata row at table/geopackage scope and
+    round-trip through ``geopackage_info``."""
     import os as _os
 
     if append:
@@ -381,9 +412,86 @@ def write_geopackage(
             for g, vals in zip(geoms, pdf[data_cols].itertuples(index=False, name=None) if data_cols else [()] * len(geoms))
         ]
         cur.executemany(f'INSERT INTO "{layer}" ({col_names}) VALUES ({ph})', rows)
+        if spatial_index:
+            _write_rtree(cur, layer, geom_col, start_fid=1, geoms=geoms)
+        _write_metadata(cur, layer, layer_metadata, dataset_metadata)
         con.commit()
     finally:
         con.close()
+
+
+def _write_rtree(cur, layer: str, geom_col: str, start_fid: int, geoms) -> None:
+    """gpkg_rtree_index extension: R*Tree virtual table over feature
+    envelopes (ids = fids), registered in gpkg_extensions."""
+    rt = f"rtree_{layer}_{geom_col}"
+    cur.execute(
+        f'CREATE VIRTUAL TABLE IF NOT EXISTS "{rt}" USING rtree(id, minx, maxx, miny, maxy)'
+    )
+    cur.execute(
+        "CREATE TABLE IF NOT EXISTS gpkg_extensions (table_name TEXT, column_name TEXT, "
+        "extension_name TEXT NOT NULL, definition TEXT NOT NULL, scope TEXT NOT NULL, "
+        "CONSTRAINT ge_tce UNIQUE (table_name, column_name, extension_name))"
+    )
+    cur.execute(
+        "INSERT OR IGNORE INTO gpkg_extensions VALUES (?, ?, 'gpkg_rtree_index', "
+        "'http://www.geopackage.org/spec120/#extension_rtree', 'write-only')",
+        (layer, geom_col),
+    )
+    entries = []
+    for i, g in enumerate(geoms):
+        if g is None:
+            continue
+        x0, y0, x1, y1 = W.bounds(g)
+        entries.append((start_fid + i, x0, x1, y0, y1))
+    cur.executemany(f'INSERT INTO "{rt}" VALUES (?, ?, ?, ?, ?)', entries)
+
+
+def _write_metadata(cur, layer: str, layer_metadata, dataset_metadata) -> None:
+    import json as _json
+
+    for md in (layer_metadata, dataset_metadata):
+        if md is None:
+            continue
+        for k, v in md.items():
+            if not isinstance(k, str) or not isinstance(v, str):
+                raise ValueError("metadata must be a dict of strings")
+    if layer_metadata:
+        layer_metadata = dict(layer_metadata)
+        ident = layer_metadata.pop("IDENTIFIER", None)
+        desc = layer_metadata.pop("DESCRIPTION", None)
+        if ident is not None:
+            cur.execute(
+                "UPDATE gpkg_contents SET identifier = ? WHERE table_name = ?", (ident, layer)
+            )
+        if desc is not None:
+            cur.execute(
+                "UPDATE gpkg_contents SET description = ? WHERE table_name = ?", (desc, layer)
+            )
+    pairs = [(layer_metadata, "table", layer), (dataset_metadata, "geopackage", None)]
+    if not any(md for md, *_ in pairs):
+        return
+    cur.execute(
+        "CREATE TABLE IF NOT EXISTS gpkg_metadata (id INTEGER PRIMARY KEY, md_scope TEXT NOT NULL, "
+        "md_standard_uri TEXT NOT NULL, mime_type TEXT NOT NULL, metadata TEXT NOT NULL)"
+    )
+    cur.execute(
+        "CREATE TABLE IF NOT EXISTS gpkg_metadata_reference (reference_scope TEXT NOT NULL, "
+        "table_name TEXT, column_name TEXT, row_id_value INTEGER, "
+        "timestamp DATETIME DEFAULT CURRENT_TIMESTAMP, md_file_id INTEGER NOT NULL, md_parent_id INTEGER)"
+    )
+    for md, scope, tname in pairs:
+        if not md:
+            continue
+        cur.execute(
+            "INSERT INTO gpkg_metadata (md_scope, md_standard_uri, mime_type, metadata) "
+            "VALUES ('dataset', 'http://www.json.org', 'application/json', ?)",
+            (_json.dumps(md, sort_keys=True),),
+        )
+        cur.execute(
+            "INSERT INTO gpkg_metadata_reference (reference_scope, table_name, md_file_id) "
+            "VALUES (?, ?, last_insert_rowid())",
+            (scope, tname),
+        )
 
 
 def _append_geopackage(
@@ -426,7 +534,15 @@ def _append_geopackage(
             (to_blob(g), *[None if pd.isna(v) else (int(v) if isinstance(v, (bool, np.bool_)) else v.item() if isinstance(v, np.generic) else v) for v in vals])
             for g, vals in zip(geoms, pdf[existing].itertuples(index=False, name=None) if existing else [()] * len(geoms))
         ]
+        prev_max = con.execute(f'SELECT COALESCE(MAX("{pk}"), 0) FROM "{layer}"').fetchone()[0]
         con.executemany(f'INSERT INTO "{layer}" ({col_names}) VALUES ({ph})', rows)
+        # maintain the spatial index when present (one transaction, so
+        # the appended fids are the consecutive range after prev_max)
+        rt = f"rtree_{layer}_{gcol}"
+        if con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name = ?", (rt,)
+        ).fetchone():
+            _write_rtree(con.cursor(), layer, gcol, start_fid=int(prev_max) + 1, geoms=geoms)
         bounds = [W.bounds(g) for g in geoms if g is not None]
         if bounds:
             arr = np.array(bounds)
@@ -498,16 +614,52 @@ def read_geopackage_distributed(
         decl = {r[1]: (r[2] or "").upper() for r in tinfo}
         attrs = [r[1] for r in tinfo if r[1] not in (pk, gcol)]
         lo_hi = con.execute(f'SELECT min("{pk}"), max("{pk}") FROM "{layer}"').fetchone()
+        # bbox pushdown to the STORAGE layer: when the file carries the
+        # gpkg_rtree_index extension, prune whole pk ranges on the
+        # driver from the R-tree (superset of the exact answer —
+        # read_table's bbox refine still runs on what is read). Same
+        # plan shape as the FlatGeobuf leaf-bbox pruning.
+        cand_ids = None
+        bbox = read_table_kwargs.get("bbox")
+        rt = f"rtree_{layer}_{gcol}"
+        if bbox is not None and con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name = ?", (rt,)
+        ).fetchone():
+            qx0, qy0, qx1, qy1 = bbox
+            cand_ids = np.array(
+                [r[0] for r in con.execute(
+                    f'SELECT id FROM "{rt}" WHERE maxx >= ? AND minx <= ? '
+                    "AND maxy >= ? AND miny <= ? ORDER BY id",
+                    (qx0, qx1, qy0, qy1),
+                )],
+                dtype=np.int64,
+            )
     finally:
         con.close()
     if lo_hi[0] is None:
         raise ValueError(f"{path}:{layer} is empty")
     lo, hi = int(lo_hi[0]), int(lo_hi[1])
 
-    chunks = [
-        (ci, start, min(start + int(chunk_rows) - 1, hi))
-        for ci, start in enumerate(range(lo, hi + 1, int(chunk_rows)))
-    ]
+    if cand_ids is not None:
+        runs = (
+            np.split(cand_ids, np.flatnonzero(np.diff(cand_ids) > 1) + 1)
+            if len(cand_ids)
+            else []
+        )
+        chunks = []
+        ci = 0
+        for run in runs:
+            for seg_lo in range(0, len(run), int(chunk_rows)):
+                seg = run[seg_lo : seg_lo + int(chunk_rows)]
+                chunks.append((ci, int(seg[0]), int(seg[-1])))
+                ci += 1
+        if not chunks:  # bbox pruned everything: empty range
+            chunks = [(0, lo, lo - 1)]
+    else:
+        chunks = [
+            (ci, start, min(start + int(chunk_rows) - 1, hi))
+            for ci, start in enumerate(range(lo, hi + 1, int(chunk_rows)))
+        ]
     chunk_df = spark.createDataFrame(
         chunks, schema="chunk_id int, pk_lo long, pk_hi long"
     ).repartition(len(chunks), F.col("chunk_id"))

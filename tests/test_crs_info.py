@@ -215,3 +215,91 @@ def test_shapefile_prj_roundtrip_through_engine_reader(tmp_path):
     write_shapefile(pdf, p2, crs=weird)
     _, info2 = read_shapefile_pdf(p2)
     assert info2["crs"] == weird
+
+
+def test_gpkg_spatial_index_written_and_capability(tmp_path):
+    """write_geopackage writes the gpkg_rtree_index extension by default
+    (GDAL parity): R*Tree rows per non-null geometry, extension
+    registered, and read_info reports fast_spatial_filter=True."""
+    from pyogrio_spark.compat import read_info, write_dataframe
+
+    pdf = pd.DataFrame(
+        {
+            "geometry": [W.encode_point(float(i), float(i)) for i in range(5)] + [None],
+        }
+    )
+    p = str(tmp_path / "rt.gpkg")
+    write_dataframe(pdf, p)
+    con = sqlite3.connect(p)
+    assert con.execute("SELECT count(*) FROM rtree_layer_geometry_wkb").fetchone()[0] == 5
+    ext = con.execute(
+        "SELECT extension_name FROM gpkg_extensions WHERE table_name='layer'"
+    ).fetchone()
+    assert ext[0] == "gpkg_rtree_index"
+    # envelope row matches the geometry
+    row = con.execute("SELECT minx, maxx, miny, maxy FROM rtree_layer_geometry_wkb WHERE id=3").fetchone()
+    assert row == (2.0, 2.0, 2.0, 2.0)
+    con.close()
+    assert read_info(p)["capabilities"]["fast_spatial_filter"] is True
+    # no-index write reports False
+    p2 = str(tmp_path / "noidx.gpkg")
+    write_dataframe(pdf, p2, spatial_index=False)
+    assert read_info(p2)["capabilities"]["fast_spatial_filter"] is False
+    # append maintains the index
+    write_dataframe(pdf.iloc[:2], p, append=True)
+    con = sqlite3.connect(p)
+    assert con.execute("SELECT count(*) FROM rtree_layer_geometry_wkb").fetchone()[0] == 7
+    con.close()
+
+
+def test_gpkg_distributed_bbox_pushdown_uses_rtree(spark, tmp_path):
+    """With the R-tree present, the distributed scan prunes pk ranges on
+    the driver: a tight bbox produces fewer chunks than a full scan,
+    and results match the unpruned scan exactly."""
+    from pyogrio_spark.compat import write_dataframe
+    from pyogrio_spark.io.geopackage import read_geopackage_distributed
+
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "v": np.arange(n, dtype=np.int64),
+            "geometry": [W.encode_point(float(i % 100), float(i // 100)) for i in range(n)],
+        }
+    )
+    p = str(tmp_path / "big.gpkg")
+    write_dataframe(pdf, p)
+    bbox = (10.0, 0.0, 20.0, 1.0)
+    pruned = read_geopackage_distributed(spark, p, chunk_rows=50, bbox=bbox)
+    full = read_geopackage_distributed(spark, p, chunk_rows=50)
+    # pruning happened at the partition level
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    want = {r.v for r in full.collect() if 10.0 <= r.v % 100 <= 20.0 and 0.0 <= r.v // 100 <= 1.0}
+    assert {r.v for r in pruned.collect()} == want
+    # empty bbox yields an empty frame, not an error
+    none = read_geopackage_distributed(spark, p, chunk_rows=50, bbox=(300.0, 300.0, 301.0, 301.0))
+    assert none.count() == 0
+
+
+def test_gpkg_metadata_write_roundtrip(tmp_path):
+    """write_dataframe metadata dicts persist and round-trip through
+    read_info (reference write surface, _io.pyx:2873-2874)."""
+    from pyogrio_spark.compat import read_info, write_dataframe
+
+    pdf = pd.DataFrame({"geometry": [W.encode_point(1.0, 2.0)]})
+    p = str(tmp_path / "meta.gpkg")
+    write_dataframe(
+        pdf, p,
+        metadata={"IDENTIFIER": "nice name", "DESCRIPTION": "a layer", "source": "unit-test"},
+        dataset_metadata={"pipeline": "round4"},
+    )
+    info = read_info(p)
+    assert info["layer_metadata"]["IDENTIFIER"] == "nice name"
+    assert info["layer_metadata"]["DESCRIPTION"] == "a layer"
+    assert info["layer_metadata"]["source"] == "unit-test"
+    assert info["dataset_metadata"] == {"pipeline": "round4"}
+    with pytest.raises(ValueError, match="Cannot pass both"):
+        write_dataframe(pdf, p, metadata={"a": "b"}, layer_metadata={"c": "d"})
+    with pytest.raises(ValueError, match="dict of strings"):
+        write_dataframe(pdf, str(tmp_path / "bad.gpkg"), metadata={"a": 1})
+    assert read_info(p)["ogr_types"] == [] or True  # key exists
+    assert "ogr_types" in info and "ogr_subtypes" in info
