@@ -22,7 +22,20 @@ protocol in pyogrio_spark.io.writer).
 __version__ = "0.1.0"
 
 from pyogrio_spark.session import get_spark  # noqa: F401
-from pyogrio_spark.io.dispatch import dataset_layers, detect_format, open_table  # noqa: F401
+from pyogrio_spark.io.dispatch import dataset_info, dataset_layers, detect_format, open_table  # noqa: F401
 from pyogrio_spark.io.reader import read_bounds, read_info, read_table  # noqa: F401
 from pyogrio_spark.io.writer import read_committed, write_table  # noqa: F401
 from pyogrio_spark.cache import release_pins  # noqa: F401
+
+# pyogrio-shaped facade at the package root (the names that don't
+# collide with the engine-native API above; compat module carries the
+# full set incl. its read_info/read_bounds, which here are the
+# engine-native spark-first versions)
+from pyogrio_spark.compat import (  # noqa: F401
+    list_drivers,
+    list_layers,
+    open_arrow,
+    read_arrow,
+    read_dataframe,
+    write_dataframe,
+)
