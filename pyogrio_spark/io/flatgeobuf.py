@@ -904,6 +904,10 @@ def read_flatgeobuf_distributed(
     # runs and the scan reads only those ranges — the reference's
     # reason for the index (bounds-assisted reads, core.py:184-187).
     bbox = read_table_kwargs.get("bbox")
+    if bbox is None and read_table_kwargs.get("mask") is not None:
+        # a mask filter prunes by its envelope too (superset; the exact
+        # mask refine still runs in read_table on what is read)
+        bbox = W.bounds(bytes(read_table_kwargs["mask"]))
     if bbox is not None and leaf_boxes is not None:
         qx0, qy0, qx1, qy1 = bbox
         keep = (

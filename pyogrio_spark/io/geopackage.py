@@ -621,6 +621,10 @@ def read_geopackage_distributed(
         # plan shape as the FlatGeobuf leaf-bbox pruning.
         cand_ids = None
         bbox = read_table_kwargs.get("bbox")
+        if bbox is None and read_table_kwargs.get("mask") is not None:
+            # a mask filter prunes by its envelope too (superset; the
+            # exact mask refine still runs in read_table)
+            bbox = W.bounds(bytes(read_table_kwargs["mask"]))
         rt = f"rtree_{layer}_{gcol}"
         if bbox is not None and con.execute(
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name = ?", (rt,)

@@ -303,3 +303,42 @@ def test_gpkg_metadata_write_roundtrip(tmp_path):
         write_dataframe(pdf, str(tmp_path / "bad.gpkg"), metadata={"a": 1})
     assert read_info(p)["ogr_types"] == [] or True  # key exists
     assert "ogr_types" in info and "ogr_subtypes" in info
+
+
+def test_mask_filter_prunes_storage_ranges(spark, tmp_path):
+    """A mask filter prunes byte/pk ranges by its envelope in both
+    indexed distributed scans — exact results preserved by the
+    read_table refine."""
+    from pyogrio_spark.compat import write_dataframe
+    from pyogrio_spark.io.flatgeobuf import write_flatgeobuf, read_flatgeobuf_distributed
+    from pyogrio_spark.io.geopackage import read_geopackage_distributed
+
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "v": np.arange(n, dtype=np.int64),
+            "geometry_wkb": [W.encode_point(float(i % 20), float(i // 20)) for i in range(n)],
+        }
+    )
+    # diamond mask around (5, 5)
+    ring = np.array([(3.5, 5.0), (5.0, 3.5), (6.5, 5.0), (5.0, 6.5), (3.5, 5.0)])
+    mask = W.encode_polygon([ring])
+    want = {
+        int(v)
+        for v, g in zip(pdf.v, pdf.geometry_wkb)
+        if abs(float(v % 20) - 5.0) + abs(float(v // 20) - 5.0) < 1.5
+    }
+
+    gp = str(tmp_path / "m.gpkg")
+    write_dataframe(pdf.rename(columns={"geometry_wkb": "geometry"}), gp)
+    pruned = read_geopackage_distributed(spark, gp, chunk_rows=40, mask=mask)
+    full = read_geopackage_distributed(spark, gp, chunk_rows=40)
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    assert {r.v for r in pruned.collect()} == want
+
+    fp = str(tmp_path / "m.fgb")
+    write_flatgeobuf(pdf, fp, index_node_size=16)
+    fpruned = read_flatgeobuf_distributed(spark, fp, chunk_features=40, mask=mask)
+    ffull = read_flatgeobuf_distributed(spark, fp, chunk_features=40)
+    assert fpruned.rdd.getNumPartitions() < ffull.rdd.getNumPartitions()
+    assert {r.v for r in fpruned.collect()} == want
