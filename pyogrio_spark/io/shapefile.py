@@ -145,7 +145,7 @@ def _read_dbf(path: str, encoding: str = "utf-8"):
                 else:
                     cols[name].append(int(txt))
             elif ftype == "L":
-                cols[name].append(txt.upper() in ("T", "Y") if txt else None)
+                cols[name].append(None if txt in ("", "?") else txt.upper() in ("T", "Y"))
             elif ftype == "D":
                 cols[name].append(f"{txt[0:4]}-{txt[4:6]}-{txt[6:8]}" if len(txt) == 8 else None)
             else:  # C and anything else: text
@@ -395,10 +395,13 @@ def write_shapefile(
     attrs = [c for c in pdf.columns if c not in (geom_col, "fid")]
     fdefs = []
     for c in attrs:
-        if pdf[c].dtype == np.int64:
+        dname = str(pdf[c].dtype)
+        if pdf[c].dtype == np.int64 or dname == "Int64":
             fdefs.append((c, "N", 18, 0))
         elif pdf[c].dtype == np.float64 or pdf[c].dtype == np.float32:
             fdefs.append((c, "N", 24, 8))
+        elif pdf[c].dtype == bool or dname == "boolean":
+            fdefs.append((c, "L", 1, 0))
         else:
             width = max(1, min(254, int(pdf[c].astype(str).str.encode("utf-8").str.len().max() or 1)))
             fdefs.append((c, "C", width, 0))
@@ -415,8 +418,13 @@ def write_shapefile(
             v = row[name]
             if ftype == "C":
                 body += str(v if v is not None else "").encode("utf-8")[:flen].ljust(flen, b" ")
+            elif ftype == "L":
+                body += (
+                    b"?" if v is None or (np.isscalar(v) and pd.isna(v))
+                    else (b"T" if v else b"F")
+                )
             else:
-                if v is None or (isinstance(v, float) and np.isnan(v)):
+                if v is None or (isinstance(v, float) and np.isnan(v)) or (np.isscalar(v) and pd.isna(v)):
                     body += b" " * flen
                 elif fdec:
                     body += f"{float(v):>{flen}.{fdec}f}".encode("ascii")[:flen]
@@ -430,6 +438,176 @@ def write_shapefile(
 
     with open(base + ".prj", "w") as f:
         f.write(crs_to_wkt(crs))
+
+
+def write_shapefile_distributed(df, path: str, geom_col: str = "geometry_wkb", crs=None) -> None:
+    """Distributed shapefile sink: the CPU-heavy share — WKB parse and
+    .shp/.dbf record encoding — runs once per partition in mapInPandas
+    into part files; the driver then writes the three headers and
+    STREAMS the parts together, patching each .shp record's sequence
+    number and accumulating the .shx index in the same single pass
+    (record numbers are the one global field in the format, so a pure
+    concat can't work — but patching is 4 bytes per record during the
+    copy, IO-bound like the FlatGeobuf sink's concat). Field layout
+    (DBF widths) is fixed up front from the Spark schema plus one cheap
+    codegen max-length aggregate over string columns.
+
+    Same conventions as ``write_shapefile`` (N 18/0 ints, N 24/8
+    floats, L logicals, C strings at max observed width, UTF-8 .cpg,
+    ``crs`` to .prj); single-partition output is byte-identical to it."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = os.path.splitext(path)[0]
+    attrs = [c for c in df.columns if c not in (geom_col, "fid")]
+    types = dict(df.dtypes)
+    width_cols = [c for c in attrs if types[c] not in
+                  ("bigint", "int", "smallint", "tinyint", "double", "float", "boolean")]
+    if width_cols:
+        wrow = df.agg(
+            *[F.max(F.octet_length(F.col(c).cast("string"))).alias(c) for c in width_cols]
+        ).first()
+        widths = {c: max(1, min(254, int(wrow[c] or 1))) for c in width_cols}
+    else:
+        widths = {}
+    fdefs = []
+    for c in attrs:
+        t = types[c]
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            fdefs.append((c, "N", 18, 0))
+        elif t in ("double", "float"):
+            fdefs.append((c, "N", 24, 8))
+        elif t == "boolean":
+            fdefs.append((c, "L", 1, 0))
+        else:
+            fdefs.append((c, "C", widths[c], 0))
+    rsize = 1 + sum(fl for _, _, fl, _ in fdefs)
+
+    parts_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
+    os.makedirs(parts_dir, exist_ok=True)
+    meta_schema = (
+        "pid int, n long, minx double, miny double, maxx double, maxy double, "
+        "stypes string"
+    )
+
+    def encode(pdfs):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        gx0 = gy0 = np.inf
+        gx1 = gy1 = -np.inf
+        stypes: set[int] = set()
+        with open(os.path.join(parts_dir, f"part-{pid:05d}.shp"), "wb") as fs, open(
+            os.path.join(parts_dir, f"part-{pid:05d}.dbf"), "wb"
+        ) as fd:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    d = row._asdict()
+                    b = d.get(geom_col)
+                    if b is None:
+                        st, body = 0, struct.pack("<i", 0)
+                    else:
+                        g = W.parse_wkb(bytes(b))
+                        st, body = _geom_to_shp_record(g)
+                        stypes.add(st)
+                        x0, y0, x1, y1 = W.bounds(bytes(b))
+                        gx0, gy0 = min(gx0, x0), min(gy0, y0)
+                        gx1, gy1 = max(gx1, x1), max(gy1, y1)
+                    # record number 0 placeholder: the driver patches the
+                    # global sequence during the concat pass
+                    fs.write(struct.pack(">ii", 0, len(body) // 2) + body)
+                    rec = bytearray(b" ")
+                    for name, ftype, flen, fdec in fdefs:
+                        v = d.get(name)
+                        if ftype == "C":
+                            rec += str(v if v is not None else "").encode("utf-8")[:flen].ljust(flen, b" ")
+                        elif ftype == "L":
+                            rec += (b"?" if v is None or (np.isscalar(v) and pd.isna(v))
+                                    else (b"T" if v else b"F"))
+                        elif v is None or (np.isscalar(v) and pd.isna(v)) or (
+                            isinstance(v, float) and np.isnan(v)
+                        ):
+                            rec += b" " * flen
+                        elif fdec:
+                            rec += f"{float(v):>{flen}.{fdec}f}".encode("ascii")[:flen]
+                        else:
+                            rec += f"{int(v):>{flen}d}".encode("ascii")[:flen]
+                    fd.write(bytes(rec))
+                    n += 1
+        yield pd.DataFrame(
+            [(pid, n, gx0, gy0, gx1, gy1, ",".join(str(s) for s in sorted(stypes)))],
+            columns=["pid", "n", "minx", "miny", "maxx", "maxy", "stypes"],
+        )
+
+    meta = sorted(df.mapInPandas(encode, schema=meta_schema).collect(), key=lambda r: r["pid"])
+    try:
+        total = sum(r["n"] for r in meta)
+        gx0 = min((r["minx"] for r in meta if r["n"]), default=np.inf)
+        gy0 = min((r["miny"] for r in meta if r["n"]), default=np.inf)
+        gx1 = max((r["maxx"] for r in meta if r["n"]), default=-np.inf)
+        gy1 = max((r["maxy"] for r in meta if r["n"]), default=-np.inf)
+        if not np.isfinite(gx0):
+            gx0 = gy0 = gx1 = gy1 = 0.0
+        stypes: set[int] = set()
+        for r in meta:
+            stypes.update(int(s) for s in r["stypes"].split(",") if s)
+        layer_type = stypes.pop() if len(stypes) == 1 else 5
+
+        shp_bytes = sum(os.path.getsize(os.path.join(parts_dir, f"part-{r['pid']:05d}.shp")) for r in meta)
+
+        def shp_header(total_words: int) -> bytes:
+            return (
+                struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", total_words)
+                + struct.pack("<ii", 1000, layer_type)
+                + struct.pack("<4d", gx0, gy0, gx1, gy1) + struct.pack("<4d", 0, 0, 0, 0)
+            )
+
+        shx_entries = bytearray()
+        recno = 0
+        pos_words = 50
+        with open(base + ".shp", "wb") as out:
+            out.write(shp_header(50 + shp_bytes // 2))
+            for r in meta:
+                part = os.path.join(parts_dir, f"part-{r['pid']:05d}.shp")
+                with open(part, "rb") as f:
+                    while True:
+                        hdr = f.read(8)
+                        if len(hdr) < 8:
+                            break
+                        (_, clen) = struct.unpack(">ii", hdr)
+                        recno += 1
+                        out.write(struct.pack(">ii", recno, clen))
+                        out.write(f.read(2 * clen))
+                        shx_entries += struct.pack(">ii", pos_words, clen)
+                        pos_words += 4 + clen
+        with open(base + ".shx", "wb") as out:
+            out.write(shp_header(50 + 4 * total) + bytes(shx_entries))
+
+        hsize = 32 + 32 * len(fdefs) + 1
+        hdr = (
+            struct.pack("<4B", 0x03, 26, 8, 16) + struct.pack("<I", total)
+            + struct.pack("<HH", hsize, rsize) + b"\x00" * 20
+        )
+        fd_bytes = b""
+        for name, ftype, flen, fdec in fdefs:
+            fd_bytes += name.encode("ascii")[:11].ljust(11, b"\x00") + ftype.encode() + b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14
+        with open(base + ".dbf", "wb") as out:
+            out.write(hdr + fd_bytes + b"\x0d")
+            for r in meta:
+                with open(os.path.join(parts_dir, f"part-{r['pid']:05d}.dbf"), "rb") as f:
+                    shutil.copyfileobj(f, out, 1 << 20)
+            out.write(b"\x1a")
+        with open(base + ".cpg", "w") as f:
+            f.write("UTF-8")
+        from pyogrio_spark.crs import crs_to_wkt
+
+        with open(base + ".prj", "w") as f:
+            f.write(crs_to_wkt(crs))
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
 
 
 def _read_shx(path: str) -> tuple[np.ndarray, np.ndarray]:
@@ -536,7 +714,7 @@ def read_shapefile_distributed(
                             else:
                                 cols[name].append(int(float(txt)) if "." in txt or "e" in txt.lower() else int(txt))
                         elif ftype == "L":
-                            cols[name].append(txt.upper() in ("T", "Y") if txt else None)
+                            cols[name].append(None if txt in ("", "?") else txt.upper() in ("T", "Y"))
                         elif ftype == "D":
                             cols[name].append(f"{txt[0:4]}-{txt[4:6]}-{txt[6:8]}" if len(txt) == 8 else None)
                         else:
