@@ -58,6 +58,55 @@ def sessionize_events(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def streaming_zone_counts(
+    docs: DataFrame,
+    cover: DataFrame,
+    zone_key: str = "zone_id",
+    res: int = 7,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    include_boundary: bool = False,
+) -> DataFrame:
+    """Streaming spatial enrichment: join a stream of (ts, lon, lat)
+    rows against a STATIC zone cover (the same ``zones_cell_cover``
+    frame the batch PIP join uses) and count per (event-time window,
+    zone).
+
+    The whole enrichment is the batch ``point_in_polygon_join``
+    composition — broadcast stream-static equi-join on cell_id,
+    codegen rect/full-cover decisions, Arrow-batched refine only for
+    irregular boundary cells — which is stateless, so it runs
+    unchanged under Structured Streaming; the only streaming state is
+    the windowed count, bounded by the watermark. Batch parity: on a
+    static frame the result equals batch PIP join + groupBy (how the
+    test validates it exactly)."""
+    from pyogrio_spark.index.grid import cell_expr_sql
+    from pyogrio_spark.operators.spatial_join import point_in_polygon_join
+
+    d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    d = d.withWatermark(ts_col, watermark) if d.isStreaming else d
+    d = (
+        d.withColumn("xmin", F.col(lon_col))
+        .withColumn("ymin", F.col(lat_col))
+        .withColumn("cell_id", F.expr(cell_expr_sql(lon_col, lat_col, res)))
+    )
+    enriched = point_in_polygon_join(
+        d,
+        cover,
+        zone_key=zone_key,
+        keep_doc_cols=[ts_col],
+        include_boundary=include_boundary,
+    )
+    return (
+        enriched.groupBy(F.window(ts_col, window).alias("w"), zone_key)
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), zone_key, "n_docs")
+    )
+
+
 def streaming_cell_counts(
     docs: DataFrame,
     res: int = 7,
