@@ -126,6 +126,46 @@ def list_layers(path_or_buffer, /) -> np.ndarray:
     return np.array(dataset_layers(str(path_or_buffer)), dtype=object)
 
 
+def read(path_or_buffer, /, return_fids=False, read_geometry=True, **kwargs):
+    """Reference: the raw numpy read API (raw.py:39-218) — returns
+    ``(meta, fids, geometry, field_data)``: fids ndarray or None
+    (``return_fids``), geometry as an object ndarray of WKB bytes or
+    None (``read_geometry=False``), and one ndarray per attribute
+    field in source order. Same filter surface as ``read_dataframe``."""
+    from pyogrio_spark.io.dispatch import dataset_info
+
+    path = str(path_or_buffer)
+    info = dataset_info(path, layer=kwargs.get("layer"))
+    pdf = read_dataframe(
+        path_or_buffer, read_geometry=read_geometry, **kwargs
+    )
+    fids = None
+    if "fid" in pdf.columns:
+        fid_vals = pdf["fid"].to_numpy(dtype=np.int64)
+        pdf = pdf.drop(columns=["fid"])
+        if return_fids:
+            fids = fid_vals
+    geometry = None
+    if read_geometry and "geometry" in pdf.columns:
+        geometry = np.array(
+            [None if b is None else bytes(b) for b in pdf["geometry"]], dtype=object
+        )
+        pdf = pdf.drop(columns=["geometry"])
+    fields = list(pdf.columns)
+    dtype_of = dict(zip(info["fields"], info["dtypes"]))
+    field_data = tuple(pdf[c].to_numpy() for c in fields)
+    meta = {
+        "crs": info.get("crs"),
+        "fields": np.array(fields, dtype=object),
+        "dtypes": np.array([dtype_of.get(c, "object") for c in fields], dtype=object),
+        "ogr_types": [_OGR_TYPE.get(dtype_of.get(c, "object"), ("OFTString", "OFSTNone"))[0] for c in fields],
+        "ogr_subtypes": [_OGR_TYPE.get(dtype_of.get(c, "object"), ("OFTString", "OFSTNone"))[1] for c in fields],
+        "encoding": info.get("encoding", "UTF-8"),
+        "geometry_type": info["geometry_type"],
+    }
+    return meta, fids, geometry, field_data
+
+
 def list_drivers(read: bool = False, write: bool = False) -> dict:
     """Reference: list_drivers (core.py:112-149) — {name: 'rw'|'r'|'w'}
     for the engine's native drivers; ``read=``/``write=`` filter like

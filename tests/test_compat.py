@@ -193,3 +193,24 @@ def test_append_column_mismatch_raises(tmp_path):
     write_dataframe(a, p)
     with pytest.raises(ValueError, match="column mismatch"):
         write_dataframe(b, p, append=True)
+
+
+def test_raw_read_naturalearth():
+    """Reference raw API parity: read() returns (meta, fids, geometry,
+    field_data) — tests/test_raw_io.py:59-91 semantics."""
+    from pyogrio_spark.compat import read
+
+    meta, fids, geometry, fields = read(NE)
+    assert meta["fields"].tolist() == ["pop_est", "continent", "name", "iso_a3", "gdp_md_est"]
+    assert meta["crs"] == "EPSG:4326" and meta["geometry_type"] in ("Polygon", "MultiPolygon")
+    assert fids is None  # return_fids defaults False
+    assert geometry.shape == (177,) and isinstance(geometry[0], bytes)
+    assert len(fields) == 5 and all(len(a) == 177 for a in fields)
+    assert fields[0].dtype == np.int64  # pop_est
+
+    meta2, fids2, geom2, fields2 = read(NE, return_fids=True, max_features=3, skip_features=2)
+    assert fids2.tolist() == [2, 3, 4]
+    assert geom2.shape == (3,)
+
+    _, _, nogeom, f3 = read(NE, read_geometry=False, columns=["name"])
+    assert nogeom is None and len(f3) == 1 and len(f3[0]) == 177
