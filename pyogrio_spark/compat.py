@@ -166,6 +166,37 @@ def read(path_or_buffer, /, return_fids=False, read_geometry=True, **kwargs):
     return meta, fids, geometry, field_data
 
 
+def write(
+    path,
+    geometry,
+    field_data,
+    fields,
+    layer=None,
+    driver=None,
+    geometry_type=None,
+    crs=None,
+    encoding=None,
+    append=False,
+    dataset_metadata=None,
+    layer_metadata=None,
+    metadata=None,
+    **kwargs,
+) -> None:
+    """Reference: the raw numpy write API (raw.py write) — geometry as
+    an iterable of WKB bytes, one array per field. Thin shim over
+    ``write_dataframe`` (same drivers, crs, append, metadata surface);
+    the exact inverse of :func:`read`."""
+    if len(fields) != len(field_data):
+        raise ValueError("fields and field_data must have the same length")
+    pdf = pd.DataFrame({name: np.asarray(col) for name, col in zip(fields, field_data)})
+    pdf["geometry"] = [None if g is None else bytes(g) for g in geometry]
+    write_dataframe(
+        pdf, path, layer=layer, driver=driver, crs=crs, append=append,
+        metadata=metadata, layer_metadata=layer_metadata,
+        dataset_metadata=dataset_metadata, **kwargs,
+    )
+
+
 def list_drivers(read: bool = False, write: bool = False) -> dict:
     """Reference: list_drivers (core.py:112-149) — {name: 'rw'|'r'|'w'}
     for the engine's native drivers; ``read=``/``write=`` filter like

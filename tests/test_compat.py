@@ -214,3 +214,20 @@ def test_raw_read_naturalearth():
 
     _, _, nogeom, f3 = read(NE, read_geometry=False, columns=["name"])
     assert nogeom is None and len(f3) == 1 and len(f3[0]) == 177
+
+
+def test_raw_write_read_roundtrip(tmp_path):
+    """Raw write() -> raw read() inverse round trip (reference raw.py
+    write/read pair) across the writable drivers."""
+    from pyogrio_spark.compat import read, write
+
+    geoms = [W.encode_point(float(i), float(-i)) for i in range(4)]
+    names = np.array(["a", "b", "c", "d"], dtype=object)
+    vals = np.array([10, 20, 30, 40], dtype=np.int64)
+    for ext in (".fgb", ".gpkg", ".geojson", ".shp"):
+        p = str(tmp_path / f"raw{ext}")
+        write(p, geoms, [names, vals], ["name", "v"], crs="EPSG:3857")
+        meta, fids, geometry, data = read(p)
+        assert meta["crs"] == "EPSG:3857", ext
+        assert [bytes(g) for g in geometry] == geoms, ext
+        assert list(data[list(meta["fields"]).index("v")]) == [10, 20, 30, 40], ext
