@@ -494,25 +494,34 @@ def encode_linestring(coords) -> bytes:
 
 
 def encode_polygon(rings) -> bytes:
+    rings = [np.asarray(r, dtype="<f8") for r in rings]
+    has_z = any(r.ndim == 2 and r.shape[1] == 3 for r in rings)
     body = struct.pack("<I", len(rings)) + b"".join(_encode_ring(r) for r in rings)
-    return b"\x01\x03\x00\x00\x00" + body
+    return (b"\x01\xeb\x03\x00\x00" if has_z else b"\x01\x03\x00\x00\x00") + body  # 1003 Z
 
 
 def encode_multipolygon(polygons) -> bytes:
     """polygons: list of list-of-rings."""
-    body = struct.pack("<I", len(polygons)) + b"".join(encode_polygon(p) for p in polygons)
-    return b"\x01\x06\x00\x00\x00" + body
+    parts = [encode_polygon(p) for p in polygons]
+    has_z = any(p[1:5] == b"\xeb\x03\x00\x00" for p in parts)
+    body = struct.pack("<I", len(polygons)) + b"".join(parts)
+    return (b"\x01\xee\x03\x00\x00" if has_z else b"\x01\x06\x00\x00\x00") + body  # 1006 Z
 
 
 def encode_multipoint(points) -> bytes:
     pts = np.asarray(points, dtype="<f8")
-    body = struct.pack("<I", pts.shape[0]) + b"".join(encode_point(p[0], p[1]) for p in pts)
-    return b"\x01\x04\x00\x00\x00" + body
+    has_z = pts.ndim == 2 and pts.shape[1] == 3
+    body = struct.pack("<I", pts.shape[0]) + b"".join(
+        encode_point(p[0], p[1], p[2] if has_z else None) for p in pts
+    )
+    return (b"\x01\xec\x03\x00\x00" if has_z else b"\x01\x04\x00\x00\x00") + body  # 1004 Z
 
 
 def encode_multilinestring(lines) -> bytes:
-    body = struct.pack("<I", len(lines)) + b"".join(encode_linestring(l) for l in lines)
-    return b"\x01\x05\x00\x00\x00" + body
+    parts = [encode_linestring(l) for l in lines]
+    has_z = any(p[1:5] == b"\xea\x03\x00\x00" for p in parts)
+    body = struct.pack("<I", len(lines)) + b"".join(parts)
+    return (b"\x01\xed\x03\x00\x00" if has_z else b"\x01\x05\x00\x00\x00") + body  # 1005 Z
 
 
 def encode_collection(wkbs: list[bytes]) -> bytes:
@@ -529,7 +538,8 @@ def encode_geom(g: Geom) -> bytes:
     if g.type == "Polygon":
         return encode_polygon(g.coords)
     if g.type == "MultiPoint":
-        return encode_multipoint([p.coords[:2] for p in g.coords])
+        dims = 3 if g.has_z else 2
+        return encode_multipoint([p.coords[:dims] for p in g.coords])
     if g.type == "MultiLineString":
         return encode_multilinestring([p.coords for p in g.coords])
     if g.type == "MultiPolygon":

@@ -59,23 +59,42 @@ def _assemble_polygons(rings: list[np.ndarray]):
 
 
 def _shape_to_wkb(shape_type: int, buf: bytes) -> tuple[bytes | None, str | None]:
-    """One .shp record body -> (WKB, base type name)."""
+    """One .shp record body -> (WKB, base type name).
+
+    Z types (11/13/15/18) carry the Z array through to WKB Z; M-only
+    types (21/23/25/28) and the optional trailing M block of Z types
+    are stripped — the engine's documented M handling (SURVEY §2.4,
+    reference force_2d/M semantics)."""
     if shape_type == 0:
         return None, None
-    if shape_type == 1:  # Point
+    base = shape_type % 10 if shape_type != 28 else 8  # 11->1, 13->3, 15->5, 18/28->8
+    has_z = 11 <= shape_type <= 18
+    if base == 1:  # Point / PointZ / PointM
         x, y = struct.unpack_from("<dd", buf, 4)
+        if has_z and len(buf) >= 28:
+            (z,) = struct.unpack_from("<d", buf, 20)
+            return W.encode_point(x, y, z), "Point"
         return W.encode_point(x, y), "Point"
-    if shape_type == 8:  # MultiPoint
+    if base == 8:  # MultiPoint (+Z/M)
         (n,) = struct.unpack_from("<i", buf, 36)
         pts = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=40).reshape(n, 2)
+        zoff = 40 + 16 * n
+        if has_z and len(buf) >= zoff + 16 + 8 * n:
+            z = np.frombuffer(buf, dtype="<f8", count=n, offset=zoff + 16)
+            return W.encode_multipoint(np.column_stack([pts, z])), "MultiPoint"
         return W.encode_multipoint(pts), "MultiPoint"
-    if shape_type in (3, 5):  # PolyLine / Polygon
+    if base in (3, 5):  # PolyLine / Polygon (+Z/M)
         nparts, npoints = struct.unpack_from("<ii", buf, 36)
         parts = np.frombuffer(buf, dtype="<i4", count=nparts, offset=44)
-        pts = np.frombuffer(buf, dtype="<f8", count=2 * npoints, offset=44 + 4 * nparts).reshape(npoints, 2)
+        xy_off = 44 + 4 * nparts
+        pts = np.frombuffer(buf, dtype="<f8", count=2 * npoints, offset=xy_off).reshape(npoints, 2)
+        zoff = xy_off + 16 * npoints
+        if has_z and len(buf) >= zoff + 16 + 8 * npoints:
+            z = np.frombuffer(buf, dtype="<f8", count=npoints, offset=zoff + 16)
+            pts = np.column_stack([pts, z])
         bounds = np.append(parts, npoints)
         pieces = [np.ascontiguousarray(pts[bounds[i] : bounds[i + 1]]) for i in range(nparts)]
-        if shape_type == 3:
+        if base == 3:
             if len(pieces) == 1:
                 return W.encode_linestring(pieces[0]), "LineString"
             return W.encode_multilinestring(pieces), "MultiLineString"
@@ -272,31 +291,61 @@ _SHP_TYPE = {"Point": 1, "LineString": 3, "Polygon": 5, "MultiPoint": 8,
              "MultiLineString": 3, "MultiPolygon": 5}
 
 
+_M_NODATA = -1e39  # spec: M < -1e38 means "no data"
+
+
+def _z_block(z: np.ndarray) -> bytes:
+    """[zmin, zmax] + z values, followed by a no-data M block (the spec
+    requires the M section in Z records; GDAL writes no-data there when
+    the source has no M)."""
+    return (
+        struct.pack("<2d", float(z.min()), float(z.max()))
+        + np.ascontiguousarray(z, dtype="<f8").tobytes()
+        + struct.pack("<2d", _M_NODATA, _M_NODATA)
+        + np.full(len(z), _M_NODATA, dtype="<f8").tobytes()
+    )
+
+
 def _geom_to_shp_record(g) -> tuple[int, bytes]:
     """Parsed Geom -> (shape_type, record body). Polygon rings are emitted
     outer-CW / holes-CCW per the spec; multipolygons flatten their ring
-    lists into one Polygon record (how shapefiles represent them)."""
+    lists into one Polygon record (how shapefiles represent them). Z
+    geometries emit the Z record types (11/13/15/18) with a no-data M
+    section."""
     if g.type == "Point":
+        if g.has_z:
+            return 11, struct.pack("<i", 11) + struct.pack(
+                "<4d", float(g.coords[0]), float(g.coords[1]), float(g.coords[2]), _M_NODATA
+            )
         return 1, struct.pack("<i", 1) + struct.pack("<dd", float(g.coords[0]), float(g.coords[1]))
     if g.type == "MultiPoint":
-        pts = np.array([p.coords[:2] for p in g.coords], dtype="<f8")
-        body = struct.pack("<i", 8) + struct.pack("<4d", *_bbox_of(pts)) + struct.pack("<i", len(pts)) + pts.tobytes()
-        return 8, body
+        dims = 3 if g.has_z else 2
+        pts = np.array([p.coords[:dims] for p in g.coords], dtype="<f8")
+        xy = np.ascontiguousarray(pts[:, :2])
+        st = 18 if g.has_z else 8
+        body = struct.pack("<i", st) + struct.pack("<4d", *_bbox_of(xy)) + struct.pack("<i", len(pts)) + xy.tobytes()
+        if g.has_z:
+            body += _z_block(pts[:, 2])
+        return st, body
     if g.type in ("LineString", "MultiLineString"):
         parts = [g.coords] if g.type == "LineString" else [p.coords for p in g.coords]
-        return 3, _poly_body(3, [np.asarray(p[:, :2], dtype="<f8") for p in parts])
+        st = 13 if g.has_z else 3
+        dims = 3 if g.has_z else 2
+        return st, _poly_body(st, [np.asarray(p[:, :dims], dtype="<f8") for p in parts])
     if g.type in ("Polygon", "MultiPolygon"):
         groups = [g.coords] if g.type == "Polygon" else [p.coords for p in g.coords]
+        dims = 3 if g.has_z else 2
         rings = []
         for grp in groups:
             for i, ring in enumerate(grp):
-                r = np.asarray(ring[:, :2], dtype="<f8")
+                r = np.asarray(ring[:, :dims], dtype="<f8")
                 area = _ring_signed_area(r)
                 # outer ring (i == 0) must be CW (area <= 0), holes CCW
                 if (i == 0 and area > 0) or (i > 0 and area < 0):
                     r = r[::-1].copy()
                 rings.append(r)
-        return 5, _poly_body(5, rings)
+        st = 15 if g.has_z else 5
+        return st, _poly_body(st, rings)
     raise ValueError(f"cannot write geometry type {g.type} to shapefile")
 
 
@@ -310,13 +359,16 @@ def _poly_body(stype: int, parts: list[np.ndarray]) -> bytes:
     for p in parts:
         offs.append(total)
         total += len(p)
-    return (
+    body = (
         struct.pack("<i", stype)
         + struct.pack("<4d", *_bbox_of(allpts))
         + struct.pack("<ii", len(parts), total)
         + np.array(offs, dtype="<i4").tobytes()
-        + np.ascontiguousarray(allpts, dtype="<f8").tobytes()
+        + np.ascontiguousarray(allpts[:, :2], dtype="<f8").tobytes()
     )
+    if allpts.shape[1] == 3:  # Z record types: z block + no-data M block
+        body += _z_block(allpts[:, 2])
+    return body
 
 
 def write_shapefile(

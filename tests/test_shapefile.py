@@ -218,3 +218,62 @@ def test_distributed_sink_roundtrip_and_parity(spark, tmp_path):
         a = open(str(tmp_path / f"one{ext}"), "rb").read()
         b = open(str(tmp_path / f"ref{ext}"), "rb").read()
         assert a == b, ext
+
+
+def test_z_geometry_roundtrip(tmp_path):
+    """Z shapefile record types (11/13/15/18): write Z geometries, read
+    them back with Z intact (M sections written as no-data and stripped
+    on read — the engine's documented M handling)."""
+    import pandas as pd
+
+    from pyogrio_spark.io.shapefile import read_shapefile_pdf, write_shapefile
+
+    # outer ring already CW (spec orientation) so the writer preserves vertex order
+    ring = np.array([(0.0, 0.0, 1.0), (4.0, 4.0, 3.0), (4.0, 0.0, 2.0), (0.0, 0.0, 1.0)])
+    cases = {
+        "pointz.shp": [W.encode_point(1.0, 2.0, 3.5)],
+        "linez.shp": [W.encode_linestring(np.array([(0.0, 0.0, 1.0), (1.0, 1.0, 2.0), (2.0, 0.5, 3.0)]))],
+        "polyz.shp": [W.encode_polygon([ring])],
+        "mpointz.shp": [W.encode_multipoint(np.array([(0.0, 0.0, 9.0), (5.0, 5.0, 8.0)]))],
+        "mlinez.shp": [
+            W.encode_multilinestring(
+                [np.array([(0.0, 0.0, 1.0), (1.0, 0.0, 2.0)]), np.array([(2.0, 2.0, 3.0), (3.0, 3.0, 4.0)])]
+            )
+        ],
+    }
+    for fname, geoms in cases.items():
+        p = str(tmp_path / fname)
+        write_shapefile(pd.DataFrame({"geometry_wkb": geoms, "tag": ["z"]}), p)
+        back, info = read_shapefile_pdf(p)
+        got = [bytes(b) for b in back.geometry_wkb]
+        if fname == "mlinez.shp":
+            # multi-part lines flatten into one PolyLineZ record and come
+            # back as the same MultiLineString Z
+            assert got == geoms
+        else:
+            assert got == geoms, fname
+        g = W.parse_wkb(got[0])
+        assert g.has_z, fname
+    # header-only info reports the Z layer type
+    from pyogrio_spark.io.shapefile import shapefile_info
+
+    assert shapefile_info(str(tmp_path / "pointz.shp"))["geometry_type"] == "Point Z"
+    assert shapefile_info(str(tmp_path / "polyz.shp"))["geometry_type"] == "MultiPolygon Z"
+
+
+def test_z_wkb_encoders_emit_iso_z_codes():
+    """encode_polygon/multi* with 3-column input must emit ISO Z type
+    codes (1003-1006), not 2-D codes over 3-col payloads."""
+    import struct as _s
+
+    ring = np.array([(0.0, 0.0, 1.0), (4.0, 0.0, 2.0), (4.0, 4.0, 3.0), (0.0, 0.0, 1.0)])
+    for wkb, code in [
+        (W.encode_polygon([ring]), 1003),
+        (W.encode_multipoint(np.array([(0.0, 0.0, 9.0)])), 1004),
+        (W.encode_multilinestring([ring[:, :3]]), 1005),
+        (W.encode_multipolygon([[ring]]), 1006),
+    ]:
+        assert _s.unpack_from("<I", wkb, 1)[0] == code
+        g = W.parse_wkb(wkb)
+        assert g.has_z
+        assert bytes(W.encode_geom(g)) == wkb  # byte-stable re-encode
