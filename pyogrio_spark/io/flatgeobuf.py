@@ -530,6 +530,7 @@ def write_flatgeobuf_distributed(
     geom_col: str = "geometry_wkb",
     layer_name: str | None = None,
     crs=None,
+    index_node_size: int = 0,
 ) -> None:
     """Distributed FlatGeobuf sink: the EXPENSIVE work — WKB parse and
     FlatBuffers feature encoding — runs once per partition inside
@@ -543,9 +544,18 @@ def write_flatgeobuf_distributed(
     byte-range scans; parts dir must be on a filesystem shared with
     executors, the same contract as those scans).
 
-    Layout: index_node_size=0 (features keep partition order), same as
-    the driver-side writer's default; round-trips byte-identically
-    through both readers."""
+    Layout: index_node_size=0 (default) keeps partition order, same as
+    the driver-side writer's default, and round-trips byte-identically
+    through both readers. ``index_node_size>0`` writes the packed
+    Hilbert R-tree: features are GLOBALLY sorted by the Hilbert key of
+    their bbox center (computed vectorized per batch, one Spark range
+    sort — the distributed equivalent of the driver writer's argsort),
+    each task writes its feature section AND a packed leaf-node side
+    file (40 bytes/feature), and the driver assembles the tree from
+    the streamed leaf level (upper levels are built in memory: 40
+    bytes per feature on the driver — fine to ~10^8 features, stated
+    bound). Indexing requires non-null geometries, like the
+    driver-side writer."""
     import shutil
     import uuid
 
@@ -553,6 +563,44 @@ def write_flatgeobuf_distributed(
 
     cols = [c for c in df.columns if c != geom_col]
     spec = _spec_from_spark_schema([(c, t) for c, t in df.dtypes if c != geom_col])
+
+    if index_node_size > 0:
+        # pass 1: dataset envelope (needed to quantize Hilbert centers)
+        def _bounds(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                bs = W.bounds_many([None if b is None else bytes(b) for b in pdf[geom_col]])
+                if np.isnan(bs).any():
+                    raise ValueError("index_node_size > 0 requires non-null geometries")
+                yield pd.DataFrame(
+                    [(float(bs[:, 0].min()), float(bs[:, 1].min()),
+                      float(bs[:, 2].max()), float(bs[:, 3].max()))],
+                    columns=["minx", "miny", "maxx", "maxy"],
+                )
+
+        env_row = (
+            df.select(geom_col).mapInPandas(_bounds, schema="minx double, miny double, maxx double, maxy double")
+            .agg(F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy"))
+            .first()
+        )
+        e0, e1, e2, e3 = (float(v) for v in env_row)
+        w = (e2 - e0) or 1.0
+        h = (e3 - e1) or 1.0
+        hmax = (1 << _HILBERT_ORDER) - 1
+
+        def _hkey(pdfs):
+            for pdf in pdfs:
+                bs = W.bounds_many([bytes(b) for b in pdf[geom_col]])
+                cx = np.floor(hmax * (((bs[:, 0] + bs[:, 2]) / 2 - e0) / w))
+                cy = np.floor(hmax * (((bs[:, 1] + bs[:, 3]) / 2 - e1) / h))
+                out = pdf.copy()
+                out["_hkey"] = hilbert_d(cx, cy).astype(np.int64)
+                yield out
+
+        hschema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes) + ", `_hkey` bigint"
+        df = df.mapInPandas(_hkey, schema=hschema).orderBy("_hkey").drop("_hkey")
+
     parts_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
     os.makedirs(parts_dir, exist_ok=True)
 
@@ -560,6 +608,7 @@ def write_flatgeobuf_distributed(
         "pid int, part string, n long, minx double, miny double, "
         "maxx double, maxy double, gtypes string, has_z boolean"
     )
+    write_leaves = index_node_size > 0
 
     def encode(pdfs):
         import pandas as _pd
@@ -572,19 +621,33 @@ def write_flatgeobuf_distributed(
         env = [np.inf, np.inf, -np.inf, -np.inf]
         gtypes: set[str] = set()
         has_z = False
-        with open(part, "wb") as f:
-            for pdf in pdfs:
-                rows = pdf[cols].to_dict("records") if cols else [{}] * len(pdf)
-                for g_wkb, row in zip(pdf[geom_col], rows):
-                    g = None if g_wkb is None else W.parse_wkb(bytes(g_wkb))
-                    if g is not None:
-                        gtypes.add(g.type)
-                        has_z = has_z or g.has_z
-                        x0, y0, x1, y1 = W._geom_bounds(g)
-                        env = [min(env[0], x0), min(env[1], y0),
-                               max(env[2], x1), max(env[3], y1)]
-                    f.write(_encode_feature(g, row, spec))
-                    n += 1
+        leaf = open(part + ".leaf", "wb") if write_leaves else None
+        try:
+            with open(part, "wb") as f:
+                pos = 0
+                for pdf in pdfs:
+                    rows = pdf[cols].to_dict("records") if cols else [{}] * len(pdf)
+                    for g_wkb, row in zip(pdf[geom_col], rows):
+                        g = None if g_wkb is None else W.parse_wkb(bytes(g_wkb))
+                        if g is not None:
+                            gtypes.add(g.type)
+                            has_z = has_z or g.has_z
+                            x0, y0, x1, y1 = W._geom_bounds(g)
+                            env = [min(env[0], x0), min(env[1], y0),
+                                   max(env[2], x1), max(env[3], y1)]
+                        elif write_leaves:
+                            raise ValueError("index_node_size > 0 requires non-null geometries")
+                        frame_bytes = _encode_feature(g, row, spec)
+                        f.write(frame_bytes)
+                        if leaf is not None:
+                            # part-relative offset; driver shifts by the
+                            # part's base when assembling the leaf level
+                            leaf.write(struct.pack("<4dQ", x0, y0, x1, y1, pos))
+                        pos += len(frame_bytes)
+                        n += 1
+        finally:
+            if leaf is not None:
+                leaf.close()
         yield _pd.DataFrame(
             [(pid, part, n, env[0], env[1], env[2], env[3],
               ",".join(sorted(gtypes)), has_z)],
@@ -614,14 +677,33 @@ def write_flatgeobuf_distributed(
         else:
             layer_code = 0
         has_z = any(r["has_z"] for r in meta)
+        index_bytes = b""
+        if write_leaves and total > 0:
+            # leaf level: concat part leaf files, shifting each part's
+            # relative offsets by the cumulative byte base of the parts
+            # before it (parts are range-partitioned by Hilbert key, so
+            # pid order IS global Hilbert order)
+            recs = []
+            base = 0
+            for r in meta:
+                raw = np.fromfile(r["part"] + ".leaf", dtype=np.uint8).reshape(-1, 40)
+                if len(raw):
+                    boxes = raw[:, :32].copy().view("<f8").reshape(-1, 4)
+                    offs = raw[:, 32:].copy().view("<u8").ravel().astype(np.int64) + base
+                    recs.append((boxes, offs))
+                base += os.path.getsize(r["part"])
+            bboxes = np.concatenate([b for b, _ in recs], axis=0)
+            offsets = np.concatenate([o for _, o in recs])
+            index_bytes = build_packed_rtree(bboxes, offsets, index_node_size)
         header = _build_header(
             spec, layer_code, has_z, env, total,
             layer_name or os.path.splitext(os.path.basename(path))[0],
-            crs, 0,
+            crs, index_node_size if (write_leaves and total > 0) else 0,
         )
         with open(path, "wb") as out:
             out.write(MAGIC)
             out.write(header)
+            out.write(index_bytes)
             for r in meta:
                 with open(r["part"], "rb") as f:
                     shutil.copyfileobj(f, out, 1 << 20)

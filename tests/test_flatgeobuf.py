@@ -183,8 +183,11 @@ def test_indexed_write_hilbert_reorder_and_parity(tmp_path):
         {
             "name": [f"f{i}" for i in range(n)],
             "v": np.arange(n, dtype=np.int64),
+            # unique quantized Hilbert cells per row (i//100 x-shift), so
+            # the global sort has no ties and order parity is exact
             "geometry_wkb": [
-                W.encode_point(float((i * 37) % 100), float((i * 53) % 80)) for i in range(n)
+                W.encode_point((i * 37) % 100 + (i // 100) * 0.2, float((i * 53) % 80))
+                for i in range(n)
             ],
         }
     )
@@ -227,8 +230,11 @@ def test_distributed_scan_matches_single_node(spark, tmp_path, node_size):
             "name": [f"f{i}" for i in range(n)],
             "v": np.arange(n, dtype=np.int64),
             "score": np.arange(n, dtype=np.float64) / 3.0,
+            # unique quantized Hilbert cells per row (i//100 x-shift), so
+            # the global sort has no ties and order parity is exact
             "geometry_wkb": [
-                W.encode_point(float((i * 37) % 100), float((i * 53) % 80)) for i in range(n)
+                W.encode_point((i * 37) % 100 + (i // 100) * 0.2, float((i * 53) % 80))
+                for i in range(n)
             ],
         }
     )
@@ -379,3 +385,58 @@ def test_distributed_sink_roundtrip_and_parity(spark, tmp_path):
     ref = str(tmp_path / "ref.fgb")
     write_flatgeobuf(pdf, ref, crs="EPSG:3857", layer_name="one")
     assert open(one, "rb").read() == open(ref, "rb").read()
+
+
+def test_distributed_indexed_write_hilbert_and_pushdown(spark, tmp_path):
+    """index_node_size>0 through the DISTRIBUTED sink: global Hilbert
+    sort via a Spark range sort, R-tree assembled from per-part leaf
+    files — the result must be a valid indexed file whose bbox
+    byte-range pushdown prunes and whose feature order matches the
+    driver-side indexed writer's Hilbert order."""
+    from pyogrio_spark.io.flatgeobuf import (
+        read_flatgeobuf_distributed,
+        write_flatgeobuf_distributed,
+    )
+
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "v": np.arange(n, dtype=np.int64),
+            # unique quantized Hilbert cells per row (i//100 x-shift), so
+            # the global sort has no ties and order parity is exact
+            "geometry_wkb": [
+                W.encode_point((i * 37) % 100 + (i // 100) * 0.2, float((i * 53) % 80))
+                for i in range(n)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="v bigint, geometry_wkb binary")
+
+    dist = str(tmp_path / "dist_idx.fgb")
+    write_flatgeobuf_distributed(df.repartition(5, "v"), dist, index_node_size=16)
+    drv = str(tmp_path / "drv_idx.fgb")
+    write_flatgeobuf(pdf, drv, index_node_size=16)
+
+    dback, dinfo = read_flatgeobuf_pdf(dist)
+    rback, rinfo = read_flatgeobuf_pdf(drv)
+    assert dinfo["features"] == n
+    # same Hilbert order as the driver-side writer (same key, same sort)
+    assert dback.v.tolist() == rback.v.tolist()
+    assert [bytes(b) for b in dback.geometry_wkb] == [bytes(b) for b in rback.geometry_wkb]
+
+    # the index actually prunes byte ranges on a tight bbox
+    bbox = (10.0, 10.0, 25.0, 25.0)
+    pruned = read_flatgeobuf_distributed(spark, dist, chunk_features=32, bbox=bbox)
+    full = read_flatgeobuf_distributed(spark, dist, chunk_features=32)
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    want = {
+        int(v) for i, v in enumerate(pdf.v)
+        if 10.0 <= (i * 37) % 100 + (i // 100) * 0.2 <= 25.0 and 10.0 <= (i * 53) % 80 <= 25.0
+    }
+    assert {r.v for r in pruned.collect()} == want
+
+    with pytest.raises(Exception, match="non-null geometries"):
+        bad = pdf.copy()
+        bad.loc[0, "geometry_wkb"] = None
+        bdf = spark.createDataFrame(bad, schema="v bigint, geometry_wkb binary")
+        write_flatgeobuf_distributed(bdf, str(tmp_path / "bad.fgb"), index_node_size=16)
