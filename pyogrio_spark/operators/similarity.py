@@ -111,6 +111,153 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embeddi
     return corpus.withColumn("ivf_bucket", best.cast("int"))
 
 
+# ------------------------------------------------------- two-level IVF
+#
+# At real corpus scale an inverted file wants far more cells than a
+# flat codebook affords (C >> 256 means C dot products per row just to
+# assign). The standard fix is hierarchical: a coarse codebook plus a
+# SHARED fine codebook over coarse RESIDUALS — n_coarse * n_fine
+# effective cells for only n_coarse + n_fine dot products per row.
+# bucket = coarse * n_fine + fine(residual). Exact when every bucket is
+# probed (the brute-force oracle covers that variant); pruned probing
+# is recall-gated like single-level IVF.
+
+
+def _select_centroid(arr2d: np.ndarray, idx_col):
+    """Literal array-of-arrays -> the row's own centroid (1-based
+    element_at); selection only, no dot products."""
+    lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in arr2d]
+    )
+    return F.element_at(lits, idx_col + 1)
+
+
+def _residual(vec_col, coarse: np.ndarray, bucket_col):
+    """v - coarse[bucket] (normalized v, matching the spherical coarse
+    quantizer's geometry)."""
+    unit = F.transform(vec_col, lambda x: x / F.greatest(_norm(vec_col), F.lit(1e-12)))
+    return F.zip_with(unit, _select_centroid(coarse, bucket_col), lambda x, c: x - c)
+
+
+def _fine_scores(res_col, fine: np.ndarray):
+    """argmin-L2 scores over the shared fine codebook:
+    dot(r, f_i) - ||f_i||^2 / 2 (monotone in -||r - f_i||^2)."""
+    return F.array(
+        *[
+            _dot(res_col, F.array(*[F.lit(float(x)) for x in fine[i]]))
+            - F.lit(float(np.dot(fine[i], fine[i]) / 2.0))
+            for i in range(fine.shape[0])
+        ]
+    )
+
+
+def ivf2_train(
+    corpus: DataFrame,
+    dim: int,
+    n_coarse: int = 8,
+    n_fine: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 29,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train (coarse, fine): coarse = spherical k-means (ivf_train);
+    fine = Lloyd k-means over coarse residuals with ONE shared
+    codebook — each iteration is the same posexplode + groupBy(avg)
+    shape as ivf_train (two shuffles per round, no per-row Python)."""
+    coarse = ivf_train(corpus, dim, n_coarse, iters, vec_col, seed)
+    assigned = ivf_assign(corpus, coarse, vec_col).withColumn(
+        "_res", _residual(F.col(vec_col), coarse, F.col("ivf_bucket"))
+    )
+    rng = np.random.default_rng(seed + 1)
+    fine = rng.normal(0, 0.1, (n_fine, dim))
+    for _ in range(iters):
+        f_idx = (F.array_position(
+            _fine_scores(F.col("_res"), fine),
+            F.array_max(_fine_scores(F.col("_res"), fine)),
+        ) - 1).cast("int")
+        sums = (
+            assigned.withColumn("_f", f_idx)
+            .select("_f", F.posexplode("_res").alias("pos", "v"))
+            .groupBy("_f", "pos")
+            .agg(F.avg("v").alias("m"))
+            .toPandas()
+        )
+        new = fine.copy()
+        for b, grp in sums.groupby("_f"):
+            new[int(b)] = grp.sort_values("pos")["m"].to_numpy()
+        fine = new
+    return coarse, fine
+
+
+def ivf2_assign(
+    corpus: DataFrame, coarse: np.ndarray, fine: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``ivf2_bucket`` = coarse_bucket * n_fine + fine_bucket —
+    one persisted integer column, n_coarse + n_fine dots per row."""
+    out = ivf_assign(corpus, coarse, vec_col)
+    res = _residual(F.col(vec_col), coarse, F.col("ivf_bucket"))
+    scores = _fine_scores(res, fine)
+    f_idx = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return out.withColumn(
+        "ivf2_bucket", (F.col("ivf_bucket") * fine.shape[0] + f_idx).cast("int")
+    ).drop("ivf_bucket")
+
+
+def ivf2_topk(
+    corpus_bucketed: DataFrame,
+    probes: DataFrame,
+    coarse: np.ndarray,
+    fine: np.ndarray,
+    k: int,
+    nprobe_coarse: int = 4,
+    nprobe_fine: int = 4,
+    corpus_key: str = "vec_id",
+    probe_key: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level IVF search: a probe expands to its nprobe_coarse
+    nearest coarse cells x nprobe_fine nearest fine cells per coarse
+    cell (candidate buckets broadcast; the corpus side never shuffles).
+    nprobe_coarse = n_coarse and nprobe_fine = n_fine scans every
+    bucket — provably exact, the oracle-covered variant."""
+    n_fine = fine.shape[0]
+    cscores = _centroid_scores(F.col(vec_col), coarse)
+    cidx = F.sequence(F.lit(0), F.lit(coarse.shape[0] - 1))
+    cranked = F.reverse(
+        F.array_sort(F.zip_with(cscores, cidx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))))
+    )
+    coarse_picks = F.transform(F.slice(cranked, 1, nprobe_coarse), lambda x: x["i"])
+    p = probes.select(
+        probe_key,
+        F.col(vec_col).alias("_pvec"),
+        _norm(F.col(vec_col)).alias("_pn"),
+        F.explode(coarse_picks).alias("_cb"),
+    )
+    res = _residual(F.col("_pvec"), coarse, F.col("_cb"))
+    fscores = _fine_scores(res, fine)
+    fidx = F.sequence(F.lit(0), F.lit(n_fine - 1))
+    franked = F.reverse(
+        F.array_sort(F.zip_with(fscores, fidx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))))
+    )
+    fine_picks = F.transform(F.slice(franked, 1, nprobe_fine), lambda x: x["i"])
+    p = p.select(probe_key, "_pvec", "_pn", "_cb", F.explode(fine_picks).alias("_fb"))
+    p = p.select(
+        probe_key, "_pvec", "_pn",
+        (F.col("_cb") * n_fine + F.col("_fb")).cast("int").alias("ivf2_bucket"),
+    )
+    c = corpus_bucketed.select(
+        corpus_key, "ivf2_bucket", F.col(vec_col).alias("_cvec"), _norm(F.col(vec_col)).alias("_cn")
+    )
+    joined = c.join(F.broadcast(p), on="ivf2_bucket")
+    cos = (_dot(F.col("_cvec"), F.col("_pvec")) / (F.col("_cn") * F.col("_pn"))).alias("cosine")
+    w = Window.partitionBy(probe_key).orderBy(F.col("cosine").desc(), F.col(corpus_key).asc())
+    return (
+        joined.select(probe_key, corpus_key, cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus_bucketed: DataFrame,
     probes: DataFrame,

@@ -1212,6 +1212,24 @@ def q_ivf_topk_full(spark, sf):
     )
 
 
+def q_ivf2_topk_full(spark, sf):
+    """TWO-LEVEL IVF (coarse + shared residual fine codebook — the
+    C >> 256 scale architecture: n_coarse*n_fine effective cells for
+    n_coarse+n_fine dots per row) with every bucket probed: provably
+    exact, so the brute-force oracle covers the whole two-level
+    machinery (train, residual assignment, bucket join, rank); pruned
+    probing is recall-gated in tests/test_similarity.py."""
+    from pyogrio_spark.operators.similarity import ivf2_assign, ivf2_topk, ivf2_train
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    coarse, fine = ivf2_train(emb, dim=64, n_coarse=4, n_fine=4, iters=1)
+    bucketed = ivf2_assign(emb, coarse, fine)
+    probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
+    return ivf2_topk(
+        bucketed, probes, coarse, fine, k=5, nprobe_coarse=4, nprobe_fine=4
+    ).select("probe_id", "vec_id", F.col("rank").alias("rnk"))
+
+
 def q_events_asof_rates(spark, sf):
     """AS-OF join (the classic missing Spark operator, distributed
     two-phase plan): every event picks the latest per-type 'rate' row at
@@ -1708,6 +1726,7 @@ QUERIES = {
     "geo_pip_join_boundary": q_geo_pip_join_boundary,
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "geo_zonal_stats_poly": q_geo_zonal_poly,
+    "sim_ivf2_topk_full": q_ivf2_topk_full,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1772,6 +1791,7 @@ ORACLES = {
     "text_features": _oracle_text_features(),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
+    "sim_ivf2_topk_full": ORACLE_SIM_TOPK,
     "media_audio_features": ORACLE_AUDIO,
     "media_image_features": ORACLE_IMAGE,
     "media_resize": ORACLE_RESIZE,

@@ -128,3 +128,44 @@ def test_embedding_near_dup_bucket_cap_bounds_pairs(spark):
     got = embedding_near_dup_pairs(df, threshold=0.9, bands=4, max_bucket=16)
     n = got.count()
     assert n <= 4 * 16 * 15 / 2, f"{n} pairs from a hot bucket; cap is not applied"
+
+
+def test_ivf2_exact_at_full_probe_and_recall(spark, vecs, vecs_pd):
+    """Two-level IVF (coarse + shared residual fine codebook): probing
+    every bucket is provably exact (equals brute force); pruned probing
+    keeps useful recall while scanning a bounded candidate set."""
+    from pyogrio_spark.operators.similarity import ivf2_assign, ivf2_topk, ivf2_train
+
+    coarse, fine = ivf2_train(vecs, dim=16, n_coarse=4, n_fine=4, iters=2)
+    assert coarse.shape == (4, 16) and fine.shape == (4, 16)
+    bucketed = ivf2_assign(vecs, coarse, fine).cache()
+    nb = bucketed.select("ivf2_bucket").distinct().count()
+    assert 1 < nb <= 16  # real spread over coarse*fine cells
+    # every row gets exactly one bucket in [0, 16)
+    stats = bucketed.selectExpr(
+        "min(ivf2_bucket) AS lo", "max(ivf2_bucket) AS hi", "count(*) AS n"
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < 16 and stats["n"] == 300
+
+    probes_pd = vecs_pd.iloc[:8].rename(columns={"vec_id": "probe_id"})
+    probes = spark.createDataFrame(probes_pd, schema="probe_id long, embedding array<float>")
+    want = brute_oracle(vecs_pd, probes_pd, 5)
+
+    # nprobe = all -> exact
+    full = ivf2_topk(bucketed, probes, coarse, fine, k=5, nprobe_coarse=4, nprobe_fine=4)
+    fdf = full.toPandas()
+    got = {
+        int(pid): grp.sort_values("rank").vec_id.astype(int).tolist()
+        for pid, grp in fdf.groupby("probe_id")
+    }
+    assert got == want
+
+    # pruned -> recall over the brute-force top-5
+    pruned = ivf2_topk(bucketed, probes, coarse, fine, k=5, nprobe_coarse=2, nprobe_fine=2)
+    hits = total = 0
+    pr = pruned.toPandas()
+    for pid, grp in pr.groupby("probe_id"):
+        hits += len(set(grp.vec_id) & set(want[pid]))
+        total += 5
+    assert hits / total >= 0.5  # bounded scan, useful recall
+    bucketed.unpersist()
