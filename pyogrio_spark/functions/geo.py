@@ -29,6 +29,122 @@ def cell_id_column(lon_col: str, lat_col: str, res: int) -> Column:
     return F.expr(cell_expr_sql(lon_col, lat_col, res))
 
 
+# --------------------------------------------------- measures / transforms
+
+WEB_MERCATOR_R = 6378137.0
+
+
+def mercator_x_expr(lon_col: str) -> Column:
+    """EPSG:4326 lon -> EPSG:3857 x, pure codegen (no UDF)."""
+    return F.radians(F.col(lon_col)) * F.lit(WEB_MERCATOR_R)
+
+
+def mercator_y_expr(lat_col: str) -> Column:
+    """EPSG:4326 lat -> EPSG:3857 y, pure codegen; latitude clamped to
+    the Mercator validity band like PROJ."""
+    lat = F.least(F.greatest(F.col(lat_col), F.lit(-85.06)), F.lit(85.06))
+    return F.log(F.tan(F.lit(3.141592653589793 / 4.0) + F.radians(lat) / 2)) * F.lit(WEB_MERCATOR_R)
+
+
+@lru_cache(maxsize=1)
+def _measure_udf():
+    @pandas_udf("area double, length double, cx double, cy double")
+    def measure_udf(wkb: pd.Series) -> pd.DataFrame:
+        from pyogrio_spark.geometry import measure as M
+
+        rows = []
+        for b in wkb:
+            g = None if b is None else W.parse_wkb(bytes(b))
+            cx, cy = M.centroid(g)
+            rows.append((M.area(g), M.length(g), cx, cy))
+        return pd.DataFrame(rows, columns=["area", "length", "cx", "cy"])
+
+    return measure_udf
+
+
+def measure_columns(df: DataFrame, geom_col: str = "geometry_wkb") -> DataFrame:
+    """Attach planar ``area``/``length``/centroid (``cx``,``cy``)
+    columns — the GeoSeries.area/.length/.centroid surface, batch
+    kernels in geometry/measure.py."""
+    m = _measure_udf()(F.col(geom_col))
+    return (
+        df.withColumn("_m", m)
+        .withColumn("area", F.col("_m.area"))
+        .withColumn("length", F.col("_m.length"))
+        .withColumn("cx", F.col("_m.cx"))
+        .withColumn("cy", F.col("_m.cy"))
+        .drop("_m")
+    )
+
+
+@lru_cache(maxsize=1)
+def _convex_hull_udf():
+    @pandas_udf("binary")
+    def hull_udf(wkb: pd.Series) -> pd.Series:
+        from pyogrio_spark.geometry import measure as M
+
+        return pd.Series(
+            [None if b is None else M.convex_hull(W.parse_wkb(bytes(b))) for b in wkb]
+        )
+
+    return hull_udf
+
+
+def convex_hull_column(geom_col: str = "geometry_wkb") -> Column:
+    """GeoSeries.convex_hull (monotone chain, CCW shell)."""
+    return _convex_hull_udf()(F.col(geom_col))
+
+
+@lru_cache(maxsize=8)
+def _simplify_udf(tol: float):
+    @pandas_udf("binary")
+    def simp_udf(wkb: pd.Series) -> pd.Series:
+        from pyogrio_spark.geometry import measure as M
+
+        return pd.Series(
+            [None if b is None else M.simplify(W.parse_wkb(bytes(b)), tol) for b in wkb]
+        )
+
+    return simp_udf
+
+
+def simplify_column(tol: float, geom_col: str = "geometry_wkb") -> Column:
+    """GeoSeries.simplify(tol) — Douglas-Peucker
+    (preserve_topology=False semantics, documented in measure.py)."""
+    return _simplify_udf(float(tol))(F.col(geom_col))
+
+
+@lru_cache(maxsize=4)
+def _reproject_udf(direction: str):
+    @pandas_udf("binary")
+    def reproj_udf(wkb: pd.Series) -> pd.Series:
+        from pyogrio_spark.geometry import measure as M
+
+        fn = M.lonlat_to_mercator if direction == "to_3857" else M.mercator_to_lonlat
+        return pd.Series(
+            [
+                None if b is None else M.transform_geom(W.parse_wkb(bytes(b)), fn)
+                for b in wkb
+            ]
+        )
+
+    return reproj_udf
+
+
+def reproject_column(to: str, geom_col: str = "geometry_wkb") -> Column:
+    """GeoSeries.to_crs for the supported closed-form pair:
+    'EPSG:3857' (from 4326) or 'EPSG:4326' (from 3857). Arbitrary CRS
+    pairs need a PROJ database — documented divergence (crs.py).
+    Point-coordinate columns should prefer the pure-codegen
+    mercator_x_expr/mercator_y_expr (no Python at all)."""
+    code = str(to).upper().replace("EPSG:", "")
+    if code == "3857":
+        return _reproject_udf("to_3857")(F.col(geom_col))
+    if code == "4326":
+        return _reproject_udf("to_4326")(F.col(geom_col))
+    raise ValueError(f"unsupported reprojection target {to!r} (EPSG:3857/EPSG:4326)")
+
+
 @lru_cache(maxsize=1)
 def _bounds_udf():
     @pandas_udf("xmin double, ymin double, xmax double, ymax double")

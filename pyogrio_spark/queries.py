@@ -1212,6 +1212,45 @@ def q_ivf_topk_full(spark, sf):
     )
 
 
+def q_geo_measures(spark, sf):
+    """GeoSeries.area/.length/.centroid over the 200 synthesized zone
+    rectangles: the engine parses the zone WKB and runs the planar
+    measure kernels (geometry/measure.py); the oracle computes the same
+    quantities from the rectangles' closed-form corner expressions.
+    Rounded to 7 decimals: shoelace vs product differ only in the last
+    couple of double bits."""
+    from pyogrio_spark.functions.geo import measure_columns
+
+    zones = spark.createDataFrame(
+        _zones_pd(), schema="zone_id bigint, geometry_wkb binary"
+    )
+    m = measure_columns(zones)
+    return m.select(
+        "zone_id",
+        F.round("area", 7).alias("area_r"),
+        F.round("length", 7).alias("len_r"),
+        F.round("cx", 7).alias("cx_r"),
+        F.round("cy", 7).alias("cy_r"),
+    )
+
+
+def q_geo_reproject(spark, sf):
+    """GeoSeries.to_crs(3857) for the closed-form Web-Mercator pair —
+    pure CODEGEN expressions on the point coordinate columns (no
+    Python); the oracle evaluates the identical published formula.
+    Rounded to 4 decimals (0.1 mm): JVM vs libm ln/tan differ in the
+    last ulp."""
+    from pyogrio_spark.functions.geo import mercator_x_expr, mercator_y_expr
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = docs.selectExpr("doc_id", f"{LON_EXPR} AS lon", f"{LAT_EXPR} AS lat")
+    return d.select(
+        "doc_id",
+        F.round(mercator_x_expr("lon"), 4).alias("mx"),
+        F.round(mercator_y_expr("lat"), 4).alias("my"),
+    )
+
+
 def q_ivf2_topk_full(spark, sf):
     """TWO-LEVEL IVF (coarse + shared residual fine codebook — the
     C >> 256 scale architecture: n_coarse*n_fine effective cells for
@@ -1727,6 +1766,8 @@ QUERIES = {
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "geo_zonal_stats_poly": q_geo_zonal_poly,
     "sim_ivf2_topk_full": q_ivf2_topk_full,
+    "geo_measures": q_geo_measures,
+    "geo_reproject": q_geo_reproject,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1792,6 +1833,16 @@ ORACLES = {
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,
+    "geo_measures": f"""SELECT zone_id,
+        round((zx1 - zx0) * (zy1 - zy0), 7) AS area_r,
+        round(2 * ((zx1 - zx0) + (zy1 - zy0)), 7) AS len_r,
+        round((zx0 + zx1) / 2, 7) AS cx_r,
+        round((zy0 + zy1) / 2, 7) AS cy_r
+        FROM {ZONES_SQL} z""",
+    "geo_reproject": f"""SELECT doc_id,
+        round(radians(lon) * 6378137.0, 4) AS mx,
+        round(ln(tan(pi() / 4 + radians(least(greatest(lat, -85.06), 85.06)) / 2)) * 6378137.0, 4) AS my
+        FROM {DOCS_GEO_SQL} d""",
     "media_audio_features": ORACLE_AUDIO,
     "media_image_features": ORACLE_IMAGE,
     "media_resize": ORACLE_RESIZE,

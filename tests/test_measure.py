@@ -1,0 +1,166 @@
+"""Planar measures, convex hull, simplify, and Web-Mercator transforms
+(the GeoSeries.area/length/centroid/convex_hull/simplify/to_crs surface,
+GEOS-free kernels in geometry/measure.py + Spark wrappers)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyogrio_spark.geometry import measure as M
+from pyogrio_spark.geometry import wkb as W
+from pyogrio_spark.geometry.predicates import points_in_ring
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype=float)
+
+
+def test_area_length_centroid_closed_forms():
+    g = W.parse_wkb(W.encode_polygon([_rect(1, 2, 5, 8)]))
+    assert M.area(g) == pytest.approx(24.0)
+    assert M.length(g) == pytest.approx(20.0)
+    assert M.centroid(g) == pytest.approx((3.0, 5.0))
+    # hole subtracts from area, adds to perimeter, shifts centroid
+    hole = _rect(2, 3, 3, 4)[::-1]
+    gh = W.parse_wkb(W.encode_polygon([_rect(1, 2, 5, 8), hole]))
+    assert M.area(gh) == pytest.approx(23.0)
+    assert M.length(gh) == pytest.approx(24.0)
+    cx, cy = M.centroid(gh)
+    assert cx == pytest.approx((24 * 3.0 - 1 * 2.5) / 23)
+    assert cy == pytest.approx((24 * 5.0 - 1 * 3.5) / 23)
+    # triangle
+    tri = np.array([(0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (0.0, 0.0)])
+    gt = W.parse_wkb(W.encode_polygon([tri]))
+    assert M.area(gt) == pytest.approx(6.0)
+    assert M.length(gt) == pytest.approx(12.0)
+    assert M.centroid(gt) == pytest.approx((4 / 3, 1.0))
+    # lines: length-weighted centroid, zero area
+    line = W.parse_wkb(W.encode_linestring(np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 2.0)])))
+    assert M.area(line) == 0.0
+    assert M.length(line) == pytest.approx(6.0)
+    assert M.centroid(line) == pytest.approx(((2.0 * 4 + 4.0 * 2) / 6, (0.0 * 4 + 1.0 * 2) / 6))
+    # points: vertex mean
+    mp = W.parse_wkb(W.encode_multipoint(np.array([(0.0, 0.0), (2.0, 4.0)])))
+    assert M.centroid(mp) == pytest.approx((1.0, 2.0))
+    # multipolygon sums
+    g2 = W.parse_wkb(W.encode_multipolygon([[_rect(0, 0, 1, 1)], [_rect(10, 10, 12, 11)]]))
+    assert M.area(g2) == pytest.approx(3.0)
+    assert M.centroid(g2)[0] == pytest.approx((0.5 * 1 + 11.0 * 2) / 3)
+    assert M.area(None) == 0.0 and M.length(None) == 0.0
+
+
+def test_convex_hull_properties():
+    rng = np.random.default_rng(7)
+    pts = rng.normal(0, 10, (60, 2))
+    g = W.parse_wkb(W.encode_multipoint(pts))
+    hull = W.parse_wkb(M.convex_hull(g))
+    assert hull.type == "Polygon"
+    ring = hull.coords[0]
+    # CCW shell, closed
+    assert np.array_equal(ring[0], ring[-1])
+    assert M._ring_area_signed(ring) > 0
+    # hull vertices are input points
+    in_set = {tuple(p) for p in pts}
+    assert all(tuple(v) in in_set for v in ring[:-1])
+    # every input point inside-or-on the hull (shrink test: interior pts strictly inside)
+    inside = points_in_ring(pts[:, 0], pts[:, 1], ring, include_boundary=True)
+    assert inside.all()
+    # degenerate: collinear -> LineString of extremes; single point -> Point
+    col = W.parse_wkb(M.convex_hull(W.parse_wkb(W.encode_multipoint(np.array([(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)])))))
+    assert col.type == "LineString" and np.allclose(col.coords, [(0, 0), (2, 2)])
+    pt = W.parse_wkb(M.convex_hull(W.parse_wkb(W.encode_point(3.0, 4.0))))
+    assert pt.type == "Point"
+
+
+def test_simplify_douglas_peucker():
+    # dense arc: simplification error bounded by tol, endpoints kept
+    t = np.linspace(0, np.pi, 200)
+    arc = np.column_stack([np.cos(t), np.sin(t)])
+    g = W.parse_wkb(W.encode_linestring(arc))
+    tol = 0.05
+    simp = W.parse_wkb(M.simplify(g, tol))
+    assert simp.type == "LineString" and 2 < len(simp.coords) < 60
+    assert np.allclose(simp.coords[0], arc[0]) and np.allclose(simp.coords[-1], arc[-1])
+    # every original vertex within tol of the simplified path
+    sc = np.asarray(simp.coords)
+    for p in arc:
+        d = np.inf
+        for i in range(len(sc) - 1):
+            seg = sc[i + 1] - sc[i]
+            ll = seg @ seg
+            u = np.clip(((p - sc[i]) @ seg) / ll, 0, 1) if ll else 0.0
+            d = min(d, float(np.hypot(*(p - (sc[i] + u * seg)))))
+        assert d <= tol + 1e-12
+    # tol=0 keeps all (no collinear runs on a strict arc interior)
+    assert len(W.parse_wkb(M.simplify(g, 0.0)).coords) == len(arc)
+    # polygon rings keep closure; collapse drops the ring
+    sq = W.parse_wkb(W.encode_polygon([_rect(0, 0, 10, 10)]))
+    s = W.parse_wkb(M.simplify(sq, 1.0))
+    ring = s.coords[0]
+    assert np.array_equal(ring[0], ring[-1]) and len(ring) == 5
+    assert M.simplify(W.parse_wkb(W.encode_polygon([_rect(0, 0, 0.1, 0.1)])), 5.0) is None
+
+
+def test_mercator_roundtrip_and_known_values():
+    lon = np.array([0.0, 180.0, -123.5, 31.2])
+    lat = np.array([0.0, 0.0, 45.25, -80.0])
+    x, y = M.lonlat_to_mercator(lon, lat)
+    assert x[0] == 0.0 and y[0] == 0.0
+    assert x[1] == pytest.approx(20037508.342789244)
+    lon2, lat2 = M.mercator_to_lonlat(x, y)
+    assert np.allclose(lon2, lon, atol=1e-9) and np.allclose(lat2, lat, atol=1e-9)
+    # geometry transform keeps structure (and Z)
+    gz = W.parse_wkb(W.encode_linestring(np.array([(0.0, 0.0, 7.0), (10.0, 20.0, 8.0)])))
+    out = W.parse_wkb(M.transform_geom(gz, M.lonlat_to_mercator))
+    assert out.has_z and out.coords[0][2] == 7.0
+    assert out.coords[1][0] == pytest.approx(10 * np.pi / 180 * 6378137.0)
+
+
+def test_spark_wrappers_and_codegen_exprs(spark):
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.functions.geo import (
+        convex_hull_column,
+        measure_columns,
+        mercator_x_expr,
+        mercator_y_expr,
+        reproject_column,
+        simplify_column,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "gid": np.arange(3, dtype=np.int64),
+            "geometry_wkb": [
+                W.encode_polygon([_rect(0, 0, 2, 3)]),
+                W.encode_linestring(np.array([(0.0, 0.0), (3.0, 4.0)])),
+                None,
+            ],
+            "lon": [10.0, -45.0, 0.0],
+            "lat": [50.0, -20.0, 0.0],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="gid bigint, geometry_wkb binary, lon double, lat double")
+    m = {r["gid"]: r for r in measure_columns(df).collect()}
+    assert m[0]["area"] == pytest.approx(6.0) and m[0]["length"] == pytest.approx(10.0)
+    assert m[1]["area"] == 0.0 and m[1]["length"] == pytest.approx(5.0)
+    assert m[2]["cx"] is None  # NaN -> null through Spark
+
+    hull = df.filter("gid = 1").select(convex_hull_column().alias("h")).first()["h"]
+    assert W.parse_wkb(bytes(hull)).type == "LineString"
+    simp = df.filter("gid = 0").select(simplify_column(0.1).alias("s")).first()["s"]
+    assert W.parse_wkb(bytes(simp)).type == "Polygon"
+
+    # codegen exprs match the numpy kernel; geometry reproject matches too
+    got = df.select(
+        "lon", "lat",
+        mercator_x_expr("lon").alias("mx"), mercator_y_expr("lat").alias("my"),
+    ).collect()
+    for r in got:
+        x, y = M.lonlat_to_mercator(np.array([r["lon"]]), np.array([r["lat"]]))
+        assert r["mx"] == pytest.approx(float(x[0]), abs=1e-6)
+        assert r["my"] == pytest.approx(float(y[0]), abs=1e-6)
+    g3857 = df.select(reproject_column("EPSG:3857").alias("g"), "gid").filter("gid = 0").first()["g"]
+    rt = M.transform_geom(W.parse_wkb(bytes(g3857)), M.mercator_to_lonlat)
+    orig = W.parse_wkb(pdf.geometry_wkb[0])
+    assert np.allclose(W.parse_wkb(rt).coords[0], orig.coords[0], atol=1e-9)
