@@ -114,6 +114,32 @@ def simplify_column(tol: float, geom_col: str = "geometry_wkb") -> Column:
     return _simplify_udf(float(tol))(F.col(geom_col))
 
 
+@lru_cache(maxsize=8)
+def _clip_udf(rect: tuple):
+    @pandas_udf("binary")
+    def clip_udf(wkb: pd.Series) -> pd.Series:
+        from pyogrio_spark.geometry import measure as M
+
+        x0, y0, x1, y1 = rect
+        return pd.Series(
+            [
+                None if b is None else M.clip_by_rect(W.parse_wkb(bytes(b)), x0, y0, x1, y1)
+                for b in wkb
+            ]
+        )
+
+    return clip_udf
+
+
+def clip_by_rect_column(
+    x0: float, y0: float, x1: float, y1: float, geom_col: str = "geometry_wkb"
+) -> Column:
+    """shapely.clip_by_rect as a batch column — the tile-boundary
+    operation (clip features to their tile's rectangle after
+    assign_tiles). Null where nothing survives the window."""
+    return _clip_udf((float(x0), float(y0), float(x1), float(y1)))(F.col(geom_col))
+
+
 @lru_cache(maxsize=4)
 def _reproject_udf(direction: str):
     @pandas_udf("binary")

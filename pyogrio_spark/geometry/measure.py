@@ -245,6 +245,150 @@ def simplify(g: "W.Geom | None", tol: float) -> bytes | None:
     raise ValueError(f"cannot simplify geometry type {t}")
 
 
+# ------------------------------------------------------------------ clip
+
+
+def _clip_ring_halfplane(ring: np.ndarray, axis: int, c: float, keep_ge: bool) -> np.ndarray:
+    """Sutherland-Hodgman step: clip a closed ring against one
+    axis-aligned half-plane (axis 0 = x, 1 = y). Intersections with
+    axis-aligned subject edges are exact (the crossing coordinate IS
+    the plane constant; the other coordinate interpolates along the
+    edge, which is constant for the perpendicular edges of a
+    rectangle)."""
+    out: list[np.ndarray] = []
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    for i in range(n):
+        cur, nxt = pts[i], pts[(i + 1) % n]
+        cur_in = (cur[axis] >= c) if keep_ge else (cur[axis] <= c)
+        nxt_in = (nxt[axis] >= c) if keep_ge else (nxt[axis] <= c)
+        if cur_in:
+            out.append(cur)
+        if cur_in != nxt_in:
+            d = nxt[axis] - cur[axis]
+            t = (c - cur[axis]) / d if d != 0 else 0.0
+            p = cur + t * (nxt - cur)
+            p[axis] = c  # exact on the clip plane
+            out.append(p)
+    if len(out) < 3:
+        return np.empty((0, 2))
+    arr = np.array(out, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])
+
+
+def _clip_ring(ring: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)[:, :2]
+    for axis, c, keep_ge in ((0, x0, True), (0, x1, False), (1, y0, True), (1, y1, False)):
+        r = _clip_ring_halfplane(r, axis, c, keep_ge)
+        if len(r) == 0:
+            return r
+    return r
+
+
+def _clip_segments(c: np.ndarray, x0, y0, x1, y1) -> list[np.ndarray]:
+    """Liang-Barsky per segment, merging consecutive clipped pieces
+    that share an endpoint back into paths."""
+    paths: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(c) - 1):
+        p, q = c[i, :2].astype(np.float64), c[i + 1, :2].astype(np.float64)
+        d = q - p
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for dim, lo, hi in ((0, x0, x1), (1, y0, y1)):
+            if d[dim] == 0.0:
+                if p[dim] < lo or p[dim] > hi:
+                    ok = False
+                    break
+            else:
+                ta = (lo - p[dim]) / d[dim]
+                tb = (hi - p[dim]) / d[dim]
+                if ta > tb:
+                    ta, tb = tb, ta
+                t0, t1 = max(t0, ta), min(t1, tb)
+                if t0 > t1:
+                    ok = False
+                    break
+        if not ok:
+            if len(cur) >= 2:
+                paths.append(np.array(cur))
+            cur = []
+            continue
+        a = p + t0 * d if t0 > 0 else p
+        b = p + t1 * d if t1 < 1 else q
+        if cur and np.array_equal(cur[-1], a):
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                paths.append(np.array(cur))
+            cur = [a, b]
+        if t1 < 1:  # exits the window: path breaks here
+            paths.append(np.array(cur))
+            cur = []
+    if len(cur) >= 2:
+        paths.append(np.array(cur))
+    return [p for p in paths if _path_length(p) > 0]
+
+
+def clip_by_rect(g: "W.Geom | None", x0: float, y0: float, x1: float, y1: float) -> bytes | None:
+    """shapely.clip_by_rect semantics: exact geometric intersection
+    with an axis-aligned rectangle (Sutherland-Hodgman for polygon
+    rings — the clip window is convex, so the result per ring is a
+    single ring; Liang-Barsky for lines; interval test for points).
+    Returns None when nothing survives. Like shapely's, polygon output
+    validity is best-effort for pathological inputs crossing window
+    corners."""
+    if g is None:
+        return None
+    t = g.type
+    if t == "Point":
+        cx, cy = float(g.coords[0]), float(g.coords[1])
+        return W.encode_point(cx, cy) if x0 <= cx <= x1 and y0 <= cy <= y1 else None
+    if t == "MultiPoint":
+        kept = [
+            p.coords[:2] for p in g.coords
+            if x0 <= p.coords[0] <= x1 and y0 <= p.coords[1] <= y1
+        ]
+        if not kept:
+            return None
+        if len(kept) == 1:
+            return W.encode_point(float(kept[0][0]), float(kept[0][1]))
+        return W.encode_multipoint(np.array(kept, dtype=np.float64))
+    if t in ("LineString", "MultiLineString"):
+        parts = [g.coords] if t == "LineString" else [p.coords for p in g.coords]
+        clipped: list[np.ndarray] = []
+        for c in parts:
+            clipped.extend(_clip_segments(np.asarray(c, dtype=np.float64), x0, y0, x1, y1))
+        if not clipped:
+            return None
+        if len(clipped) == 1:
+            return W.encode_linestring(clipped[0])
+        return W.encode_multilinestring(clipped)
+    if t in ("Polygon", "MultiPolygon"):
+        groups = [g.coords] if t == "Polygon" else [p.coords for p in g.coords]
+        out_polys: list[list[np.ndarray]] = []
+        for rings in groups:
+            shell = _clip_ring(rings[0], x0, y0, x1, y1)
+            if len(shell) == 0 or abs(_ring_area_signed(shell)) == 0.0:
+                continue
+            poly = [shell]
+            for h in rings[1:]:
+                hc = _clip_ring(h, x0, y0, x1, y1)
+                if len(hc) and abs(_ring_area_signed(hc)) > 0.0:
+                    poly.append(hc)
+            out_polys.append(poly)
+        if not out_polys:
+            return None
+        if len(out_polys) == 1:
+            return W.encode_polygon(out_polys[0])
+        return W.encode_multipolygon(out_polys)
+    if t == "GeometryCollection":
+        parts = [clip_by_rect(p, x0, y0, x1, y1) for p in g.coords]
+        kept = [p for p in parts if p is not None]
+        return W.encode_collection(kept) if kept else None
+    raise ValueError(f"cannot clip geometry type {t}")
+
+
 # ------------------------------------------------------------ reprojection
 
 

@@ -1234,6 +1234,29 @@ def q_geo_measures(spark, sf):
     )
 
 
+def q_geo_clip(spark, sf):
+    """clip_by_rect of the 200 zone rectangles against a fixed window:
+    the engine runs the Sutherland-Hodgman kernel; rect-by-rect clip
+    has a closed-form answer (interval intersection), which is the
+    oracle. Zones that miss the window drop (inner join semantics)."""
+    from pyogrio_spark.functions.geo import clip_by_rect_column, measure_columns
+
+    WX0, WY0, WX1, WY1 = -50.0, -40.0, 70.0, 60.0
+    zones = spark.createDataFrame(
+        _zones_pd(), schema="zone_id bigint, geometry_wkb binary"
+    )
+    clipped = zones.withColumn(
+        "geometry_wkb", clip_by_rect_column(WX0, WY0, WX1, WY1)
+    ).filter(F.col("geometry_wkb").isNotNull())
+    m = measure_columns(clipped)
+    return m.select(
+        "zone_id",
+        F.round("area", 7).alias("area_r"),
+        F.round("cx", 7).alias("cx_r"),
+        F.round("cy", 7).alias("cy_r"),
+    )
+
+
 def q_geo_reproject(spark, sf):
     """GeoSeries.to_crs(3857) for the closed-form Web-Mercator pair —
     pure CODEGEN expressions on the point coordinate columns (no
@@ -1768,6 +1791,7 @@ QUERIES = {
     "sim_ivf2_topk_full": q_ivf2_topk_full,
     "geo_measures": q_geo_measures,
     "geo_reproject": q_geo_reproject,
+    "geo_clip": q_geo_clip,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1839,6 +1863,12 @@ ORACLES = {
         round((zx0 + zx1) / 2, 7) AS cx_r,
         round((zy0 + zy1) / 2, 7) AS cy_r
         FROM {ZONES_SQL} z""",
+    "geo_clip": f"""SELECT zone_id,
+        round((least(zx1, 70.0) - greatest(zx0, -50.0)) * (least(zy1, 60.0) - greatest(zy0, -40.0)), 7) AS area_r,
+        round((greatest(zx0, -50.0) + least(zx1, 70.0)) / 2, 7) AS cx_r,
+        round((greatest(zy0, -40.0) + least(zy1, 60.0)) / 2, 7) AS cy_r
+        FROM {ZONES_SQL} z
+        WHERE zx0 < 70.0 AND zx1 > -50.0 AND zy0 < 60.0 AND zy1 > -40.0""",
     "geo_reproject": f"""SELECT doc_id,
         round(radians(lon) * 6378137.0, 4) AS mx,
         round(ln(tan(pi() / 4 + radians(least(greatest(lat, -85.06), 85.06)) / 2)) * 6378137.0, 4) AS my

@@ -164,3 +164,45 @@ def test_spark_wrappers_and_codegen_exprs(spark):
     rt = M.transform_geom(W.parse_wkb(bytes(g3857)), M.mercator_to_lonlat)
     orig = W.parse_wkb(pdf.geometry_wkb[0])
     assert np.allclose(W.parse_wkb(rt).coords[0], orig.coords[0], atol=1e-9)
+
+
+def test_clip_by_rect():
+    from pyogrio_spark.geometry.measure import clip_by_rect
+
+    # rect x rect = interval intersection, exact corners
+    g = W.parse_wkb(W.encode_polygon([_rect(0, 0, 10, 10)]))
+    c = W.parse_wkb(clip_by_rect(g, 5, 5, 20, 20))
+    assert c.type == "Polygon"
+    assert M.area(c) == pytest.approx(25.0)
+    x0, y0, x1, y1 = W.bounds(W.encode_geom(c))
+    assert (x0, y0, x1, y1) == (5.0, 5.0, 10.0, 10.0)
+    # fully inside -> unchanged shape (same area/bounds)
+    inside = W.parse_wkb(clip_by_rect(g, -5, -5, 50, 50))
+    assert M.area(inside) == pytest.approx(100.0)
+    # disjoint -> None
+    assert clip_by_rect(g, 100, 100, 110, 110) is None
+    # triangle clipped by a half-covering window
+    tri = W.parse_wkb(W.encode_polygon([np.array([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (0.0, 0.0)])]))
+    ct = W.parse_wkb(clip_by_rect(tri, 0, 0, 5, 20))
+    # area left of x=5: total 50 minus right triangle (5..10) area 12.5
+    assert M.area(ct) == pytest.approx(37.5)
+    # hole survives clipping when inside the window
+    holed = W.parse_wkb(W.encode_polygon([_rect(0, 0, 10, 10), _rect(2, 2, 4, 4)[::-1]]))
+    ch = W.parse_wkb(clip_by_rect(holed, 0, 0, 6, 6))
+    assert M.area(ch) == pytest.approx(36.0 - 4.0)
+    # line crossing the window: clipped to the chord
+    line = W.parse_wkb(W.encode_linestring(np.array([(-5.0, 5.0), (15.0, 5.0)])))
+    cl = W.parse_wkb(clip_by_rect(line, 0, 0, 10, 10))
+    assert cl.type == "LineString" and np.allclose(cl.coords, [(0, 5), (10, 5)])
+    # line weaving in and out -> MultiLineString pieces
+    zig = W.parse_wkb(
+        W.encode_linestring(np.array([(-5.0, 2.0), (5.0, 2.0), (5.0, 20.0), (8.0, 20.0), (8.0, 2.0), (15.0, 2.0)]))
+    )
+    cz = W.parse_wkb(clip_by_rect(zig, 0, 0, 10, 10))
+    assert cz.type == "MultiLineString" and len(cz.coords) == 2
+    # points
+    assert clip_by_rect(W.parse_wkb(W.encode_point(3.0, 3.0)), 0, 0, 10, 10) is not None
+    assert clip_by_rect(W.parse_wkb(W.encode_point(30.0, 3.0)), 0, 0, 10, 10) is None
+    mp = W.parse_wkb(W.encode_multipoint(np.array([(1.0, 1.0), (50.0, 50.0)])))
+    kept = W.parse_wkb(clip_by_rect(mp, 0, 0, 10, 10))
+    assert kept.type == "Point"
