@@ -47,6 +47,11 @@ HEADLINE = [
     "media_audio_features",
     "media_image_features",
     "token_budget",
+    # round-4 additions: codegen reprojection over the full doc table,
+    # batch measure kernels + exact rect clipping over the zone set
+    "geo_reproject",
+    "geo_measures",
+    "geo_clip",
 ]
 
 

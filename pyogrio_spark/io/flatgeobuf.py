@@ -449,7 +449,11 @@ def write_flatgeobuf(
     leaf nodes carry their byte offsets — which the distributed reader
     uses for byte-range partitioning. Indexing requires non-null
     geometries (a bbox per feature)."""
-    attr_cols = [c for c in pdf.columns if c != geom_col]
+    # like every other format sink here, a ``fid`` column is the
+    # engine's ROW-ID convention, not an attribute — drop it on write
+    # (the reader regenerates sequential fids), matching the reference
+    # where FIDs are driver-assigned, never stored fields
+    attr_cols = [c for c in pdf.columns if c not in (geom_col, "fid")]
     spec = _column_spec(pdf, attr_cols)
     geoms = [None if b is None else W.parse_wkb(bytes(b)) for b in pdf[geom_col]]
 
@@ -561,8 +565,8 @@ def write_flatgeobuf_distributed(
 
     from pyspark.sql import functions as F
 
-    cols = [c for c in df.columns if c != geom_col]
-    spec = _spec_from_spark_schema([(c, t) for c, t in df.dtypes if c != geom_col])
+    cols = [c for c in df.columns if c not in (geom_col, "fid")]
+    spec = _spec_from_spark_schema([(c, t) for c, t in df.dtypes if c not in (geom_col, "fid")])
 
     if index_node_size > 0:
         # pass 1: dataset envelope (needed to quantize Hilbert centers)

@@ -206,3 +206,74 @@ def test_clip_by_rect():
     mp = W.parse_wkb(W.encode_multipoint(np.array([(1.0, 1.0), (50.0, 50.0)])))
     kept = W.parse_wkb(clip_by_rect(mp, 0, 0, 10, 10))
     assert kept.type == "Point"
+
+
+def test_clip_properties_hypothesis():
+    """Random convex-ish polygons and windows: clipping never grows
+    area, output bounds stay inside the window, and clipping is
+    idempotent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyogrio_spark.geometry.measure import clip_by_rect
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        cx=st.floats(-50, 50), cy=st.floats(-50, 50),
+        r=st.floats(1, 30), n=st.integers(3, 12),
+        wx=st.floats(-60, 40), wy=st.floats(-60, 40),
+        ww=st.floats(5, 60), wh=st.floats(5, 60),
+    )
+    def check(cx, cy, r, n, wx, wy, ww, wh):
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])[::-1]  # CCW -> reversed = CW? orientation-agnostic kernels
+        g = W.parse_wkb(W.encode_polygon([ring]))
+        a0 = M.area(g)
+        out = clip_by_rect(g, wx, wy, wx + ww, wy + wh)
+        if out is None:
+            return
+        cg = W.parse_wkb(out)
+        a1 = M.area(cg)
+        assert a1 <= a0 + 1e-9
+        x0, y0, x1, y1 = W.bounds(out)
+        assert x0 >= wx - 1e-9 and y0 >= wy - 1e-9 and x1 <= wx + ww + 1e-9 and y1 <= wy + wh + 1e-9
+        # idempotent
+        again = clip_by_rect(cg, wx, wy, wx + ww, wy + wh)
+        assert again is not None and M.area(W.parse_wkb(again)) == pytest.approx(a1, abs=1e-9)
+
+    check()
+
+
+def test_crs_reproject_end_to_end(spark, tmp_path):
+    """Story test: read a 4326 dataset, reproject geometries to 3857,
+    write with crs=3857, and read_info reports the new CRS."""
+    import os
+
+    from pyogrio_spark.compat import read_dataframe, read_info, write_dataframe
+    from pyogrio_spark.functions.geo import reproject_column
+    from pyogrio_spark.io.dispatch import open_table
+
+    src = str(tmp_path / "src.gpkg")
+    pdf = pd.DataFrame(
+        {
+            "name": ["a", "b"],
+            "geometry": [W.encode_point(10.0, 50.0), W.encode_point(-45.0, -20.0)],
+        }
+    )
+    write_dataframe(pdf, src)  # EPSG:4326 default
+    assert read_info(src)["crs"] == "EPSG:4326"
+
+    df = open_table(spark, src)
+    merc = df.withColumn("geometry_wkb", reproject_column("EPSG:3857")).toPandas()
+    out = str(tmp_path / "merc.fgb")
+    write_dataframe(
+        merc.rename(columns={"geometry_wkb": "geometry"}), out, crs="EPSG:3857"
+    )
+    info = read_info(out)
+    assert info["crs"] == "EPSG:3857"
+    back = read_dataframe(out)
+    g = W.parse_wkb(bytes(back.geometry.iloc[0]))
+    x, y = M.lonlat_to_mercator(np.array([10.0]), np.array([50.0]))
+    assert g.coords[0] == pytest.approx(float(x[0])) and g.coords[1] == pytest.approx(float(y[0]))
+    assert back.attrs["crs"] == "EPSG:3857"
