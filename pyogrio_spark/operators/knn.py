@@ -389,3 +389,64 @@ def _knn_rounds(
     for extra in round_results[1:]:
         results = results.unionByName(extra)
     return results
+
+
+def within_distance_join(
+    probes: DataFrame,
+    docs: DataFrame,
+    radius: float,
+    res: int = DEFAULT_RES,
+    probe_key: str = "probe_id",
+    doc_key: str = "doc_id",
+    probe_lon: str = "lon",
+    probe_lat: str = "lat",
+    doc_lon: str = "xmin",
+    doc_lat: str = "ymin",
+) -> DataFrame:
+    """Bounded-distance spatial join (geopandas ``sjoin`` with the
+    dwithin predicate): every (probe, doc) pair with planar distance
+    strictly under ``radius`` degrees, plus the distance.
+
+    One-shot cell-window plan (no expansion loop — the radius is known
+    up front): each probe explodes to the fixed Chebyshev window of
+    cells that can contain a point within ``radius``
+    (floor(r/cell)+1 per axis — a strict superset), the window
+    broadcast-joins docs on cell_id, and a codegen distance predicate
+    cuts exact pairs. O(|probes| * window + matches); the docs side
+    never shuffles, the same property as the kNN join. Longitude wraps
+    modularly, latitude clamps."""
+    n = 1 << res
+    cell_w = SPAN_LON / n
+    cell_h = SPAN_LAT / n
+    base = 1 << _RES_SHIFT
+    kx = int(radius // cell_w) + 1
+    ky = int(radius // cell_h) + 1
+
+    win = (
+        probes.select(probe_key, F.col(probe_lon).alias("_plon"), F.col(probe_lat).alias("_plat"))
+        .withColumn("_px", F.least(
+            F.greatest(F.floor((F.col("_plon") - F.lit(LON0)) / F.lit(SPAN_LON) * n).cast("long"), F.lit(0)),
+            F.lit(n - 1),
+        ))
+        .withColumn("_py", F.least(
+            F.greatest(F.floor((F.col("_plat") - F.lit(LAT0)) / F.lit(SPAN_LAT) * n).cast("long"), F.lit(0)),
+            F.lit(n - 1),
+        ))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-kx), F.lit(kx))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-ky), F.lit(ky))))
+        .withColumn("_wy", F.col("_py") + F.col("_dy"))
+        .filter((F.col("_wy") >= 0) & (F.col("_wy") < n))  # lat clamps
+        .withColumn("_wx", F.pmod(F.col("_px") + F.col("_dx"), F.lit(n)))  # lon wraps
+        .withColumn("cell_id", F.lit(res) * F.lit(base) + F.col("_wx") * n + F.col("_wy"))
+        .select(probe_key, "_plon", "_plat", "cell_id")
+    )
+    d = docs.select(doc_key, F.col(doc_lon).alias("_dlon"), F.col(doc_lat).alias("_dlat"), "cell_id")
+    dxe = F.col("_dlon") - F.col("_plon")
+    dye = F.col("_dlat") - F.col("_plat")
+    dist = F.sqrt(dxe * dxe + dye * dye)
+    return (
+        d.join(F.broadcast(win), on="cell_id")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") < F.lit(float(radius)))
+        .select(probe_key, doc_key, "dist")
+    )

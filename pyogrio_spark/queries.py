@@ -1234,6 +1234,23 @@ def q_geo_measures(spark, sf):
     )
 
 
+def q_geo_within_distance(spark, sf):
+    """Bounded-distance join (geopandas sjoin dwithin): all (probe, doc)
+    pairs under 2.000003 planar degrees (radius offset off the 1e-5
+    coordinate grid so no pair sits exactly on the boundary). One-shot
+    cell-window plan; oracle is the naive cross-join distance filter."""
+    from pyogrio_spark.operators.knn import within_distance_join
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = docs.selectExpr(
+        "doc_id", f"{LON_EXPR} AS xmin", f"{LAT_EXPR} AS ymin"
+    ).withColumn("cell_id", F.expr(cell_expr_sql("xmin", "ymin", GEO_RES)))
+    probes = d.filter("doc_id < 40").selectExpr(
+        "doc_id AS probe_id", "xmin AS lon", "ymin AS lat"
+    )
+    return within_distance_join(probes, d, radius=2.000003, res=GEO_RES)
+
+
 def q_geo_clip(spark, sf):
     """clip_by_rect of the 200 zone rectangles against a fixed window:
     the engine runs the Sutherland-Hodgman kernel; rect-by-rect clip
@@ -1792,6 +1809,7 @@ QUERIES = {
     "geo_measures": q_geo_measures,
     "geo_reproject": q_geo_reproject,
     "geo_clip": q_geo_clip,
+    "geo_within_distance": q_geo_within_distance,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1863,6 +1881,13 @@ ORACLES = {
         round((zx0 + zx1) / 2, 7) AS cx_r,
         round((zy0 + zy1) / 2, 7) AS cy_r
         FROM {ZONES_SQL} z""",
+    "geo_within_distance": f"""
+        WITH pts AS (SELECT * FROM {DOCS_GEO_SQL} d),
+        probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM pts WHERE doc_id < 40)
+        SELECT p.probe_id, d.doc_id,
+               sqrt((d.lon - p.plon) * (d.lon - p.plon) + (d.lat - p.plat) * (d.lat - p.plat)) AS dist
+        FROM probes p CROSS JOIN pts d
+        WHERE sqrt((d.lon - p.plon) * (d.lon - p.plon) + (d.lat - p.plat) * (d.lat - p.plat)) < 2.000003""",
     "geo_clip": f"""SELECT zone_id,
         round((least(zx1, 70.0) - greatest(zx0, -50.0)) * (least(zy1, 60.0) - greatest(zy0, -40.0)), 7) AS area_r,
         round((greatest(zx0, -50.0) + least(zx1, 70.0)) / 2, 7) AS cx_r,

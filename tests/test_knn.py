@@ -206,3 +206,47 @@ def test_knn_haversine_polar_probe_exact(spark, docs_pd):
     d = _haversine_np(12.0, 89.5, docs_pd.xmin.to_numpy(), docs_pd.ymin.to_numpy())
     order = np.lexsort((docs_pd.doc_id.to_numpy(), d))[:3]
     assert set(got.doc_id) == set(docs_pd.doc_id.to_numpy()[order])
+
+
+def test_within_distance_join_wrap_and_plan(spark):
+    """Bounded-distance join: exact pairs vs numpy brute force incl. an
+    antimeridian pair (lon wraps modularly in the cell window even
+    though planar distance does not); broadcast window, no Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.index.grid import cell_expr_sql
+    from pyogrio_spark.operators.knn import within_distance_join
+
+    rng = np.random.default_rng(11)
+    lon = np.concatenate([rng.uniform(-30, 30, 300), [179.95, -179.95]])
+    lat = np.concatenate([rng.uniform(-30, 30, 300), [0.0, 0.05]])
+    pdf = pd.DataFrame({"doc_id": np.arange(len(lon), dtype=np.int64), "xmin": lon, "ymin": lat})
+    res = 6
+    docs = spark.createDataFrame(pdf).withColumn(
+        "cell_id", F.expr(cell_expr_sql("xmin", "ymin", res))
+    )
+    probes = docs.filter("doc_id < 20 or doc_id >= 300").selectExpr(
+        "doc_id AS probe_id", "xmin AS lon", "ymin AS lat"
+    )
+    r = 3.0000017
+    out = within_distance_join(probes, docs, radius=r, res=res)
+    got = {(x["probe_id"], x["doc_id"]) for x in out.collect()}
+
+    pl = pdf[(pdf.doc_id < 20) | (pdf.doc_id >= 300)]
+    want = set()
+    for p in pl.itertuples():
+        d2 = (pdf.xmin - p.xmin) ** 2 + (pdf.ymin - p.ymin) ** 2
+        for did in pdf.doc_id[np.sqrt(d2) < r]:
+            want.add((p.doc_id, int(did)))
+    assert got == want
+    # the antimeridian pair is NOT within planar distance (359.9 degrees
+    # apart in unwrapped lon) — the planar metric is unwrapped by
+    # contract; the wrap only widens the candidate window safely
+    assert (300, 301) not in got and (300, 300) in got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

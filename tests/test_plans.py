@@ -243,3 +243,16 @@ def test_adaptive_frontier_is_semijoin_not_isin(spark):
     # determinism: identical map on recompute
     tiles2 = adaptive_tiles(df, base_res=4, max_res=8, target_rows=100)
     pd.testing.assert_frame_equal(tiles, tiles2)
+
+
+def test_reproject_is_pure_codegen(spark, docs_parquet):
+    """geo_reproject's claim: Web-Mercator coordinate reprojection is
+    whole-stage-codegen JVM math — no Python stage anywhere."""
+    from pyogrio_spark.functions.geo import mercator_x_expr, mercator_y_expr
+
+    df = read_table(spark, docs_parquet).selectExpr("doc_id", "xmin AS lon", "ymin AS lat")
+    out = df.select("doc_id", mercator_x_expr("lon"), mercator_y_expr("lat"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lstrip().startswith("*(")  # whole-stage-codegen marker
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan
