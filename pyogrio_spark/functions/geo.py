@@ -114,6 +114,44 @@ def simplify_column(tol: float, geom_col: str = "geometry_wkb") -> Column:
     return _simplify_udf(float(tol))(F.col(geom_col))
 
 
+@lru_cache(maxsize=1)
+def _parts_udf():
+    @pandas_udf("array<binary>")
+    def parts_udf(wkb: pd.Series) -> pd.Series:
+        from pyogrio_spark.geometry import wkb as _W
+
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            g = _W.parse_wkb(bytes(b))
+            if g.type in ("MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"):
+                out.append([_W.encode_geom(p) for p in g.coords])
+            else:
+                out.append([_W.encode_geom(g)])
+        return pd.Series(out)
+
+    return parts_udf
+
+
+def explode_geometry(df: DataFrame, geom_col: str = "geometry_wkb") -> DataFrame:
+    """GeoSeries.explode: one output row per single-part component of a
+    multi geometry (singles pass through; null geometries keep one row
+    with part_idx null). Adds ``part_idx`` (0-based position within the
+    parent, geopandas' secondary index)."""
+    parts = _parts_udf()(F.col(geom_col))
+    other = [c for c in df.columns if c != geom_col]
+    return (
+        df.withColumn("_parts", parts)
+        .select(
+            *other,
+            F.posexplode_outer("_parts").alias("part_idx", geom_col),
+        )
+        .select(*other, "part_idx", geom_col)
+    )
+
+
 @lru_cache(maxsize=8)
 def _clip_udf(rect: tuple):
     @pandas_udf("binary")

@@ -277,3 +277,32 @@ def test_crs_reproject_end_to_end(spark, tmp_path):
     x, y = M.lonlat_to_mercator(np.array([10.0]), np.array([50.0]))
     assert g.coords[0] == pytest.approx(float(x[0])) and g.coords[1] == pytest.approx(float(y[0]))
     assert back.attrs["crs"] == "EPSG:3857"
+
+
+def test_explode_geometry(spark):
+    """GeoSeries.explode: multis fan out to their parts with part_idx,
+    singles pass through, nulls keep one row."""
+    from pyogrio_spark.functions.geo import explode_geometry
+
+    mp = W.encode_multipoint(np.array([(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]))
+    poly = W.encode_polygon([_rect(0, 0, 1, 1)])
+    mpoly = W.encode_multipolygon([[_rect(0, 0, 1, 1)], [_rect(5, 5, 7, 8)]])
+    pdf = pd.DataFrame(
+        {
+            "gid": np.arange(4, dtype=np.int64),
+            "geometry_wkb": [mp, poly, mpoly, None],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="gid bigint, geometry_wkb binary")
+    out = explode_geometry(df).toPandas()
+    assert len(out) == 3 + 1 + 2 + 1
+    g0 = out[out.gid == 0].sort_values("part_idx")
+    assert [W.parse_wkb(bytes(b)).type for b in g0.geometry_wkb] == ["Point"] * 3
+    assert g0.part_idx.tolist() == [0, 1, 2]
+    g1 = out[out.gid == 1]
+    assert len(g1) == 1 and bytes(g1.geometry_wkb.iloc[0]) == poly
+    g2 = out[out.gid == 2].sort_values("part_idx")
+    areas = sorted(M.area(W.parse_wkb(bytes(b))) for b in g2.geometry_wkb)
+    assert areas == pytest.approx([1.0, 6.0])
+    g3 = out[out.gid == 3]
+    assert len(g3) == 1 and g3.geometry_wkb.iloc[0] is None and pd.isna(g3.part_idx.iloc[0])
