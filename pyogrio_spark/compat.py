@@ -135,10 +135,29 @@ def read(path_or_buffer, /, return_fids=False, read_geometry=True, **kwargs):
     from pyogrio_spark.io.dispatch import dataset_info
 
     path = str(path_or_buffer)
-    info = dataset_info(path, layer=kwargs.get("layer"))
+    try:
+        info = dataset_info(path, layer=kwargs.get("layer"))
+    except ValueError:
+        # sources without header metadata (OSM layers, committed
+        # tables): meta derives from the materialized result below
+        info = None
     pdf = read_dataframe(
         path_or_buffer, read_geometry=read_geometry, **kwargs
     )
+    if info is None:
+        attr = [c for c in pdf.columns if c not in ("fid", "geometry")]
+        from pyogrio_spark.geometry import wkb as _W
+
+        seen = {
+            _W.geom_type_name(bytes(b)) for b in pdf.get("geometry", []) if b is not None
+        }
+        info = {
+            "crs": "EPSG:4326",
+            "fields": attr,
+            "dtypes": [str(pdf[c].dtype) for c in attr],
+            "encoding": "UTF-8",
+            "geometry_type": next(iter(seen)) if len(seen) == 1 else "Unknown",
+        }
     fids = None
     if "fid" in pdf.columns:
         fid_vals = pdf["fid"].to_numpy(dtype=np.int64)

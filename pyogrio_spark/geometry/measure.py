@@ -150,7 +150,12 @@ def convex_hull(g: "W.Geom | None") -> bytes | None:
     def half(points):
         out: list[np.ndarray] = []
         for p in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            # 2-D cross product spelled out (np.cross on 2-vectors is
+            # deprecated from numpy 2.0)
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
                 out.pop()
             out.append(p)
         return out

@@ -231,3 +231,14 @@ def test_raw_write_read_roundtrip(tmp_path):
         assert meta["crs"] == "EPSG:3857", ext
         assert [bytes(g) for g in geometry] == geoms, ext
         assert list(data[list(meta["fields"]).index("v")]) == [10, 20, 30, 40], ext
+
+
+def test_raw_read_osm_layer():
+    """raw read() works on sources without header metadata (OSM):
+    meta derives from the result."""
+    from pyogrio_spark.compat import read
+
+    meta, fids, geometry, fields = read(OSM, layer="points")
+    assert geometry.shape == (8,)
+    assert meta["geometry_type"] == "Point"
+    assert "highway" in list(meta["fields"])
