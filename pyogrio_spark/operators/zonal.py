@@ -156,3 +156,87 @@ def rasterize_zones(
     agg = F.min(zone_key) if tie == "min" else F.max(zone_key)
     return members.groupBy("tile_x", "tile_y").agg(agg.alias(zone_key))
 
+
+
+def areal_interpolate(
+    zones: DataFrame,
+    value_col: str,
+    res: int,
+    zone_key: str = "zone_id",
+    geom_col: str = "geometry_wkb",
+) -> DataFrame:
+    """Area-weighted areal interpolation (the tobler/dasymetric
+    building block): redistribute each zone's ``value_col`` onto the
+    grid tiles at ``res`` proportionally to the INTERSECTION AREA of
+    zone and tile -> (tile_id, value). Σ_tile value == Σ_zone value for
+    zones fully inside the grid (weights per zone sum to 1).
+
+    Plan shape: candidate (zone, tile) pairs enumerate in PURE CODEGEN
+    (explode over the envelope's cell index ranges — no driver lists,
+    scales to fact-sized zone tables), then one Arrow-batched kernel
+    clips each zone to its tile rectangle (Sutherland-Hodgman,
+    geometry/measure.py) and computes the area weight; a final
+    groupBy(tile) sums partial values — one shuffle."""
+    from pyogrio_spark.functions.geo import bounds_columns
+    from pyogrio_spark.geometry import measure as M
+    from pyogrio_spark.geometry import wkb as W
+
+    n = 1 << res
+    w_deg = SPAN_LON / n
+    h_deg = SPAN_LAT / n
+    base = 1 << _RES_SHIFT
+
+    b = bounds_columns(zones.select(zone_key, geom_col, value_col), geom_col)
+
+    def cell_of(col, origin, span):
+        return F.least(
+            F.greatest(F.floor((F.col(col) - F.lit(origin)) / F.lit(span) * n).cast("long"), F.lit(0)),
+            F.lit(n - 1),
+        )
+
+    cand = (
+        b.withColumn("_x0", cell_of("xmin", LON0, SPAN_LON))
+        .withColumn("_x1", cell_of("xmax", LON0, SPAN_LON))
+        .withColumn("_y0", cell_of("ymin", LAT0, SPAN_LAT))
+        .withColumn("_y1", cell_of("ymax", LAT0, SPAN_LAT))
+        .withColumn("cx_i", F.explode(F.sequence(F.col("_x0"), F.col("_x1"))))
+        .withColumn("cy_i", F.explode(F.sequence(F.col("_y0"), F.col("_y1"))))
+        .withColumn("tile_id", F.lit(res) * F.lit(base) + F.col("cx_i") * n + F.col("cy_i"))
+        .select(zone_key, geom_col, value_col, "tile_id", "cx_i", "cy_i")
+    )
+
+    out_schema = "`tile_id` bigint, `part_val` double"
+
+    def weigh(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        area_cache: dict[bytes, float] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            geoms_raw = list(pdf[geom_col])
+            values = pdf[value_col].to_numpy()
+            cxs = pdf["cx_i"].to_numpy()
+            cys = pdf["cy_i"].to_numpy()
+            tids = pdf["tile_id"].to_numpy()
+            tiles, vals = [], []
+            for i in range(len(pdf)):
+                wkb = bytes(geoms_raw[i])
+                g = W.parse_wkb(wkb)
+                za = area_cache.get(wkb)
+                if za is None:
+                    za = area_cache[wkb] = M.area(g)
+                if za <= 0.0:
+                    continue
+                tx0 = LON0 + float(cxs[i]) * w_deg
+                ty0 = LAT0 + float(cys[i]) * h_deg
+                clipped = M.clip_by_rect(g, tx0, ty0, tx0 + w_deg, ty0 + h_deg)
+                if clipped is None:
+                    continue
+                ca = M.area(W.parse_wkb(clipped))
+                if ca <= 0.0:
+                    continue
+                tiles.append(int(tids[i]))
+                vals.append(float(values[i]) * ca / za)
+            yield pd.DataFrame({"tile_id": tiles, "part_val": vals})
+
+    parts = cand.mapInPandas(weigh, schema=out_schema)
+    return parts.groupBy("tile_id").agg(F.sum("part_val").alias("value"))

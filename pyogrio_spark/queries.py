@@ -1234,6 +1234,22 @@ def q_geo_measures(spark, sf):
     )
 
 
+def q_geo_areal_interpolate(spark, sf):
+    """Area-weighted areal interpolation of the 200 zone rectangles
+    onto res-5 grid tiles (value = zone_id + 1 redistributed by
+    intersection area). Engine: codegen candidate enumeration + the
+    rect-clip kernel; oracle: closed-form rect-overlap areas per
+    (zone, tile). Rounded to 5 decimals (per-tile sums of ≤4 terms,
+    engine-order vs SQL-order summation differs in the last bits)."""
+    from pyogrio_spark.operators.zonal import areal_interpolate
+
+    zones = spark.createDataFrame(
+        _zones_pd(), schema="zone_id bigint, geometry_wkb binary"
+    ).withColumn("val", (F.col("zone_id") + 1).cast("double"))
+    out = areal_interpolate(zones, "val", res=5)
+    return out.select("tile_id", F.round("value", 5).alias("value_r"))
+
+
 def q_geo_within_distance(spark, sf):
     """Bounded-distance join (geopandas sjoin dwithin): all (probe, doc)
     pairs under 2.000003 planar degrees (radius offset off the 1e-5
@@ -1810,6 +1826,7 @@ QUERIES = {
     "geo_reproject": q_geo_reproject,
     "geo_clip": q_geo_clip,
     "geo_within_distance": q_geo_within_distance,
+    "geo_areal_interpolate": q_geo_areal_interpolate,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1881,6 +1898,26 @@ ORACLES = {
         round((zx0 + zx1) / 2, 7) AS cx_r,
         round((zy0 + zy1) / 2, 7) AS cy_r
         FROM {ZONES_SQL} z""",
+    "geo_areal_interpolate": f"""
+        WITH z AS (SELECT zone_id, zx0, zx1, zy0, zy1, (zone_id + 1) * 1.0 AS val FROM {ZONES_SQL} zz),
+        series AS (SELECT unnest(generate_series(0, 31)) AS i),
+        pairs AS (
+          SELECT z.*, sx.i AS cxi, sy.i AS cyi
+          FROM z, series sx, series sy
+          WHERE sx.i BETWEEN least(greatest(floor((zx0 + 180) / 11.25), 0), 31)
+                         AND least(greatest(floor((zx1 + 180) / 11.25), 0), 31)
+            AND sy.i BETWEEN least(greatest(floor((zy0 + 90) / 5.625), 0), 31)
+                         AND least(greatest(floor((zy1 + 90) / 5.625), 0), 31)
+        ),
+        w AS (
+          SELECT 5 * 288230376151711744 + cxi * 32 + cyi AS tile_id,
+                 greatest(0, least(zx1, -180 + (cxi + 1) * 11.25) - greatest(zx0, -180 + cxi * 11.25))
+               * greatest(0, least(zy1, -90 + (cyi + 1) * 5.625) - greatest(zy0, -90 + cyi * 5.625)) AS ov,
+                 (zx1 - zx0) * (zy1 - zy0) AS za, val
+          FROM pairs
+        )
+        SELECT tile_id, round(sum(val * ov / za), 5) AS value_r
+        FROM w WHERE ov > 0 GROUP BY tile_id""",
     "geo_within_distance": f"""
         WITH pts AS (SELECT * FROM {DOCS_GEO_SQL} d),
         probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM pts WHERE doc_id < 40)
