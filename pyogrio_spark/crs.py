@@ -78,15 +78,28 @@ _NAME_TABLE: list[tuple[str, int]] = [
 ]
 
 _UTM_RE = re.compile(r"WGS[_ ]?1984[_ ]?UTM[_ ]?Zone[_ ]?(\d{1,2})([NS])", re.IGNORECASE)
+_ETRS_UTM_RE = re.compile(r"ETRS[_ ]?(?:19)?89[_ ]?(?:/ )?UTM[_ ]?[Zz]one[_ ]?(\d{1,2})N", re.IGNORECASE)
+
+_ETRS89_GEOGCS = (
+    'GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",'
+    'SPHEROID["GRS_1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]'
+)
 
 
 def _utm_wkt(code: int) -> str:
-    north = code < 32700
-    zone = code - (32600 if north else 32700)
+    if 25828 <= code <= 25838:  # ETRS89 / UTM zone N (European grids)
+        zone = code - 25800
+        geogcs, name = _ETRS89_GEOGCS, f"ETRS_1989_UTM_Zone_{zone}N"
+        north = True
+    else:
+        north = code < 32700
+        zone = code - (32600 if north else 32700)
+        geogcs, name = _WGS84_GEOGCS, f'WGS_1984_UTM_Zone_{zone}{"N" if north else "S"}'
     cm = zone * 6 - 183
     return (
-        f'PROJCS["WGS_1984_UTM_Zone_{zone}{"N" if north else "S"}",'
-        + _WGS84_GEOGCS
+        f'PROJCS["{name}",'
+        + geogcs
         + '],PROJECTION["Transverse_Mercator"],'
         'PARAMETER["False_Easting",500000],'
         f'PARAMETER["False_Northing",{0 if north else 10000000}],'
@@ -116,6 +129,11 @@ def epsg_from_wkt(wkt: str) -> int | None:
         zone = int(m.group(1))
         if 1 <= zone <= 60:
             return (32600 if m.group(2).upper() == "N" else 32700) + zone
+    m = _ETRS_UTM_RE.search(s)
+    if m:
+        zone = int(m.group(1))
+        if 28 <= zone <= 38:
+            return 25800 + zone
     # name match on the ROOT name (first quoted string)
     nm = re.search(r'^\s*\w+\s*\[\s*"([^"]*)"', s)
     if nm:
@@ -148,7 +166,7 @@ def crs_to_wkt(crs) -> str:
         raise ValueError(f"cannot interpret crs {crs!r} (want int EPSG, 'EPSG:n', or WKT)")
     if code in WKT_BY_EPSG:
         return WKT_BY_EPSG[code]
-    if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+    if 32601 <= code <= 32660 or 32701 <= code <= 32760 or 25828 <= code <= 25838:
         return _utm_wkt(code)
     # identification-only skeleton: round-trips the code through every
     # format reader; full parameters need a PROJ database (module doc)

@@ -342,3 +342,14 @@ def test_mask_filter_prunes_storage_ranges(spark, tmp_path):
     ffull = read_flatgeobuf_distributed(spark, fp, chunk_features=40)
     assert fpruned.rdd.getNumPartitions() < ffull.rdd.getNumPartitions()
     assert {r.v for r in fpruned.collect()} == want
+
+
+def test_etrs89_utm_identification_roundtrip():
+    """ETRS89 / UTM zones (the common European projected CRS family)
+    identify by name and serialize full WKT."""
+    assert epsg_from_wkt('PROJCS["ETRS_1989_UTM_Zone_32N"]') == 25832
+    assert epsg_from_wkt('PROJCS["ETRS89 / UTM zone 33N"]') == 25833
+    for code in (25828, 25832, 25838):
+        wkt = crs_to_wkt(code)
+        assert "GRS_1980" in wkt and "Transverse_Mercator" in wkt
+        assert epsg_from_wkt(wkt) == code
