@@ -115,6 +115,34 @@ def simplify_column(tol: float, geom_col: str = "geometry_wkb") -> Column:
 
 
 @lru_cache(maxsize=1)
+def _measure_geodesic_udf():
+    @pandas_udf("area_m2 double, length_m double")
+    def mg_udf(wkb: pd.Series) -> pd.DataFrame:
+        from pyogrio_spark.geometry import measure as M
+
+        rows = []
+        for b in wkb:
+            g = None if b is None else W.parse_wkb(bytes(b))
+            rows.append((M.area_geodesic(g), M.length_geodesic(g)))
+        return pd.DataFrame(rows, columns=["area_m2", "length_m"])
+
+    return mg_udf
+
+
+def measure_geodesic_columns(df: DataFrame, geom_col: str = "geometry_wkb") -> DataFrame:
+    """Attach spherical ``area_m2`` / great-circle ``length_m`` for
+    lon/lat geometries — the metric answers geopandas users otherwise
+    reproject for (spherical-excess area, haversine edges)."""
+    m = _measure_geodesic_udf()(F.col(geom_col))
+    return (
+        df.withColumn("_mg", m)
+        .withColumn("area_m2", F.col("_mg.area_m2"))
+        .withColumn("length_m", F.col("_mg.length_m"))
+        .drop("_mg")
+    )
+
+
+@lru_cache(maxsize=1)
 def _parts_udf():
     @pandas_udf("array<binary>")
     def parts_udf(wkb: pd.Series) -> pd.Series:

@@ -250,6 +250,66 @@ def simplify(g: "W.Geom | None", tol: float) -> bytes | None:
     raise ValueError(f"cannot simplify geometry type {t}")
 
 
+# ----------------------------------------------------------- geodesic
+
+EARTH_R = 6371008.8  # mean Earth radius, meters (IUGG)
+
+
+def _ring_area_sphere(r: np.ndarray) -> float:
+    """Signed spherical ring area, m² — the standard spherical-excess
+    line integral over edges (the turf.js / Chamberlain-Duquette
+    formula): A = R²/2 * Σ (λ2-λ1)(sin φ1 + sin φ2). Exact for
+    graticule-aligned edges (meridian edges contribute 0; a parallel
+    edge contributes its Δλ·sinφ band term)."""
+    lam = np.radians(np.asarray(r[:, 0], dtype=np.float64))
+    phi = np.radians(np.asarray(r[:, 1], dtype=np.float64))
+    s = 0.0
+    for i in range(len(r) - 1):
+        s += (lam[i + 1] - lam[i]) * (np.sin(phi[i]) + np.sin(phi[i + 1]))
+    return EARTH_R * EARTH_R * s / 2.0
+
+
+def area_geodesic(g: "W.Geom | None") -> float:
+    """Spherical area in m² for lon/lat geometries (|outer| - |holes|);
+    0 for points/lines."""
+    if g is None:
+        return 0.0
+    if g.type == "GeometryCollection":
+        return float(sum(area_geodesic(p) for p in g.coords))
+    if g.type == "MultiPolygon":
+        return float(sum(area_geodesic(p) for p in g.coords))
+    if g.type != "Polygon":
+        return 0.0
+    rings = list(g.coords)
+    total = abs(_ring_area_sphere(np.asarray(rings[0], dtype=np.float64)))
+    for h in rings[1:]:
+        total -= abs(_ring_area_sphere(np.asarray(h, dtype=np.float64)))
+    return float(total)
+
+
+def _haversine_path(c: np.ndarray) -> float:
+    lam = np.radians(np.asarray(c[:, 0], dtype=np.float64))
+    phi = np.radians(np.asarray(c[:, 1], dtype=np.float64))
+    dlam = np.diff(lam)
+    dphi = np.diff(phi)
+    a = np.sin(dphi / 2) ** 2 + np.cos(phi[:-1]) * np.cos(phi[1:]) * np.sin(dlam / 2) ** 2
+    return float((2 * EARTH_R * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))).sum())
+
+
+def length_geodesic(g: "W.Geom | None") -> float:
+    """Great-circle length in meters (line length / polygon perimeter
+    incl. holes); 0 for points."""
+    if g is None:
+        return 0.0
+    if g.type == "LineString":
+        return _haversine_path(np.asarray(g.coords, dtype=np.float64))
+    if g.type in ("MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return float(sum(length_geodesic(p) for p in g.coords))
+    if g.type == "Polygon":
+        return float(sum(_haversine_path(np.asarray(r, dtype=np.float64)) for r in g.coords))
+    return 0.0
+
+
 # ------------------------------------------------------------------ clip
 
 

@@ -1234,6 +1234,25 @@ def q_geo_measures(spark, sf):
     )
 
 
+def q_geo_measures_geodesic(spark, sf):
+    """Spherical area + great-circle perimeter of the zone rectangles
+    (geodesic measures for lon/lat data). The spherical-excess edge sum
+    and haversine edge lengths have closed forms for graticule-aligned
+    rects — the oracle evaluates those; rounded (km²/km, 3 decimals)
+    for trig last-bit + summation-order differences."""
+    from pyogrio_spark.functions.geo import measure_geodesic_columns
+
+    zones = spark.createDataFrame(
+        _zones_pd(), schema="zone_id bigint, geometry_wkb binary"
+    )
+    m = measure_geodesic_columns(zones)
+    return m.select(
+        "zone_id",
+        F.round(F.col("area_m2") / 1e6, 3).alias("area_km2_r"),
+        F.round(F.col("length_m") / 1e3, 3).alias("perim_km_r"),
+    )
+
+
 def q_geo_areal_interpolate(spark, sf):
     """Area-weighted areal interpolation of the 200 zone rectangles
     onto res-5 grid tiles (value = zone_id + 1 redistributed by
@@ -1827,6 +1846,7 @@ QUERIES = {
     "geo_clip": q_geo_clip,
     "geo_within_distance": q_geo_within_distance,
     "geo_areal_interpolate": q_geo_areal_interpolate,
+    "geo_measures_geodesic": q_geo_measures_geodesic,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1897,6 +1917,13 @@ ORACLES = {
         round(2 * ((zx1 - zx0) + (zy1 - zy0)), 7) AS len_r,
         round((zx0 + zx1) / 2, 7) AS cx_r,
         round((zy0 + zy1) / 2, 7) AS cy_r
+        FROM {ZONES_SQL} z""",
+    "geo_measures_geodesic": f"""SELECT zone_id,
+        round(6371008.8 * 6371008.8 * radians(zx1 - zx0)
+              * (sin(radians(zy1)) - sin(radians(zy0))) / 1e6, 3) AS area_km2_r,
+        round((2 * 6371008.8 * radians(zy1 - zy0)
+               + 2 * 6371008.8 * asin(cos(radians(zy0)) * sin(radians(zx1 - zx0) / 2))
+               + 2 * 6371008.8 * asin(cos(radians(zy1)) * sin(radians(zx1 - zx0) / 2))) / 1e3, 3) AS perim_km_r
         FROM {ZONES_SQL} z""",
     "geo_areal_interpolate": f"""
         WITH z AS (SELECT zone_id, zx0, zx1, zy0, zy1, (zone_id + 1) * 1.0 AS val FROM {ZONES_SQL} zz),

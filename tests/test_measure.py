@@ -306,3 +306,29 @@ def test_explode_geometry(spark):
     assert areas == pytest.approx([1.0, 6.0])
     g3 = out[out.gid == 3]
     assert len(g3) == 1 and g3.geometry_wkb.iloc[0] is None and pd.isna(g3.part_idx.iloc[0])
+
+
+def test_geodesic_measures():
+    from pyogrio_spark.geometry.measure import EARTH_R, area_geodesic, length_geodesic
+
+    # 1-degree square at the equator: ~(111.19 km)^2, perimeter ~4*111.19 km
+    sq = W.parse_wkb(W.encode_polygon([_rect(0, 0, 1, 1)]))
+    a = area_geodesic(sq)
+    km = np.pi / 180 * EARTH_R / 1e3  # one degree of arc in km
+    assert a / 1e6 == pytest.approx(km * km, rel=2e-4)
+    p = length_geodesic(sq)
+    assert p / 1e3 == pytest.approx(4 * km, rel=2e-4)
+    # same square at 60N: parallels shrink by ~cos(60) = 0.5, meridians don't
+    hi = W.parse_wkb(W.encode_polygon([_rect(0, 60, 1, 61)]))
+    assert area_geodesic(hi) < 0.55 * a
+    # hemispheres: half the sphere (exactly, by the closed form)
+    hemi = W.parse_wkb(W.encode_polygon([np.array(
+        [(-180.0, -90.0), (180.0, -90.0), (180.0, 90.0), (-180.0, 90.0), (-180.0, -90.0)]
+    )]))
+    assert area_geodesic(hemi) == pytest.approx(4 * np.pi * EARTH_R**2, rel=1e-12)
+    # hole subtracts
+    holed = W.parse_wkb(W.encode_polygon([_rect(0, 0, 10, 10), _rect(2, 2, 3, 3)[::-1]]))
+    assert area_geodesic(holed) < area_geodesic(W.parse_wkb(W.encode_polygon([_rect(0, 0, 10, 10)])))
+    # lines: haversine length; meridian degree is exact arc
+    mer = W.parse_wkb(W.encode_linestring(np.array([(5.0, 0.0), (5.0, 1.0)])))
+    assert length_geodesic(mer) == pytest.approx(np.pi / 180 * EARTH_R, rel=1e-12)
