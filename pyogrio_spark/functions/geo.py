@@ -206,6 +206,25 @@ def clip_by_rect_column(
     return _clip_udf((float(x0), float(y0), float(x1), float(y1)))(F.col(geom_col))
 
 
+@lru_cache(maxsize=16)
+def _affine_udf(matrix: tuple):
+    @pandas_udf("binary")
+    def aff_udf(wkb: pd.Series) -> pd.Series:
+        from pyogrio_spark.geometry import measure as M
+
+        return pd.Series(
+            [None if b is None else M.affine_transform(W.parse_wkb(bytes(b)), matrix) for b in wkb]
+        )
+
+    return aff_udf
+
+
+def affine_transform_column(matrix, geom_col: str = "geometry_wkb") -> Column:
+    """shapely.affinity.affine_transform as a batch column —
+    [a, b, d, e, xoff, yoff]; translate/scale/rotate compose into it."""
+    return _affine_udf(tuple(float(v) for v in matrix))(F.col(geom_col))
+
+
 @lru_cache(maxsize=4)
 def _reproject_udf(direction: str):
     @pandas_udf("binary")

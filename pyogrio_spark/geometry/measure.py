@@ -473,6 +473,19 @@ def mercator_to_lonlat(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.nda
     return lon, lat
 
 
+def affine_transform(g: "W.Geom | None", matrix) -> bytes | None:
+    """shapely.affinity.affine_transform semantics: 2-D 6-parameter
+    affine [a, b, d, e, xoff, yoff] -> x' = a x + b y + xoff,
+    y' = d x + e y + yoff (translate/scale/rotate/shear all compose
+    into this form)."""
+    a, b, d, e, xoff, yoff = (float(v) for v in matrix)
+
+    def fn(x, y):
+        return a * x + b * y + xoff, d * x + e * y + yoff
+
+    return transform_geom(g, fn)
+
+
 def transform_geom(g: "W.Geom | None", fn) -> bytes | None:
     """Apply a vectorized (x, y) -> (x', y') transform to every vertex,
     re-encoding as WKB (Z passes through untouched)."""

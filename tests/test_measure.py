@@ -332,3 +332,31 @@ def test_geodesic_measures():
     # lines: haversine length; meridian degree is exact arc
     mer = W.parse_wkb(W.encode_linestring(np.array([(5.0, 0.0), (5.0, 1.0)])))
     assert length_geodesic(mer) == pytest.approx(np.pi / 180 * EARTH_R, rel=1e-12)
+
+
+def test_affine_transform(spark):
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.functions.geo import affine_transform_column
+    from pyogrio_spark.geometry.measure import affine_transform
+
+    g = W.parse_wkb(W.encode_polygon([_rect(0, 0, 2, 3)]))
+    # translate(5, -1)
+    t = W.parse_wkb(affine_transform(g, [1, 0, 0, 1, 5, -1]))
+    assert W.bounds(W.encode_geom(t)) == (5.0, -1.0, 7.0, 2.0)
+    # scale x2 about origin doubles lengths, quadruples area
+    s = W.parse_wkb(affine_transform(g, [2, 0, 0, 2, 0, 0]))
+    assert M.area(s) == pytest.approx(4 * M.area(g))
+    # rotate 90 deg CCW about origin: (x,y)->(-y,x)
+    r = W.parse_wkb(affine_transform(g, [0, -1, 1, 0, 0, 0]))
+    assert W.bounds(W.encode_geom(r)) == (-3.0, 0.0, 0.0, 2.0)
+    assert M.area(r) == pytest.approx(M.area(g))
+    # Z passes through; column wrapper agrees with the kernel
+    gz = W.encode_linestring(np.array([(0.0, 0.0, 9.0), (1.0, 1.0, 8.0)]))
+    tz = W.parse_wkb(affine_transform(W.parse_wkb(gz), [1, 0, 0, 1, 10, 10]))
+    assert tz.has_z and tz.coords[0][2] == 9.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"geometry_wkb": [W.encode_geom(g)]}), schema="geometry_wkb binary"
+    )
+    got = df.select(affine_transform_column([1, 0, 0, 1, 5, -1]).alias("t")).first()["t"]
+    assert bytes(got) == affine_transform(g, [1, 0, 0, 1, 5, -1])
