@@ -17,12 +17,14 @@ Two plans:
   then fill within partitions in parallel. A single hot key spreads
   over many range partitions instead of one reducer.
 
-Decision matrix: the carry collect is O(right keys spanning a
-partition boundary + partitions) rows — dimension-sized when the right
-side is a rates/dimension table (the usual as-of shape), but it scales
-with right-key cardinality. HIGH-cardinality keys are exactly the case
-where the per-key window plan already parallelizes (millions of small
-groups), so: many keys -> ``asof_join``; few/hot keys -> the
+Decision matrix: the carry summary is one row per (partition, key)
+PRESENT — range partitioning keeps keys contiguous so it is
+O(keys + partitions) rows. It stays a DataFrame end-to-end (computed
+with a per-key window over ``_pid`` and broadcast-joined back — no
+driver ``collect()``), so even a high-cardinality key set never
+materializes on the driver. HIGH-cardinality keys are also exactly the
+case where the per-key window plan already parallelizes (millions of
+small groups), so: many keys -> ``asof_join``; few/hot keys -> the
 distributed plan.
 
 Tie rule: a right row at exactly left_ts applies (>=), matching
@@ -98,12 +100,12 @@ def asof_join_distributed(
 
     # per-(partition, key) summary over ALL rows of the key (left rows
     # carry NULL right_vals in the union, so last(ignorenulls) still
-    # yields the partition's last right value): one collected row per
-    # (pid, key) group PRESENT in the data. Collecting presence (not
-    # just right-row groups) is what makes the carry correct for left
-    # rows in partitions beyond the key's last right row — a hot key
-    # whose events continue long after its last rate row still gets a
-    # carry row in every later partition it occupies.
+    # yields the partition's last right value): one row per (pid, key)
+    # group PRESENT in the data. Keeping presence rows (not just
+    # right-row groups) is what makes the carry correct for left rows in
+    # partitions beyond the key's last right row — a hot key whose
+    # events continue long after its last rate row still gets a carry
+    # row in every later partition it occupies.
     w_last = Window.partitionBy("_pid", *key_cols).orderBy("_ts", "_src").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -118,32 +120,34 @@ def asof_join_distributed(
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .collect()
     )
-    # running carry-in per key, emitted ONLY for partitions the key
-    # actually occupies: range partitioning keeps each key contiguous,
-    # so this is O(keys + partitions) rows (bounded by the collected
-    # group count even without contiguity), not keys x partitions.
-    # Per-VALUE coalesce across partitions mirrors the in-partition
-    # last(ignorenulls): a right row with one NULL value must not erase
-    # an earlier partition's non-null carry for that value.
-    carry_rows = []
-    by_key: dict = {}
-    for r in lasts:
-        by_key.setdefault(tuple(r[c] for c in key_cols), []).append(r)
-    for key, rows in by_key.items():
-        rows.sort(key=lambda r: r["_pid"])
-        acc = None
-        for r in rows:
-            if acc is not None and any(a is not None for a in acc):
-                carry_rows.append((r["_pid"], *key, *acc))
-            if r["_has_right"]:
-                vals = [r[v] for v in right_vals]
-                acc = vals if acc is None else [v if v is not None else a for v, a in zip(vals, acc)]
-    spark = left.sparkSession
-    kschema = ", ".join(f"`{c}` {left.schema[c].dataType.simpleString()}" for c in key_cols)
-    vschema = ", ".join(f"`_c_{v}` {right.schema[v].dataType.simpleString()}" for v in right_vals)
-    carry = spark.createDataFrame(carry_rows, schema=f"_pid int, {kschema}, {vschema}")
+    # running carry-in per key, as a DataFrame (no driver collect): for
+    # each (pid, key) summary row, the carry-in is — per VALUE column —
+    # the last non-null value among STRICTLY-PRECEDING partitions'
+    # right-bearing summaries. `when(_has_right, v)` nulls out
+    # left-only presence rows so they are transparent to
+    # last(ignorenulls); the per-value form mirrors the in-partition
+    # fill (a right row with one NULL value must not erase an earlier
+    # partition's non-null carry for that value). The window groups are
+    # tiny by construction: one row per partition the key occupies,
+    # contiguous under range partitioning — O(keys + partitions) rows
+    # total, shuffled once on key and broadcast back.
+    w_carry = Window.partitionBy(*key_cols).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry_cols = [
+        F.last(F.when(F.col("_has_right") == 1, F.col(v)), ignorenulls=True)
+        .over(w_carry)
+        .alias(f"_c_{v}")
+        for v in right_vals
+    ]
+    carry = lasts.select("_pid", *key_cols, *carry_cols)
+    # all-null carry rows are no-ops under coalesce; drop them to keep
+    # the broadcast minimal.
+    keep_any = F.lit(False)
+    for v in right_vals:
+        keep_any = keep_any | F.col(f"_c_{v}").isNotNull()
+    carry = carry.filter(keep_any)
 
     w = Window.partitionBy("_pid", *key_cols).orderBy("_ts", "_src").rowsBetween(Window.unboundedPreceding, 0)
     filled = (
