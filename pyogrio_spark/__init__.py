@@ -32,10 +32,13 @@ from pyogrio_spark.cache import release_pins  # noqa: F401
 # full set incl. its read_info/read_bounds, which here are the
 # engine-native spark-first versions)
 from pyogrio_spark.compat import (  # noqa: F401
+    detect_write_driver,
     list_drivers,
+    list_drivers_details,
     list_layers,
     open_arrow,
     read_arrow,
     read_dataframe,
+    write_arrow,
     write_dataframe,
 )

@@ -216,23 +216,130 @@ def write(
     )
 
 
-def list_drivers(read: bool = False, write: bool = False) -> dict:
-    """Reference: list_drivers (core.py:112-149) — {name: 'rw'|'r'|'w'}
-    for the engine's native drivers; ``read=``/``write=`` filter like
-    the reference."""
-    drivers = {
-        "ESRI Shapefile": "rw",
-        "GPKG": "rw",
-        "GeoJSON": "rw",
-        "GeoJSONSeq": "rw",
-        "FlatGeobuf": "rw",
-        "OSM": "r",  # read-only, like the reference's driver
-    }
+# single source of truth for the engine's native drivers, mirroring the
+# reference's GDAL driver registry surface (_ogr.pyx:246-339):
+# access modes follow the reference's "r"+"a"+"w" composition order,
+# `append` tracks what write_dataframe(append=True) actually supports
+# (FlatGeobuf refuses — reference driver capability parity), extensions
+# are the GDAL DMD_EXTENSIONS lists, help URLs the GDAL doc pages the
+# reference derives from DMD_HELPTOPIC.
+_GDAL_URL = "https://gdal.org/en/stable"
+_DRIVER_REGISTRY = {
+    "ESRI Shapefile": {
+        "long_name": "ESRI Shapefile", "read": True, "append": True,
+        "write": True, "extensions": ["shp", "dbf", "shz", "shp.zip"],
+        "help_slug": "shapefile",
+    },
+    "GPKG": {
+        "long_name": "GeoPackage", "read": True, "append": True,
+        "write": True, "extensions": ["gpkg", "gpkg.zip"],
+        "help_slug": "gpkg",
+    },
+    "GeoJSON": {
+        "long_name": "GeoJSON", "read": True, "append": True,
+        "write": True, "extensions": ["json", "geojson"],
+        "help_slug": "geojson",
+    },
+    "GeoJSONSeq": {
+        "long_name": "GeoJSON Sequence", "read": True, "append": True,
+        "write": True, "extensions": ["geojsonl", "geojsons"],
+        "help_slug": "geojsonseq",
+    },
+    "FlatGeobuf": {
+        "long_name": "FlatGeobuf", "read": True, "append": False,
+        "write": True, "extensions": ["fgb"],
+        "help_slug": "flatgeobuf",
+    },
+    "OSM": {
+        "long_name": "OpenStreetMap XML and PBF", "read": True,
+        "append": False, "write": False, "extensions": ["osm", "pbf"],
+        "help_slug": "osm",
+    },
+}
+
+
+def _access_modes(d: dict) -> str:
+    modes = ""
+    if d["read"]:
+        modes += "r"
+    if d["append"]:
+        modes += "a"
+    if d["write"]:
+        modes += "w"
+    return modes
+
+
+def list_drivers(read: bool = False, write: bool = False, append: bool = False) -> dict:
+    """Reference: list_drivers (core.py:53-109) — {name: 'raw'|'rw'|'r'|...}
+    for the engine's native drivers; ``read=``/``write=``/``append=``
+    filter like the reference."""
+    drivers = {k: _access_modes(d) for k, d in _DRIVER_REGISTRY.items()}
     if read:
         drivers = {k: v for k, v in drivers.items() if "r" in v}
     if write:
         drivers = {k: v for k, v in drivers.items() if "w" in v}
+    if append:
+        drivers = {k: v for k, v in drivers.items() if "a" in v}
     return drivers
+
+
+def list_drivers_details() -> dict:
+    """Reference: list_drivers_details (core.py:112-?, _ogr.pyx:293-339)
+    — {name: {long_name, read, append, write, supports_vsi,
+    help_topic_url, extensions}} with dotted extension lists and GDAL
+    doc URLs. ``supports_vsi`` is True for every native driver: the
+    engine's dispatch layer resolves zip chains and Hadoop URIs for all
+    formats (io/dispatch.py resolve_archive)."""
+    return {
+        name: {
+            "long_name": d["long_name"],
+            "read": d["read"],
+            "append": d["append"],
+            "write": d["write"],
+            "supports_vsi": True,
+            "help_topic_url": f"{_GDAL_URL}/drivers/vector/{d['help_slug']}.html",
+            "extensions": [f".{ext}" for ext in d["extensions"]],
+        }
+        for name, d in _DRIVER_REGISTRY.items()
+    }
+
+
+# extensions that embed a second extension before .zip, matched before
+# the bare .zip suffix (reference _ogr.pyx MULTI_EXTENSIONS handling)
+_MULTI_EXTENSIONS = (".shp.zip", ".gpkg.zip")
+
+
+def detect_write_driver(path) -> str:
+    """Reference: detect_write_driver (core.py:112-149) — infer the
+    single WRITE-capable driver for a path by extension, with the
+    reference's exact zero-driver / multiple-driver error semantics."""
+    import os
+
+    low = str(path).lower()
+    parts = os.path.splitext(low)
+    ext = parts[1][1:] if len(parts) == 2 and len(parts[1]) > 1 else None
+    if ext == "zip":
+        for multi_ext in _MULTI_EXTENSIONS:
+            if low.endswith(multi_ext):
+                ext = multi_ext[1:]
+                break
+    drivers = [
+        name
+        for name, d in _DRIVER_REGISTRY.items()
+        if d["write"] and ext is not None and ext in d["extensions"]
+    ]
+    if len(drivers) == 0:
+        raise ValueError(
+            f"Could not infer driver from path: {path}; please specify driver "
+            "explicitly"
+        )
+    elif len(drivers) > 1:
+        raise ValueError(
+            f"Could not infer driver from path: {path}; multiple drivers are "
+            f"available for that extension: {', '.join(drivers)}.  Please "
+            "specify driver explicitly."
+        )
+    return drivers[0]
 
 
 # per-format GDAL-style capability flags (reference read_info parity:
@@ -499,6 +606,102 @@ def read_arrow(path_or_buffer, /, **kwargs):
     with open_arrow(path_or_buffer, **kwargs) as (meta, reader):
         table = reader.read_all()
     return meta, table
+
+
+# arrow extension names the reference recognizes as WKB geometry
+# (raw.py write_arrow geometry inference; _io.pyx ogr_write_arrow)
+_WKB_EXTENSION_NAMES = (b"geoarrow.wkb", b"ogc.wkb")
+# fallback geometry column names for un-annotated streams (the shape
+# this engine's own read_arrow produces: meta["geometry_name"] =
+# "geometry_wkb"; the reference's GDAL default is "wkb_geometry")
+_GEOMETRY_NAME_FALLBACKS = ("geometry_wkb", "wkb_geometry", "geometry")
+
+
+def write_arrow(
+    arrow_obj,
+    path,
+    layer=None,
+    driver=None,
+    geometry_name=None,
+    geometry_type=None,
+    crs=None,
+    encoding=None,
+    append=False,
+    dataset_metadata=None,
+    layer_metadata=None,
+    metadata=None,
+    **kwargs,
+):
+    """Reference: write_arrow (raw.py:755-897) — write any Arrow
+    PyCapsule stream object (``__arrow_c_stream__``: pyarrow Table,
+    RecordBatchReader, polars frame, ...) to a vector format.
+
+    Parity points with the reference: non-Arrow input raises the same
+    ValueError; ``promote_to_multi`` is rejected; ``geometry_name``
+    without ``geometry_type`` raises; a missing ``crs`` warns. Geometry
+    inference: a column annotated ``geoarrow.wkb``/``ogc.wkb`` wins,
+    else the engine's own interchange names (``geometry_wkb`` /
+    ``wkb_geometry`` / ``geometry``). Routes through
+    :func:`write_dataframe`, so driver support, append capability, CRS
+    persistence, and metadata validation are shared with it."""
+    import warnings
+
+    import pyarrow as pa
+
+    if not hasattr(arrow_obj, "__arrow_c_stream__"):
+        raise ValueError(
+            "The provided data is not recognized as Arrow data. The object "
+            "should implement the Arrow PyCapsule Protocol (i.e. have a "
+            "'__arrow_c_stream__' method)."
+        )
+    if "promote_to_multi" in kwargs:
+        raise ValueError(
+            "The 'promote_to_multi' option is not supported when writing using Arrow"
+        )
+    if geometry_name is not None and geometry_type is None:
+        raise ValueError("'geometry_type' keyword is required")
+    if geometry_name is not None and crs is None:
+        warnings.warn(
+            "'crs' was not provided.  The output dataset will not have "
+            "projection information defined and may not be usable in other "
+            "systems.",
+            stacklevel=2,
+        )
+
+    table = pa.table(arrow_obj)
+    geom_col = geometry_name
+    if geom_col is None:
+        for field in table.schema:
+            md = field.metadata or {}
+            if md.get(b"ARROW:extension:name") in _WKB_EXTENSION_NAMES:
+                geom_col = field.name
+                break
+    if geom_col is None:
+        for cand in _GEOMETRY_NAME_FALLBACKS:
+            if cand in table.schema.names:
+                geom_col = cand
+                break
+    if geom_col is None or geom_col not in table.schema.names:
+        raise ValueError(
+            f"geometry column {geom_col!r} not found in the Arrow data; "
+            "pass 'geometry_name' explicitly"
+        )
+    pdf = table.to_pandas()
+    pdf[geom_col] = [None if g is None else bytes(g) for g in pdf[geom_col]]
+    write_dataframe(
+        pdf,
+        path,
+        layer=layer,
+        driver=driver,
+        encoding=encoding,
+        geometry_column=geom_col,
+        crs=crs,
+        append=append,
+        metadata=metadata,
+        layer_metadata=layer_metadata,
+        dataset_metadata=dataset_metadata,
+        **kwargs,
+    )
 
 
 def write_dataframe(

@@ -242,3 +242,79 @@ def test_raw_read_osm_layer():
     assert geometry.shape == (8,)
     assert meta["geometry_type"] == "Point"
     assert "highway" in list(meta["fields"])
+
+
+def test_write_arrow_shp_roundtrip(tmp_path):
+    """Reference tests/test_arrow.py:420-435: read_arrow -> write_arrow
+    round trip through a shapefile, including sidecar files."""
+    from pyogrio_spark.compat import read_arrow, write_arrow
+
+    meta, table = read_arrow(NE)
+    out = tmp_path / "test.shp"
+    write_arrow(
+        table,
+        out,
+        crs=meta["crs"],
+        encoding=meta["encoding"],
+        geometry_type=meta["geometry_type"],
+        geometry_name=meta["geometry_name"] or "wkb_geometry",
+    )
+    assert out.exists()
+    for ext in (".dbf", ".prj"):
+        assert out.with_suffix(ext).exists()
+    back = read_dataframe(str(out))
+    assert len(back) == 177
+    assert set(back["name"]) == set(table.column("name").to_pylist())
+
+
+def test_write_arrow_gpkg_and_reader_stream(tmp_path):
+    """Reference tests/test_arrow.py:440-454: write a RecordBatchReader
+    (not just a Table) via the PyCapsule stream protocol to GPKG."""
+    import pyarrow as pa
+
+    from pyogrio_spark.compat import read_arrow, write_arrow
+
+    meta, table = read_arrow(NE, max_features=20)
+    reader = pa.RecordBatchReader.from_batches(table.schema, table.to_batches())
+    out = tmp_path / "test.gpkg"
+    write_arrow(
+        reader,
+        out,
+        driver="GPKG",
+        crs=meta["crs"],
+        geometry_type="MultiPolygon",
+        geometry_name=meta["geometry_name"] or "wkb_geometry",
+    )
+    assert out.exists()
+    assert len(read_dataframe(str(out))) == 20
+
+
+def test_write_arrow_error_semantics(tmp_path):
+    """Reference tests/test_arrow.py:830-900: non-arrow data,
+    promote_to_multi, and missing geometry_type all raise."""
+    from pyogrio_spark.compat import read_arrow, write_arrow
+
+    with pytest.raises(ValueError, match="not recognized as Arrow data"):
+        write_arrow({"a": [1]}, tmp_path / "x.shp")
+
+    _, table = read_arrow(NE, max_features=2)
+    with pytest.raises(ValueError, match="promote_to_multi"):
+        write_arrow(
+            table, tmp_path / "x.gpkg", driver="GPKG",
+            geometry_type="MultiPolygon", geometry_name="geometry_wkb",
+            promote_to_multi=True,
+        )
+    with pytest.raises(ValueError, match="'geometry_type' keyword is required"):
+        write_arrow(table, tmp_path / "x.gpkg", driver="GPKG", geometry_name="geometry_wkb")
+
+
+def test_write_arrow_infers_engine_geometry_name(tmp_path):
+    """Un-annotated streams fall back to the engine's interchange
+    geometry names, so read_arrow -> write_arrow needs no explicit
+    geometry_name."""
+    from pyogrio_spark.compat import read_arrow, write_arrow
+
+    meta, table = read_arrow(NE, max_features=5)
+    out = tmp_path / "inferred.geojson"
+    write_arrow(table, out, crs=meta["crs"])
+    assert len(read_dataframe(str(out))) == 5

@@ -145,12 +145,62 @@ def test_read_info_geojsonseq_bounds_none_unless_forced(tmp_path):
 
 
 def test_list_drivers():
+    """Access modes compose as r+a+w like the reference (_ogr.pyx
+    ogr_list_drivers); append tracks write_dataframe(append=True)
+    support (FlatGeobuf refuses)."""
     from pyogrio_spark.compat import list_drivers
 
     d = list_drivers()
-    assert d["ESRI Shapefile"] == "rw" and d["GPKG"] == "rw" and d["OSM"] == "r"
+    assert d["ESRI Shapefile"] == "raw" and d["GPKG"] == "raw" and d["OSM"] == "r"
+    assert d["FlatGeobuf"] == "rw"
     assert "OSM" not in list_drivers(write=True)
     assert set(list_drivers(read=True)) == set(d)
+    assert set(list_drivers(append=True)) == {
+        "ESRI Shapefile", "GPKG", "GeoJSON", "GeoJSONSeq",
+    }
+
+
+def test_list_drivers_details():
+    """Reference list_drivers_details shape (_ogr.pyx:293-339): dotted
+    extensions, GDAL help URL, capability booleans consistent with
+    list_drivers."""
+    from pyogrio_spark.compat import list_drivers, list_drivers_details
+
+    details = list_drivers_details()
+    modes = list_drivers()
+    assert set(details) == set(modes)
+    for name, d in details.items():
+        assert d["long_name"]
+        assert d["read"] is ("r" in modes[name])
+        assert d["append"] is ("a" in modes[name])
+        assert d["write"] is ("w" in modes[name])
+        assert all(ext.startswith(".") for ext in d["extensions"])
+        assert d["help_topic_url"].startswith("https://gdal.org/")
+    assert ".shp.zip" in details["ESRI Shapefile"]["extensions"]
+    assert details["GPKG"]["long_name"] == "GeoPackage"
+
+
+def test_detect_write_driver():
+    """Reference test_core.py:120-174 parameter matrix (native-driver
+    subset)."""
+    import pytest
+
+    from pyogrio_spark.compat import detect_write_driver
+
+    for path, expected in [
+        ("test.shp", "ESRI Shapefile"),
+        ("test.shp.zip", "ESRI Shapefile"),
+        ("test.fgb", "FlatGeobuf"),
+        ("test.geojson", "GeoJSON"),
+        ("test.geojsonl", "GeoJSONSeq"),
+        ("test.gpkg", "GPKG"),
+        ("test.gpkg.zip", "GPKG"),
+        ("test.json", "GeoJSON"),
+    ]:
+        assert detect_write_driver(path) == expected
+    for path in ["test.pbf", "test.", "test", "test.foo", "FOO:test", "test.zip"]:
+        with pytest.raises(ValueError, match="Could not infer driver from path"):
+            detect_write_driver(path)
 
 
 def test_gpkg_layer_metadata_dicts(tmp_path):
