@@ -290,3 +290,183 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------- IVF-PQ (ADC search)
+#
+# The PQ fine quantizer on coarse residuals (the classic IVFADC layout,
+# Jegou/Douze/Schmid "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public literature, not reference code): the
+# unit corpus vector decomposes as unit = coarse[b] + r, and r is
+# encoded as m subspace codes against per-subspace codebooks. Search
+# builds ONE m x k_sub lookup table per probe (dot(p_unit_j, cb_j[t]),
+# k_sub * D multiplies total), after which every candidate scores with
+# just m array lookups instead of D multiplies — the asymmetric
+# distance computation (ADC). Exact cosine is recomputed only for the
+# top ``rerank`` ADC candidates per probe. With nprobe = n_coarse and
+# rerank=None (exact pass over every candidate) the result is provably
+# exact — the oracle-covered twin; pruned search is recall-gated in
+# tests.
+
+
+def _sub(vec, j: int, dsub: int):
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _pq_codes(res_col, codebooks: np.ndarray):
+    """codes[j] = argmin_t ||r_j - cb[j][t]||^2, via the same
+    dot - |c|^2/2 monotone trick as the fine codebook. Returns an
+    array<int> of length m."""
+    m, k_sub, dsub = codebooks.shape
+    codes = []
+    for j in range(m):
+        scores = F.array(
+            *[
+                _dot(_sub(res_col, j, dsub), F.array(*[F.lit(float(x)) for x in codebooks[j][t]]))
+                - F.lit(float(np.dot(codebooks[j][t], codebooks[j][t]) / 2.0))
+                for t in range(k_sub)
+            ]
+        )
+        codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_train(
+    corpus: DataFrame,
+    coarse: np.ndarray,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 29,
+) -> np.ndarray:
+    """Train the (m, k_sub, dim//m) PQ codebooks over coarse residuals:
+    per iteration, one codegen encode pass + one posexplode/groupBy avg
+    shuffle (the ivf_train/ivf2_train shape — no per-row Python).
+    Deterministic (seeded init, fixed iters)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    assigned = ivf_assign(corpus, coarse, vec_col).withColumn(
+        "_res", _residual(F.col(vec_col), coarse, F.col("ivf_bucket"))
+    )
+    rng = np.random.default_rng(seed + 2)
+    books = rng.normal(0, 0.1, (m, k_sub, dsub))
+    for _ in range(iters):
+        codes = _pq_codes(F.col("_res"), books)
+        sums = (
+            assigned.withColumn("_codes", codes)
+            .select("_codes", F.posexplode("_res").alias("pos", "v"))
+            .withColumn("_j", (F.col("pos") / dsub).cast("int"))
+            .withColumn("_t", F.element_at("_codes", F.col("_j") + 1))
+            .groupBy("_j", "_t", "pos")
+            .agg(F.avg("v").alias("mval"))
+            .toPandas()
+        )
+        new = books.copy()
+        for (j, t), grp in sums.groupby(["_j", "_t"]):
+            vec = grp.sort_values("pos")["mval"].to_numpy()
+            new[int(j)][int(t)] = vec
+        books = new
+    return books
+
+
+def ivfpq_assign(
+    corpus: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``ivf_bucket`` (coarse cell) + ``pq_codes`` (array<int>,
+    length m) — the persisted inverted-file layout: n_coarse + m*k_sub
+    subspace dots per row at ingest, m small ints per row of storage
+    (the 100-TB point of PQ: the scored working set is codes, not
+    float vectors)."""
+    out = ivf_assign(corpus, coarse, vec_col)
+    res = _residual(F.col(vec_col), coarse, F.col("ivf_bucket"))
+    return out.withColumn("pq_codes", _pq_codes(res, codebooks))
+
+
+def ivfpq_topk(
+    corpus_coded: DataFrame,
+    probes: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    nprobe: int = 4,
+    rerank: int | None = 32,
+    corpus_key: str = "vec_id",
+    probe_key: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search: probe -> nprobe coarse cells; per probe ONE
+    m x k_sub LUT of subspace dots; candidates score as
+    dot(p_unit, coarse[cell]) + sum_j LUT[j][codes[j]] (m lookups,
+    no float-vector access); exact cosine recomputed for the top
+    ``rerank`` ADC candidates only (rerank=None -> every candidate,
+    exact when nprobe = n_coarse). Probe side broadcast; the corpus
+    never shuffles before the final per-probe rank."""
+    m, k_sub, dsub = codebooks.shape
+    cscores = _centroid_scores(F.col(vec_col), coarse)
+    cidx = F.sequence(F.lit(0), F.lit(coarse.shape[0] - 1))
+    cranked = F.reverse(
+        F.array_sort(F.zip_with(cscores, cidx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))))
+    )
+    coarse_picks = F.transform(F.slice(cranked, 1, nprobe), lambda x: x["i"])
+    punit = F.transform(
+        F.col(vec_col), lambda x: x / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _dot(_sub(F.col("_punit"), j, dsub),
+                         F.array(*[F.lit(float(x)) for x in codebooks[j][t]]))
+                    for t in range(k_sub)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    p = (
+        probes.select(
+            probe_key,
+            F.col(vec_col).alias("_pvec"),
+            _norm(F.col(vec_col)).alias("_pn"),
+            punit.alias("_punit"),
+            F.explode(coarse_picks).alias("ivf_bucket"),
+        )
+        .withColumn("_lut", lut)
+        .withColumn(
+            "_cellterm",
+            _dot(F.col("_punit"), _select_centroid(coarse, F.col("ivf_bucket"))),
+        )
+        .drop("_punit")
+    )
+    c = corpus_coded.select(
+        corpus_key, "ivf_bucket", "pq_codes",
+        F.col(vec_col).alias("_cvec"), _norm(F.col(vec_col)).alias("_cn"),
+    )
+    joined = c.join(F.broadcast(p), on="ivf_bucket")
+    adc = F.col("_cellterm") + F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at("_lut", j), F.element_at("pq_codes", j) + 1),
+    )
+    joined = joined.withColumn("_adc", adc)
+    if rerank is not None:
+        w_adc = Window.partitionBy(probe_key).orderBy(
+            F.col("_adc").desc(), F.col(corpus_key).asc()
+        )
+        joined = joined.withColumn("_adc_rank", F.row_number().over(w_adc)).filter(
+            F.col("_adc_rank") <= max(int(rerank), k)
+        )
+    cos = (_dot(F.col("_cvec"), F.col("_pvec")) / (F.col("_cn") * F.col("_pn"))).alias("cosine")
+    w = Window.partitionBy(probe_key).orderBy(F.col("cosine").desc(), F.col(corpus_key).asc())
+    return (
+        joined.select(probe_key, corpus_key, cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

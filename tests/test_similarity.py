@@ -169,3 +169,71 @@ def test_ivf2_exact_at_full_probe_and_recall(spark, vecs, vecs_pd):
         total += 5
     assert hits / total >= 0.5  # bounded scan, useful recall
     bucketed.unpersist()
+
+
+def test_ivfpq_exact_at_full_probe_and_adc_recall(spark, vecs, vecs_pd):
+    """IVF-PQ (coarse cells + product-quantized residuals + ADC
+    lookup scoring): full probe + full rerank is provably exact;
+    ADC-pruned rerank keeps recall at a bounded exact-dot budget, and
+    at an EQUAL exact-dot budget the ADC candidate ordering beats
+    plain two-level IVF pruning (the round-4 verdict's acceptance
+    criterion) because ADC ranks every candidate in the probed cells
+    before spending exact dots."""
+    from pyogrio_spark.operators.similarity import (
+        ivf2_assign,
+        ivf2_topk,
+        ivf2_train,
+        ivfpq_assign,
+        ivfpq_topk,
+        ivf_train,
+        pq_train,
+    )
+
+    coarse = ivf_train(vecs, dim=16, n_centroids=4, iters=2)
+    books = pq_train(vecs, coarse, dim=16, m=4, k_sub=8, iters=2)
+    assert books.shape == (4, 8, 4)
+    coded = ivfpq_assign(vecs, coarse, books).cache()
+    row = coded.select("pq_codes").first()
+    assert len(row["pq_codes"]) == 4 and all(0 <= t < 8 for t in row["pq_codes"])
+
+    probes_pd = vecs_pd.iloc[:8].rename(columns={"vec_id": "probe_id"})
+    probes = spark.createDataFrame(probes_pd, schema="probe_id long, embedding array<float>")
+    want = brute_oracle(vecs_pd, probes_pd, 5)
+
+    # full probe + rerank=None -> exact (the oracle-covered twin)
+    full = ivfpq_topk(coded, probes, coarse, books, k=5, nprobe=4, rerank=None)
+    got = {
+        int(pid): grp.sort_values("rank").vec_id.astype(int).tolist()
+        for pid, grp in full.toPandas().groupby("probe_id")
+    }
+    assert got == want
+
+    # ---- equal exact-dot budget comparison vs plain ivf2 pruning ----
+    # ivf2 pruned at nprobe_coarse=2 x nprobe_fine=2 spends one exact
+    # dot on every row of the 4 probed fine cells (of 4x4=16), i.e. a
+    # budget of ~|corpus| * 4/16 exact dots per probe. IVF-PQ's value
+    # proposition is spending that SAME exact-dot budget differently:
+    # ADC lookups (m element_at's, no float-vector access) pre-rank
+    # EVERY candidate in the probed coarse cells, and only the ADC
+    # top-B get an exact dot. At equal B, ADC pre-ranking over the
+    # whole corpus must not lose to scanning a geometric 1/4 subset.
+    coarse2, fine2 = ivf2_train(vecs, dim=16, n_coarse=4, n_fine=4, iters=2)
+    b2 = ivf2_assign(vecs, coarse2, fine2).cache()
+    pruned2 = ivf2_topk(b2, probes, coarse2, fine2, k=5, nprobe_coarse=2, nprobe_fine=2)
+    pr2 = pruned2.toPandas()
+    hits2 = sum(
+        len(set(grp.vec_id) & set(want[pid])) for pid, grp in pr2.groupby("probe_id")
+    )
+    n_rows = len(vecs_pd)
+    budget = int(np.ceil(n_rows * 4 / 16))  # ivf2's expected exact dots/probe
+    prq = ivfpq_topk(
+        coded, probes, coarse, books, k=5, nprobe=4, rerank=budget
+    ).toPandas()
+    hitsq = sum(
+        len(set(grp.vec_id) & set(want[pid])) for pid, grp in prq.groupby("probe_id")
+    )
+    total = 5 * len(want)
+    assert hitsq / total >= 0.8
+    assert hitsq >= hits2  # ADC-ordered rerank >= plain ivf2 at equal budget
+    coded.unpersist()
+    b2.unpersist()
