@@ -101,6 +101,29 @@ def read_dataframe(
         on_invalid=on_invalid,
     )
     pdf = df.toPandas()
+    # List-type fields: Spark array<T> columns arrive as numpy arrays —
+    # return plain Python lists like the reference's .geojson read
+    # (tests/test_geopandas_io.py:390-509); OFSTJSON-tagged string
+    # columns (a list with an interior null degrades to JSON, GDAL
+    # behavior) parse back to Python objects like the reference.
+    from pyspark.sql.types import ArrayType, StringType
+
+    for f in df.schema.fields:
+        if f.name not in pdf.columns:
+            continue
+        if isinstance(f.dataType, ArrayType):
+            pdf[f.name] = pdf[f.name].map(
+                lambda v: None if v is None else (v.tolist() if isinstance(v, np.ndarray) else list(v))
+            )
+        elif (
+            isinstance(f.dataType, StringType)
+            and f.metadata.get("ogr_subtype") == "OFSTJSON"
+        ):
+            import json as _json
+
+            pdf[f.name] = pdf[f.name].map(
+                lambda v: None if v is None else _json.loads(v)
+            )
     if "geometry_wkb" in pdf.columns:
         pdf = pdf.rename(columns={"geometry_wkb": "geometry"})
         pdf["geometry"] = [None if b is None else bytes(b) for b in pdf["geometry"]]
@@ -422,7 +445,11 @@ def read_info(
         "crs": info.get("crs"),
         "encoding": info.get("encoding", "UTF-8"),
         "fields": np.array(info["fields"], dtype=object),
-        "dtypes": np.array(info["dtypes"], dtype=object),
+        # a JSON-degraded column is an OFTString/OFSTJSON "object"
+        # column, reference FIELD_TYPES (_io.pyx:48-63)
+        "dtypes": np.array(
+            ["object" if d == "json" else d for d in info["dtypes"]], dtype=object
+        ),
         "ogr_types": [_OGR_TYPE.get(d, ("OFTString", "OFSTNone"))[0] for d in info["dtypes"]],
         "ogr_subtypes": [_OGR_TYPE.get(d, ("OFTString", "OFSTNone"))[1] for d in info["dtypes"]],
         # fid_column/geometry_name are ''/'' for formats where the fid /
@@ -491,6 +518,15 @@ _OGR_TYPE = {
     "float32": ("OFTReal", "OFSTFloat32"),
     "bool": ("OFTInteger", "OFSTBoolean"),
     "object": ("OFTString", "OFSTNone"),
+    # list dtypes use the reference's spellings (_io.pyx:48-63); a list
+    # with an interior null degrades to a JSON string column for
+    # .geojson, GDAL behavior (tests/test_geopandas_io.py:432-441)
+    "list(int32)": ("OFTIntegerList", "OFSTNone"),
+    "list(int64)": ("OFTInteger64List", "OFSTNone"),
+    "list(float64)": ("OFTRealList", "OFSTNone"),
+    "list(str)": ("OFTStringList", "OFSTNone"),
+    "list(bool)": ("OFTIntegerList", "OFSTBoolean"),
+    "json": ("OFTString", "OFSTJSON"),
 }
 
 
@@ -742,6 +778,25 @@ def write_dataframe(
         raise ValueError(f"no geometry column {geometry_column!r} in frame")
     low = path.lower()
     drv = (driver or "").lower()
+    _binary = (
+        drv in ("esri shapefile", "shapefile", "gpkg", "geopackage", "flatgeobuf")
+        or (not drv and low.endswith((".shp", ".gpkg", ".fgb")))
+    )
+    if _binary:
+        # List-type fields round-trip via GeoJSON (OGR list types) and
+        # parquet only; the binary formats here have no list field type
+        # (DBF/GPKG SQL/FGB scalar columns) — refuse with direction
+        # rather than stringify silently.
+        import numpy as _np
+
+        for c in pdf.columns:
+            if c == "geometry_wkb":
+                continue
+            if any(isinstance(v, (list, tuple, _np.ndarray)) for v in pdf[c]):
+                raise ValueError(
+                    f"list-type field {c!r} is not supported by this driver; "
+                    "write to GeoJSON (.geojson/.geojsonl) or parquet instead"
+                )
     if drv in ("esri shapefile", "shapefile") or (not drv and low.endswith(".shp")):
         from pyogrio_spark.io.shapefile import write_shapefile
 

@@ -36,13 +36,59 @@ def _crs_member(doc) -> str:
     return "EPSG:4326"
 
 
+def _list_dtype(vals: list) -> str | None:
+    """Element-type a column whose non-null values are ALL lists,
+    mirroring GDAL's OGR list typing for GeoJSON (reference
+    tests/test_geopandas_io.py:390-509): uniform int lists ->
+    Integer64List, numeric -> RealList, strings -> StringList; a null
+    INSIDE any list degrades the whole column to a JSON column (the
+    reference's OFSTJSON behavior for .geojson,
+    tests/test_geopandas_io.py:432-441). Returns a reference dtype
+    string ('list(int64)'/'list(float64)'/'list(str)'/'list(bool)',
+    _io.pyx:48-63) or 'json', or None when the values are not
+    uniformly lists."""
+    if not vals or not all(isinstance(v, list) for v in vals):
+        return None
+    elems = [e for v in vals for e in v]
+    if any(e is None for e in elems):
+        return "json"
+    if elems and all(isinstance(e, bool) for e in elems):
+        return "list(bool)"
+    if elems and all(isinstance(e, int) and not isinstance(e, bool) for e in elems):
+        return "list(int64)"
+    if elems and all(isinstance(e, (int, float)) and not isinstance(e, bool) for e in elems):
+        return "list(float64)"
+    if all(isinstance(e, str) for e in elems):  # incl. only-empty-lists
+        return "list(str)"
+    return "json"
+
+
+def _json_safe(v):
+    """Property value -> JSON-serializable: numpy scalars unwrap,
+    numpy arrays / lists (how Spark ``toPandas`` delivers ``array<T>``
+    columns) become plain lists recursively, NaN/None -> null."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    if isinstance(v, np.ndarray):
+        return [_json_safe(e) for e in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(e) for e in v]
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def _infer_dtypes(pdf: pd.DataFrame, cols: list[str]) -> list[str]:
     """JSON carries no declarations; type each column from its non-null
-    values (bool before int: Python bool is an int subclass)."""
+    values (bool before int: Python bool is an int subclass). List
+    values type per _list_dtype."""
     out = []
     for c in cols:
         vals = [v for v in pdf[c] if v is not None and not (isinstance(v, float) and np.isnan(v))]
-        if vals and all(isinstance(v, bool) for v in vals):
+        ld = _list_dtype(vals)
+        if ld is not None:
+            out.append(ld)
+        elif vals and all(isinstance(v, bool) for v in vals):
             out.append("bool")
         elif vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
             out.append("int64")
@@ -171,7 +217,14 @@ def read_geojson(spark, path: str, **read_table_kwargs):
     from pyogrio_spark.io.reader import read_table
 
     pdf = read_geojson_pdf(path)
+    _SPARK_LIST = {
+        "list(bool)": "array<boolean>",
+        "list(int64)": "array<bigint>",
+        "list(float64)": "array<double>",
+        "list(str)": "array<string>",
+    }
     fields = []
+    json_cols = set()
     for c in pdf.columns:
         if c == "geometry_wkb":
             fields.append(f"`{c}` binary")
@@ -182,8 +235,44 @@ def read_geojson(spark, path: str, **read_table_kwargs):
         elif pd.api.types.is_bool_dtype(pdf[c]):
             fields.append(f"`{c}` boolean")
         else:
-            fields.append(f"`{c}` string")
+            vals = [
+                v for v in pdf[c]
+                if v is not None and not (isinstance(v, float) and np.isnan(v))
+            ]
+            ld = _list_dtype(vals)
+            if ld in _SPARK_LIST:
+                if ld == "list(float64)":  # uniform numeric: ints ride along
+                    pdf[c] = pdf[c].map(
+                        lambda v: None if not isinstance(v, list) else [float(e) for e in v]
+                    )
+                fields.append(f"`{c}` {_SPARK_LIST[ld]}")
+            elif ld == "json" or any(isinstance(v, (list, dict)) for v in vals):
+                # irregular lists / objects -> JSON string column (the
+                # reference's OFSTJSON degradation for .geojson files);
+                # tagged with column metadata so the pandas facade can
+                # parse values back to Python objects (reference
+                # behavior: OFSTJSON arrays read back as lists).
+                pdf[c] = pdf[c].map(
+                    lambda v: json.dumps(v)
+                    if isinstance(v, (list, dict))
+                    else (None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
+                )
+                fields.append(f"`{c}` string")
+                json_cols.add(c)
+            else:
+                fields.append(f"`{c}` string")
     df = spark.createDataFrame(pdf, schema=", ".join(fields))
+    if json_cols:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(f"`{c}`").alias(c, metadata={"ogr_subtype": "OFSTJSON"})
+                if c in json_cols
+                else F.col(f"`{c}`")
+                for c in df.columns
+            ]
+        )
     return read_table(spark, df, **read_table_kwargs)
 
 
@@ -232,11 +321,10 @@ def write_geojson(
     if append and not os.path.exists(path):
         raise ValueError(f"append=True but {path} does not exist")
     feats = []
-    for _, row in pdf.iterrows():
+    for i in range(len(pdf)):
+        row = {c: pdf[c].iloc[i] for c in pdf.columns}
         props = {
-            k: (None if (v is None or (isinstance(v, float) and np.isnan(v))) else (v.item() if isinstance(v, np.generic) else v))
-            for k, v in row.items()
-            if k not in (geom_col, "fid")
+            k: _json_safe(v) for k, v in row.items() if k not in (geom_col, "fid")
         }
         g = row[geom_col]
         feats.append(
@@ -292,15 +380,7 @@ def write_geojson_seq_distributed(df, out_dir: str, geom_col: str = "geometry_wk
             for row in pdf.itertuples(index=False):
                 d = row._asdict()
                 g = d.get(geom_col)
-                props = {
-                    k: (
-                        None
-                        if (v is None or (isinstance(v, float) and np.isnan(v)))
-                        else (v.item() if isinstance(v, np.generic) else v)
-                    )
-                    for k, v in d.items()
-                    if k in cols
-                }
+                props = {k: _json_safe(v) for k, v in d.items() if k in cols}
                 feat = {
                     "type": "Feature",
                     "properties": props,
