@@ -79,9 +79,17 @@ _NAME_TABLE: list[tuple[str, int]] = [
 
 _UTM_RE = re.compile(r"WGS[_ ]?1984[_ ]?UTM[_ ]?Zone[_ ]?(\d{1,2})([NS])", re.IGNORECASE)
 _ETRS_UTM_RE = re.compile(r"ETRS[_ ]?(?:19)?89[_ ]?(?:/ )?UTM[_ ]?[Zz]one[_ ]?(\d{1,2})N", re.IGNORECASE)
+_NAD83_UTM_RE = re.compile(r"NAD[_ ]?(?:19)?83[_ ]?(?:/ )?UTM[_ ]?[Zz]one[_ ]?(\d{1,2})N", re.IGNORECASE)
 
 _ETRS89_GEOGCS = (
     'GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",'
+    'SPHEROID["GRS_1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]'
+)
+
+
+_NAD83_GEOGCS = (
+    'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
     'SPHEROID["GRS_1980",6378137,298.257222101]],'
     'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]'
 )
@@ -91,6 +99,10 @@ def _utm_wkt(code: int) -> str:
     if 25828 <= code <= 25838:  # ETRS89 / UTM zone N (European grids)
         zone = code - 25800
         geogcs, name = _ETRS89_GEOGCS, f"ETRS_1989_UTM_Zone_{zone}N"
+        north = True
+    elif 26901 <= code <= 26923:  # NAD83 / UTM zone N (North America)
+        zone = code - 26900
+        geogcs, name = _NAD83_GEOGCS, f"NAD_1983_UTM_Zone_{zone}N"
         north = True
     else:
         north = code < 32700
@@ -134,6 +146,11 @@ def epsg_from_wkt(wkt: str) -> int | None:
         zone = int(m.group(1))
         if 28 <= zone <= 38:
             return 25800 + zone
+    m = _NAD83_UTM_RE.search(s)
+    if m:
+        zone = int(m.group(1))
+        if 1 <= zone <= 23:
+            return 26900 + zone
     # name match on the ROOT name (first quoted string)
     nm = re.search(r'^\s*\w+\s*\[\s*"([^"]*)"', s)
     if nm:
@@ -166,7 +183,12 @@ def crs_to_wkt(crs) -> str:
         raise ValueError(f"cannot interpret crs {crs!r} (want int EPSG, 'EPSG:n', or WKT)")
     if code in WKT_BY_EPSG:
         return WKT_BY_EPSG[code]
-    if 32601 <= code <= 32660 or 32701 <= code <= 32760 or 25828 <= code <= 25838:
+    if (
+        32601 <= code <= 32660
+        or 32701 <= code <= 32760
+        or 25828 <= code <= 25838
+        or 26901 <= code <= 26923
+    ):
         return _utm_wkt(code)
     # identification-only skeleton: round-trips the code through every
     # format reader; full parameters need a PROJ database (module doc)

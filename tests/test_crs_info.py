@@ -403,3 +403,18 @@ def test_etrs89_utm_identification_roundtrip():
         wkt = crs_to_wkt(code)
         assert "GRS_1980" in wkt and "Transverse_Mercator" in wkt
         assert epsg_from_wkt(wkt) == code
+
+
+def test_nad83_utm_identification_roundtrip():
+    """NAD83 / UTM zones 1N-23N (EPSG 26901-26923, the standard North
+    American projected grids) identify by name and serialize full WKT
+    with the NAD83 datum."""
+    assert epsg_from_wkt('PROJCS["NAD_1983_UTM_Zone_14N"]') == 26914
+    assert epsg_from_wkt('PROJCS["NAD83 / UTM zone 10N"]') == 26910
+    for code in range(26901, 26924):
+        wkt = crs_to_wkt(code)
+        assert "D_North_American_1983" in wkt and "GRS_1980" in wkt
+        assert "Transverse_Mercator" in wkt and "LOCAL_CS" not in wkt
+        assert epsg_from_wkt(wkt) == code
+    # central meridian arithmetic: zone 14 -> -99
+    assert 'PARAMETER["Central_Meridian",-99]' in crs_to_wkt(26914)
