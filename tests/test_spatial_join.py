@@ -88,3 +88,86 @@ def test_full_cover_shortcut_is_exercised(spark, docs_df, zones_pd):
     assert n_full > 0
     joined = docs_df.join(F.broadcast(cover), on="cell_id")
     assert joined.filter("full_cover").count() > 0
+
+
+def test_salting_splits_manufactured_hot_cell(spark):
+    """Physical skew evidence (not just result parity): 90% of docs in
+    ONE grid cell. Unsalted, that cell's join key lands on a single
+    reducer; with a plan_salt_factors plan the same rows spread across
+    >= 8 of 32 shuffle partitions and no task holds more than ~a salt
+    share of the output."""
+    import numpy as np
+
+    from pyogrio_spark.geometry import wkb as W
+    from pyogrio_spark.index.grid import cell_of
+    from pyogrio_spark.operators.spatial_join import plan_salt_factors
+
+    rng = np.random.default_rng(11)
+    n_hot, n_cold_zones, per_cold = 9000, 10, 60
+
+    # hot: one partially-covered cell (rect ends inside the cell, so no
+    # full-cover shortcut — every row takes the join+refine path)
+    hot_lon = rng.uniform(0.1, 1.0, n_hot)
+    hot_lat = rng.uniform(0.1, 0.7, n_hot)
+    rows = [("hot%06d" % i, float(hot_lon[i]), float(hot_lat[i])) for i in range(n_hot)]
+    zones = [(0, W.encode_polygon([np.array(
+        [[0.05, 0.05], [1.15, 0.05], [1.15, 0.75], [0.05, 0.75], [0.05, 0.05]])]))]
+    for z in range(n_cold_zones):
+        x0 = -150.0 + z * 3.0
+        lon = rng.uniform(x0 + 0.1, x0 + 0.9, per_cold)
+        lat = rng.uniform(-50.0 + 0.1, -50.0 + 0.7, per_cold)
+        rows += [("c%02d_%04d" % (z, i), float(lon[i]), float(lat[i])) for i in range(per_cold)]
+        zones.append((z + 1, W.encode_polygon([np.array(
+            [[x0 + 0.05, -49.95], [x0 + 0.95, -49.95], [x0 + 0.95, -49.25],
+             [x0 + 0.05, -49.25], [x0 + 0.05, -49.95]])])))
+
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "xmin", "ymin"])
+    docs_pd["cell_id"] = cell_of(docs_pd.xmin.to_numpy(), docs_pd.ymin.to_numpy(), 7)
+    zones_pd = pd.DataFrame(zones, columns=["fid", "geometry_wkb"])
+
+    docs = spark.createDataFrame(
+        docs_pd, schema="doc_id string, xmin double, ymin double, cell_id long"
+    ).repartition(8)
+    cover = zones_cell_cover(spark, zones_pd)
+
+    old = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # force the shuffle join this test is about (the planner would
+    # otherwise auto-broadcast the tiny cover and hide the skew)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_salt_factors(docs, threshold_rows=500)
+        assert len(plan) == 1 and int(plan.salt_k.iloc[0]) == 18  # ceil(9000/500)
+
+        def pid_counts(df):
+            got = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").count().collect()
+            )
+            return {r["pid"]: r["count"] for r in got}
+
+        unsalted = point_in_polygon_join(
+            docs, cover, keep_doc_cols=["doc_id"], broadcast_cover=False
+        )
+        salted = point_in_polygon_join(
+            docs, cover, keep_doc_cols=["doc_id"], broadcast_cover=False, salt_plan=plan
+        )
+        # same answer first
+        assert pairs(salted) == pairs(unsalted) and len(pairs(salted)) == len(rows)
+
+        cu, cs = pid_counts(unsalted), pid_counts(salted)
+        total = sum(cu.values())
+        # unsalted: the hot cell is one reduce key -> one task owns >=90%
+        assert max(cu.values()) / total >= 0.9
+        # salted: the same rows spread over many tasks, none dominant
+        big = [c for c in cs.values() if c >= 100]
+        assert len(big) >= 8, cs
+        assert max(cs.values()) / total <= 0.3, cs
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
