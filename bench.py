@@ -52,6 +52,8 @@ HEADLINE = [
     "geo_reproject",
     "geo_measures",
     "geo_clip",
+    # round-5 addition: zero-shuffle chunk+pack map over the corpus
+    "text_chunking",
 ]
 
 

@@ -897,6 +897,43 @@ def q_text_features(spark, sf):
     )
 
 
+def q_text_chunking(spark, sf):
+    """Fixed-window chunking + capacity packing (operators/chunking.py):
+    32-token windows sliding by 24 (8-token overlap), packed 4 chunks /
+    128-token budget. Zero-shuffle map stage — the plan a 100 TB corpus
+    runs."""
+    from pyogrio_spark.operators.chunking import chunk_documents, pack_chunks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    return pack_chunks(ch, budget_tokens=128, chunk_tokens=32).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "pack_id",
+    )
+
+
+ORACLE_TEXT_CHUNKING = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, greatest(1, CAST(ceil((n - 32) / 24.0) AS INT) + 1))) AS chunk_id
+  FROM n
+)
+SELECT doc_id,
+       chunk_id,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+       least(32, n - chunk_id * 24) AS n_tokens,
+       CAST(floor(chunk_id / 4) AS BIGINT) AS pack_id
+FROM e
+"""
+
+
 def _oracle_text_features() -> str:
     lang_scores = ",\n    ".join(
         "len(list_intersect(list_distinct(toks200), [%s])) AS s_%s"
@@ -1848,7 +1885,7 @@ QUERIES = {
     "events_asof_rates": q_events_asof_rates,
     "read_bounds": q_read_bounds,
     "sim_ivf2pq_topk_full": q_ivf2pq_topk_full,
-    "events_json_props": q_events_json_props,
+    "text_chunking": q_text_chunking,
     "window_top_orders": q_window_top_orders_per_segment,
     "corpus_curation": q_corpus_curation,
     "geo_curation": q_geo_curation,
@@ -1884,6 +1921,10 @@ QUERIES = {
     "geo_pip_join_boundary": q_geo_pip_join_boundary,
     "geo_intersects_join_poly": q_geo_intersects_join_poly,
     "geo_zonal_stats_poly": q_geo_zonal_poly,
+    # round 5 swapped events_json_props (driver-green r1-r4; JSON-parse
+    # machinery also exercised by events_sessionize's payload path) out
+    # of the window to make room for text_chunking.
+    "events_json_props": q_events_json_props,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1946,6 +1987,7 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
+    "text_chunking": ORACLE_TEXT_CHUNKING,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,
