@@ -135,3 +135,30 @@ def streaming_cell_counts(
         .agg(F.count("*").alias("n_docs"))
         .select(F.col("w.start").alias("window_start"), "cell_id", "n_docs")
     )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit the first arrival of each key,
+    suppress re-deliveries that land within the watermark horizon —
+    the at-least-once -> effectively-once ingest stage every
+    continuous training-data pipeline needs in front of its corpus
+    sink.
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per
+    key seen in the horizon and is evicted as event time advances, so
+    state size is bounded by (arrival rate x watermark), never by
+    corpus size — the property that lets this run forever at ingest
+    scale. On a static frame it degrades to plain ``dropDuplicates``
+    (unified API), which is the exact batch-parity oracle for
+    duplicates that arrive inside the horizon."""
+    e = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if e.isStreaming:
+        return e.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return e.dropDuplicates(list(key_cols))
