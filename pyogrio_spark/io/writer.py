@@ -166,3 +166,76 @@ def read_committed(spark: SparkSession, path: str, snapshot: str | None = None) 
 
 def current_snapshot(path: str) -> dict | None:
     return _read_manifest(path)["current"]
+
+
+def _dir_file_stats(spark: SparkSession, dirs: list[str]) -> tuple[int, int]:
+    """(parquet file count, total bytes) across ``dirs`` via the Hadoop
+    FileSystem API — correct for HDFS/object-store paths, not just
+    local disk (the surface a 100 TB table actually lives on)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    n_files, n_bytes = 0, 0
+    for d in dirs:
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            continue
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                n_bytes += f.getLen()
+    return n_files, n_bytes
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction as a snapshot operation: rewrite the
+    current snapshot's data into ``ceil(total_bytes / target_bytes)``
+    files and commit the result as a new overwrite snapshot. The swap
+    is atomic (same manifest protocol as every write), so readers see
+    either the fragmented or the compacted table, never a mix — and a
+    killed compaction leaves the table untouched.
+
+    An append-heavy ingest (streaming micro-batches, per-trigger
+    files) degrades scan parallelism bookkeeping and NameNode/listing
+    cost as file count grows; periodic compaction is standard table
+    maintenance at scale. ``sort_by`` additionally range-clusters rows
+    (e.g. ``["cell_id"]``) so parquet min/max stats prune compacted
+    files for selective scans.
+
+    Returns {snapshot, files_before, files_after, bytes, rows}.
+    """
+    entry = current_snapshot(path)
+    if entry is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    dirs = [os.path.join(path, d) for d in entry["data_dirs"]]
+    files_before, total_bytes = _dir_file_stats(spark, dirs)
+    n_out = max(1, -(-total_bytes // max(1, int(target_bytes))))
+    df = spark.read.parquet(*dirs)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_out)
+    snap = write_table(
+        out,
+        path,
+        mode="overwrite",
+        properties={"last_compaction": entry["id"], "compaction_target_bytes": int(target_bytes)},
+    )
+    new_entry = current_snapshot(path)
+    files_after, _ = _dir_file_stats(
+        spark, [os.path.join(path, d) for d in new_entry["data_dirs"]]
+    )
+    return {
+        "snapshot": snap,
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+        "rows": int(new_entry["row_count"]),
+    }

@@ -272,3 +272,58 @@ def test_pgm_resize_semantics():
     # never upsamples
     tiny = f"P5\n4 4\n255\n".encode() + bytes(16)
     assert bytes(resize_pgm_batch(pd.Series([tiny]), max_side=16)[0]) == tiny
+
+
+def test_compact_table_rewrites_small_files_atomically(spark, tmp_path):
+    """Compaction: a fragmented table (32 tiny files) rewrites into few
+    target-size files as a NEW overwrite snapshot — same rows, same
+    schema, old snapshot id recorded, file count actually reduced."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.io.writer import _dir_file_stats, compact_table
+
+    tbl = str(tmp_path / "frag_table")
+    df = (
+        spark.range(5000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 97).alias("k"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("payload"),
+        )
+        .repartition(32)
+    )
+    write_table(df, tbl, mode="overwrite")
+    before = current_snapshot(tbl)
+    stats = compact_table(spark, tbl, target_bytes=40 << 10)  # ~40 KiB targets
+    after = current_snapshot(tbl)
+
+    assert stats["files_before"] == 32
+    assert stats["files_after"] < 32 and stats["files_after"] >= 1
+    assert stats["rows"] == 5000
+    assert after["id"] != before["id"] and after["operation"] == "overwrite"
+
+    got = read_committed(spark, tbl)
+    assert got.count() == 5000
+    assert set(got.columns) == {"id", "k", "payload"}
+    assert got.agg(F.sum("id")).collect()[0][0] == 5000 * 4999 // 2
+
+    # sort_by variant range-clusters: each output file holds a disjoint
+    # k-range (parquet min/max pruning actually bites)
+    compact_table(spark, tbl, target_bytes=40 << 10, sort_by=["k"])
+    cur = current_snapshot(tbl)
+    import os as _os
+
+    data_dir = _os.path.join(tbl, cur["data_dirs"][-1])
+    parts = sorted(p for p in _os.listdir(data_dir) if p.endswith(".parquet"))
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for p in parts:
+        t = pq.read_table(_os.path.join(data_dir, p), columns=["k"])
+        if t.num_rows:
+            ks = t["k"].to_pylist()
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (range partitioned)
