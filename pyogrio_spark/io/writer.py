@@ -239,3 +239,32 @@ def compact_table(
         "bytes": int(total_bytes),
         "rows": int(new_entry["row_count"]),
     }
+
+
+def expire_snapshots(path: str) -> dict:
+    """Vacuum: delete data directories no longer referenced by the
+    current snapshot — the garbage left behind by overwrite commits
+    (incl. compaction). Companion to ``compact_table``: compaction
+    rewrites, expiry reclaims.
+
+    Safe under the manifest protocol: the referenced set is read under
+    the manifest lock, and an unreferenced dir can never become
+    referenced again (append snapshots inherit only the *current*
+    dirs; new writes always mint fresh ids), so deleting after lock
+    release races with nothing. Readers of the current snapshot are
+    unaffected; time-travel to expired snapshots is gone — that is the
+    point of retention."""
+    import shutil
+
+    with _manifest_lock(path):
+        manifest = _read_manifest(path)
+        cur = manifest["current"]
+        referenced = set(cur["data_dirs"]) if cur else set()
+    data_root = os.path.join(path, "data")
+    removed = []
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            if os.path.join("data", d) not in referenced:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed.append(d)
+    return {"removed": removed, "kept": sorted(referenced)}

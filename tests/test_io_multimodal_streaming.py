@@ -327,3 +327,33 @@ def test_compact_table_rewrites_small_files_atomically(spark, tmp_path):
     assert len(ranges) > 1
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (range partitioned)
+
+
+def test_expire_snapshots_reclaims_unreferenced_dirs(spark, tmp_path):
+    """Vacuum after compaction: overwrite-orphaned data dirs are
+    deleted, the current snapshot still reads in full, and an append
+    after expiry keeps working."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.io.writer import compact_table, expire_snapshots
+
+    tbl = str(tmp_path / "vacuum_table")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    write_table(df.repartition(8), tbl, mode="overwrite")
+    write_table(df.repartition(8), tbl, mode="append")  # 2000 rows now
+    compact_table(spark, tbl, target_bytes=1 << 20)
+
+    data_root = _os.path.join(tbl, "data")
+    assert len(_os.listdir(data_root)) == 3  # two originals + compacted
+
+    out = expire_snapshots(tbl)
+    assert len(out["removed"]) == 2 and len(out["kept"]) == 1
+    assert sorted(_os.listdir(data_root)) == [
+        _os.path.basename(k) for k in out["kept"]
+    ]
+    assert read_committed(spark, tbl).count() == 2000
+
+    write_table(df.limit(10), tbl, mode="append")
+    assert read_committed(spark, tbl).count() == 2010
