@@ -60,6 +60,53 @@ WKT_BY_EPSG: dict[int, str] = {
         'PARAMETER["Latitude_Of_Origin",49],UNIT["Meter",1],'
         'AUTHORITY["EPSG","27700"]]'
     ),
+    # geographic CRSs of the two other datums this module's projected
+    # systems sit on (standard public definitions)
+    4258: (
+        'GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",'
+        'SPHEROID["GRS_1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433],'
+        'AUTHORITY["EPSG","4258"]]'
+    ),
+    4267: (
+        'GEOGCS["GCS_North_American_1927",DATUM["D_North_American_1927",'
+        'SPHEROID["Clarke_1866",6378206.4,294.9786982]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433],'
+        'AUTHORITY["EPSG","4267"]]'
+    ),
+    # RGF93 / Lambert-93 — the French national grid
+    2154: (
+        'PROJCS["RGF_1993_Lambert_93",GEOGCS["GCS_RGF_1993",'
+        'DATUM["D_RGF_1993",SPHEROID["GRS_1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic"],'
+        'PARAMETER["False_Easting",700000],PARAMETER["False_Northing",6600000],'
+        'PARAMETER["Central_Meridian",3],PARAMETER["Standard_Parallel_1",49],'
+        'PARAMETER["Standard_Parallel_2",44],PARAMETER["Latitude_Of_Origin",46.5],'
+        'UNIT["Meter",1],AUTHORITY["EPSG","2154"]]'
+    ),
+    # ETRS89-extended / LAEA Europe — the EU statistical grid
+    3035: (
+        'PROJCS["ETRS_1989_LAEA",GEOGCS["GCS_ETRS_1989",'
+        'DATUM["D_ETRS_1989",SPHEROID["GRS_1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+        'PARAMETER["False_Easting",4321000],PARAMETER["False_Northing",3210000],'
+        'PARAMETER["Central_Meridian",10],PARAMETER["Latitude_Of_Origin",52],'
+        'UNIT["Meter",1],AUTHORITY["EPSG","3035"]]'
+    ),
+    # NAD83 / Conus Albers — the US national-extent equal-area grid
+    5070: (
+        'PROJCS["NAD_1983_Contiguous_USA_Albers",'
+        'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+        'SPHEROID["GRS_1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Albers"],'
+        'PARAMETER["False_Easting",0],PARAMETER["False_Northing",0],'
+        'PARAMETER["Central_Meridian",-96],PARAMETER["Standard_Parallel_1",29.5],'
+        'PARAMETER["Standard_Parallel_2",45.5],PARAMETER["Latitude_Of_Origin",23],'
+        'UNIT["Meter",1],AUTHORITY["EPSG","5070"]]'
+    ),
 }
 
 # name fragment (case/sep-insensitive) -> EPSG code, for authority-less
@@ -70,8 +117,18 @@ _NAME_TABLE: list[tuple[str, int]] = [
     ("wgs84pseudomercator", 3857),
     ("webmercator", 3857),
     ("britishnationalgrid", 27700),
+    ("rgf1993lambert93", 2154),
+    ("lambert93", 2154),
+    ("etrs1989laea", 3035),
+    ("laeaeurope", 3035),
+    ("contiguoususaalbers", 5070),
+    ("conusalbers", 5070),
+    ("gcsnorthamerican1927", 4267),
+    ("nad1927", 4267),
+    ("nad27", 4267),
     ("gcsnorthamerican1983", 4269),
     ("nad83", 4269),
+    ("gcsetrs1989", 4258),
     ("gcswgs1984", 4326),
     ("wgs84", 4326),
     ("wgs1984", 4326),

@@ -66,8 +66,9 @@ def _list_dtype(vals: list) -> str | None:
 def _json_safe(v):
     """Property value -> JSON-serializable: numpy scalars unwrap,
     numpy arrays / lists (how Spark ``toPandas`` delivers ``array<T>``
-    columns) become plain lists recursively, NaN/None -> null."""
-    if v is None or (isinstance(v, float) and np.isnan(v)):
+    columns) become plain lists recursively, NaN/±Inf/None -> null
+    (json.dumps would otherwise emit non-RFC tokens for them)."""
+    if v is None or (isinstance(v, float) and not np.isfinite(v)):
         return None
     if isinstance(v, np.ndarray):
         return [_json_safe(e) for e in v.tolist()]

@@ -75,3 +75,41 @@ def test_chunking_plan_is_shuffle_free(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunking_property_reconstruction(spark):
+    """Property: for random texts and random (chunk, overlap) grids the
+    reconstruction invariant and coverage bounds hold."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n_toks=st.integers(1, 120),
+        c=st.integers(2, 24),
+        o=st.integers(0, 10),
+        seed=st.integers(0, 10**6),
+    )
+    def check(n_toks, c, o, seed):
+        if o >= c:
+            o = c - 1
+        import random
+
+        rng = random.Random(seed)
+        toks = [f"w{rng.randrange(50)}" for _ in range(n_toks)]
+        text = " ".join(toks)
+        df = spark.createDataFrame([(0, text)], schema="doc_id bigint, text string")
+        out = (
+            chunk_documents(df, c, o)
+            .toPandas()
+            .sort_values("chunk_id")
+            .reset_index(drop=True)
+        )
+        rebuilt = []
+        for _, row in out.iterrows():
+            ct = row.chunk_text.split(" ")
+            assert len(ct) == row.n_tokens
+            assert row.n_tokens <= c
+            rebuilt.extend(ct if row.chunk_id == 0 else ct[o:])
+        assert rebuilt == toks
+
+    check()

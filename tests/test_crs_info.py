@@ -418,3 +418,28 @@ def test_nad83_utm_identification_roundtrip():
         assert epsg_from_wkt(wkt) == code
     # central meridian arithmetic: zone 14 -> -99
     assert 'PARAMETER["Central_Meridian",-99]' in crs_to_wkt(26914)
+
+
+def test_common_projected_crs_full_wkt():
+    """The ubiquitous non-UTM projected systems (Lambert-93, LAEA
+    Europe, Conus Albers) and the NAD27/ETRS89 geographic CRSs carry
+    full WKT (not the LOCAL_CS skeleton) and identify both by
+    authority and by authority-less name."""
+    from pyogrio_spark.crs import crs_to_wkt, epsg_from_wkt
+
+    for code, marker in (
+        (2154, "Lambert_Conformal_Conic"),
+        (3035, "Lambert_Azimuthal_Equal_Area"),
+        (5070, '"Albers"'),
+        (4258, "D_ETRS_1989"),
+        (4267, "Clarke_1866"),
+    ):
+        wkt = crs_to_wkt(code)
+        assert "LOCAL_CS" not in wkt and marker in wkt, code
+        assert epsg_from_wkt(wkt) == code
+    # authority-less .prj name identification
+    assert epsg_from_wkt('PROJCS["RGF_1993_Lambert_93"]') == 2154
+    assert epsg_from_wkt('PROJCS["ETRS_1989_LAEA"]') == 3035
+    assert epsg_from_wkt('PROJCS["NAD_1983_Contiguous_USA_Albers"]') == 5070
+    assert epsg_from_wkt('GEOGCS["GCS_North_American_1927"]') == 4267
+    assert epsg_from_wkt('GEOGCS["GCS_ETRS_1989"]') == 4258
