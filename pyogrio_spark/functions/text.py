@@ -92,3 +92,43 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col),
         fingerprint(text_col),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by (tf DESC, df ASC, token ASC)
+    with the tf-idf score attached — the corpus-statistics op behind
+    keyword extraction / quality filtering in training pipelines.
+
+    Plan: explode -> two groupBys (tf per (doc, token), df per token)
+    -> equi-join on token -> per-doc window top-k. The document
+    frequency side is vocabulary-sized; it is NOT force-broadcast —
+    at web scale a vocabulary can exceed broadcast limits, so the
+    token join stays a hash join and AQE broadcasts it when it is
+    actually small. Ranking is integer-only (tf, df, token), so the
+    result is deterministic and engine-portable; the attached
+    ``tfidf = tf * ln((N+1)/(df+1))`` is rounded to 6 decimals for
+    cross-engine comparison.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # one scalar aggregate, any scale
+    toks = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", "rnk")
+    )

@@ -897,6 +897,37 @@ def q_text_features(spark, sf):
     )
 
 
+def q_text_tfidf(spark, sf):
+    """Top-5 tf-idf terms per document (functions/text.py
+    tfidf_top_terms): integer-only tie-safe ranking, score rounded to
+    6 decimals — exact across engines."""
+    from pyogrio_spark.functions.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return tfidf_top_terms(docs, k=5)
+
+
+ORACLE_TEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         round(tf.tf * ln((n.n_docs + 1) / (dfq.df + 1)), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC
+         ) AS rnk
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf, rnk FROM scored WHERE rnk <= 5
+"""
+
+
 def q_text_chunking(spark, sf):
     """Fixed-window chunking + capacity packing (operators/chunking.py):
     32-token windows sliding by 24 (8-token overlap), packed 4 chunks /
@@ -1861,7 +1892,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "geo_rasterize": q_geo_rasterize,
     "spans_explode": q_spans_explode,
-    "spans_reconstruct": q_spans_reconstruct,
+    "text_tfidf": q_text_tfidf,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
@@ -1923,8 +1954,12 @@ QUERIES = {
     "geo_zonal_stats_poly": q_geo_zonal_poly,
     # round 5 swapped events_json_props (driver-green r1-r4; JSON-parse
     # machinery also exercised by events_sessionize's payload path) out
-    # of the window to make room for text_chunking.
+    # of the window to make room for text_chunking, and
+    # spans_reconstruct (driver-green r1-r4; the span byte-identity
+    # invariant stays pytest-asserted through the mapInArrow stages and
+    # spans_explode remains in-window) for text_tfidf.
     "events_json_props": q_events_json_props,
+    "spans_reconstruct": q_spans_reconstruct,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -1988,6 +2023,7 @@ ORACLES = {
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,
+    "text_tfidf": ORACLE_TEXT_TFIDF,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,

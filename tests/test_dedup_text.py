@@ -215,3 +215,27 @@ def test_winnow_token_unit(spark):
     # token grams produce far fewer rows than char grams on the same text
     fps_char = winnow_fingerprints(df, k=8, window=16, unit="char").toPandas()
     assert len(fps) < len(fps_char)
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """Tie-safe integer ranking: tf desc, then rarer token (df asc),
+    then token asc; score = tf * ln((N+1)/(df+1)) rounded."""
+    import math
+
+    from pyogrio_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (0, "a a a b b c shared"),
+        (1, "b b b a c c shared"),
+        (2, "x x y shared"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = tfidf_top_terms(df, k=3).toPandas().sort_values(["doc_id", "rnk"])
+    d0 = out[out.doc_id == 0]
+    assert list(d0.token) == ["a", "b", "c"]  # tf 3,2,1; c beats shared on df
+    d2 = out[out.doc_id == 2]
+    assert list(d2.token) == ["x", "y", "shared"]  # y (df=1) before shared (df=3)
+    row = d0[d0.token == "a"].iloc[0]
+    assert row.tf == 3 and row.df == 2
+    assert abs(row.tfidf - round(3 * math.log(4 / 3), 6)) < 1e-9
+    assert (out.groupby("doc_id").size() == 3).all()
