@@ -22,7 +22,13 @@ protocol in pyogrio_spark.io.writer).
 __version__ = "0.1.0"
 
 from pyogrio_spark.session import get_spark  # noqa: F401
-from pyogrio_spark.io.dispatch import dataset_info, dataset_layers, detect_format, open_table  # noqa: F401
+from pyogrio_spark.io.dispatch import (  # noqa: F401
+    convert_dataset,
+    dataset_info,
+    dataset_layers,
+    detect_format,
+    open_table,
+)
 from pyogrio_spark.io.reader import read_bounds, read_info, read_table  # noqa: F401
 from pyogrio_spark.io.writer import read_committed, write_table  # noqa: F401
 from pyogrio_spark.cache import release_pins  # noqa: F401

@@ -213,3 +213,70 @@ def dataset_layers(path: str) -> list[list[str]]:
             t = "Unknown"
         return [[name, t]]
     raise ValueError(f"dataset_layers needs a file-based source, got {path}")
+
+
+def convert_dataset(
+    spark,
+    src: str,
+    dst: str,
+    layer: str | None = None,
+    crs=None,
+    distributed: bool = True,
+    **read_table_kwargs,
+):
+    """ogr2ogr-style conversion: read any supported source, write any
+    supported sink, composing the scan-side filter surface
+    (columns/where/bbox/mask/fids/skip/max) with format codecs.
+
+    ``distributed=True`` keeps BOTH halves on executors where the
+    formats allow it: byte-range-partitioned scans (shapefile .shx,
+    GPKG pk ranges, FGB R-tree leaves, GeoJSONSeq lines) into
+    distributed single-file sinks (FGB / shapefile part-encode +
+    driver byte-stitch, GeoJSONSeq part files) — the multi-GB
+    conversion never materializes the dataset on the driver. Formats
+    without a distributed half (GeoJSON FeatureCollection, GPKG
+    single-writer SQLite sink) fall back to the driver-side codec with
+    a toPandas boundary, same as the reference's single-process write.
+
+    ``crs=None`` carries the source CRS through (the ogr2ogr default);
+    pass a crs to override.
+    """
+    from pyogrio_spark.io.reader import read_table  # noqa: F401  (filter surface)
+
+    if crs is None:
+        try:
+            crs = dataset_info(src, layer=layer).get("crs")
+        except (ValueError, OSError, KeyError):
+            crs = None
+
+    try:
+        df = open_table(spark, src, layer=layer, distributed=distributed, **read_table_kwargs)
+    except ValueError:
+        if not distributed:
+            raise
+        # sources with no distributed scan (e.g. FeatureCollection)
+        df = open_table(spark, src, layer=layer, distributed=False, **read_table_kwargs)
+
+    low = str(dst).lower()
+    fmt_dst = detect_format(dst)
+    if distributed and fmt_dst == "flatgeobuf":
+        from pyogrio_spark.io.flatgeobuf import write_flatgeobuf_distributed
+
+        write_flatgeobuf_distributed(df.drop("fid"), dst, crs=crs)
+    elif distributed and fmt_dst == "shapefile":
+        from pyogrio_spark.io.shapefile import write_shapefile_distributed
+
+        write_shapefile_distributed(df.drop("fid"), dst, crs=crs)
+    else:
+        # GeoJSON(-Seq single file), GPKG: driver-side codecs by nature
+        # (one JSON document / single-writer SQLite). A directory of
+        # distributed GeoJSONSeq part files is available directly via
+        # ``write_geojson_seq_distributed`` when a single file is not
+        # required.
+        from pyogrio_spark.compat import write_dataframe
+
+        pdf = df.toPandas()
+        if "fid" in pdf.columns:
+            pdf = pdf.drop(columns=["fid"])
+        write_dataframe(pdf, dst, layer=layer, geometry_column="geometry_wkb", crs=crs)
+    return dataset_info(dst)

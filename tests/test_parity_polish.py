@@ -98,3 +98,46 @@ def test_datetime_unparseable_returns_strings(spark, dt_df):
     with pytest.warns(UserWarning, match="original strings"):
         df = try_parse_datetime_column(dt_df(["2020-01-01T10:00:00", "not a date"]), "ts")
     assert df.schema["ts"].dataType.simpleString() == "string"
+
+
+def test_convert_dataset_shp_to_fgb_distributed(spark, tmp_path):
+    """ogr2ogr-style conversion rides the distributed halves: shapefile
+    .shx-partitioned scan -> distributed FGB sink; attributes,
+    geometry and CRS survive, filters compose."""
+    from pyogrio_spark.io.dispatch import convert_dataset, open_table
+
+    ne = "/root/reference/pyogrio/tests/fixtures/naturalearth_lowres/naturalearth_lowres.shp"
+    dst = str(tmp_path / "ne.fgb")
+    info = convert_dataset(spark, ne, dst)
+    assert info["features"] == 177 and info["driver"] == "FlatGeobuf"
+    assert info["crs"] == "EPSG:4326"
+
+    src_pdf = open_table(spark, ne).toPandas()
+    dst_pdf = open_table(spark, dst).toPandas()
+    assert len(dst_pdf) == 177
+    for c in ("name", "iso_a3", "pop_est"):
+        assert sorted(map(str, src_pdf[c])) == sorted(map(str, dst_pdf[c]))
+    # geometry byte-parity modulo fid ordering
+    assert sorted(bytes(b) for b in src_pdf.geometry_wkb) == sorted(
+        bytes(b) for b in dst_pdf.geometry_wkb
+    )
+
+    # filters compose on the scan side
+    dst2 = str(tmp_path / "africa.fgb")
+    info2 = convert_dataset(spark, ne, dst2, where="continent = 'Africa'")
+    assert 0 < info2["features"] < 177
+
+
+def test_convert_dataset_fgb_to_geojson_driver_fallback(spark, tmp_path):
+    """A destination with no distributed sink (FeatureCollection) falls
+    back to the driver codec with identical content."""
+    from pyogrio_spark.io.dispatch import convert_dataset, open_table
+
+    ne = "/root/reference/pyogrio/tests/fixtures/naturalearth_lowres/naturalearth_lowres.shp"
+    mid = str(tmp_path / "ne.fgb")
+    convert_dataset(spark, ne, mid)
+    dst = str(tmp_path / "ne.geojson")
+    info = convert_dataset(spark, mid, dst)
+    assert info["features"] == 177 and info["driver"] == "GeoJSON"
+    got = open_table(spark, dst).toPandas()
+    assert len(got) == 177 and "name" in got.columns
