@@ -171,3 +171,64 @@ def test_salting_splits_manufactured_hot_cell(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_cell_natively(spark):
+    """Production complement to manual salting: with AQE skew-join
+    enabled (thresholds scaled to the fixture), the SAME unsalted
+    shuffle join gets its hot partition split by OptimizeSkewedJoin —
+    plan shows skew=true — and the result is unchanged. At cluster
+    scale the engine can therefore rely on AQE for moderate skew and
+    reserve plan_salt_factors for the extreme cells AQE's per-partition
+    splitting cannot reach (one KEY hotter than a partition)."""
+    import numpy as np
+
+    from pyogrio_spark.geometry import wkb as W
+    from pyogrio_spark.index.grid import cell_of
+
+    rng = np.random.default_rng(13)
+    n_hot = 6000
+    hot_lon = rng.uniform(0.1, 1.0, n_hot)
+    hot_lat = rng.uniform(0.1, 0.7, n_hot)
+    rows = [("hot%06d" % i, float(hot_lon[i]), float(hot_lat[i])) for i in range(n_hot)]
+    zones = [(0, W.encode_polygon([np.array(
+        [[0.05, 0.05], [1.15, 0.05], [1.15, 0.75], [0.05, 0.75], [0.05, 0.05]])]))]
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "xmin", "ymin"])
+    docs_pd["cell_id"] = cell_of(docs_pd.xmin.to_numpy(), docs_pd.ymin.to_numpy(), 7)
+    docs = spark.createDataFrame(
+        docs_pd, schema="doc_id string, xmin double, ymin double, cell_id long"
+    ).repartition(8)
+    cover = zones_cell_cover(spark, pd.DataFrame(zones, columns=["fid", "geometry_wkb"]))
+
+    old = {k: spark.conf.get(k) for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )}
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # scale AQE's skew thresholds down to fixture size (defaults are
+    # 256MB-scale); factor stays default-ish: hot partition >> median
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try:
+        out = point_in_polygon_join(
+            docs, cover, keep_doc_cols=["doc_id"], broadcast_cover=False
+        )
+        got = out.collect()  # action on THIS frame finalizes its AQE plan
+        assert len(got) == n_hot  # every doc inside the one zone
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ):
+            spark.conf.unset(k)
