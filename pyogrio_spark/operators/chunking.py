@@ -85,3 +85,60 @@ def pack_chunks(
     return chunks.withColumn(
         "pack_id", (F.col("chunk_id") / F.lit(m)).cast("bigint")
     )
+
+
+def pack_chunks_global(
+    chunks: DataFrame,
+    budget_tokens: int,
+    chunk_tokens: int = 32,
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+) -> DataFrame:
+    """Cross-document fixed-capacity packing: assign ALL chunks, in
+    global (doc_id, chunk_id) order, to packs of
+    ``m = budget_tokens // chunk_tokens`` chunks — the final context
+    assembly step ``pack_chunks`` leaves to the caller, made
+    distributed.
+
+    A naive global ``row_number`` puts the whole corpus through ONE
+    window task; instead this uses the engine's two-phase rank: range
+    partition + local sort (the only real shuffle), per-partition
+    counts (a partitions-sized aggregate), broadcast the cumulative
+    offsets back, and compute ``global_idx = local row_number +
+    partition offset`` — every stage is partition-parallel and the
+    driver never touches row data. The repartitioned frame is cached
+    before the counts job: ``spark_partition_id`` is re-evaluated per
+    job, so the two jobs must see the identical physical partitioning
+    (see BENCH notes).
+
+    Adds ``global_idx`` and overwrites ``pack_id`` with the global
+    assignment; every pack is within budget for the same reason as
+    ``pack_chunks`` (chunks never exceed ``chunk_tokens``).
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens < chunk_tokens:
+        raise ValueError(
+            f"budget_tokens ({budget_tokens}) must be >= chunk_tokens ({chunk_tokens})"
+        )
+    m = budget_tokens // chunk_tokens
+    cols = list(order_cols)
+    ordered = (
+        chunks.drop("pack_id")
+        .repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = ordered.groupBy("_pid").count()
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    out = (
+        ordered.join(F.broadcast(offs), "_pid")
+        .withColumn("global_idx", F.row_number().over(w_local) - 1 + F.col("_off"))
+        .withColumn("pack_id", (F.col("global_idx") / F.lit(m)).cast("bigint"))
+        .drop("_pid", "_off")
+    )
+    return out

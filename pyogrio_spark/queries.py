@@ -928,6 +928,44 @@ SELECT doc_id, token, tf, df, tfidf, rnk FROM scored WHERE rnk <= 5
 """
 
 
+def q_chunk_pack_global(spark, sf):
+    """Cross-document global packing (operators/chunking.py
+    pack_chunks_global): two-phase distributed rank — range shuffle,
+    partition-local row_number + broadcast offsets; no corpus-sized
+    single window task."""
+    from pyogrio_spark.operators.chunking import chunk_documents, pack_chunks_global
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    return pack_chunks_global(ch, budget_tokens=128, chunk_tokens=32).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "global_idx",
+        "pack_id",
+    )
+
+
+ORACLE_CHUNK_PACK_GLOBAL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), e AS (
+  SELECT doc_id, n,
+         unnest(range(0, greatest(1, CAST(ceil((n - 32) / 24.0) AS INT) + 1))) AS chunk_id
+  FROM n
+), g AS (
+  SELECT doc_id, chunk_id, least(32, n - chunk_id * 24) AS n_tokens,
+         row_number() OVER (ORDER BY doc_id, chunk_id) - 1 AS global_idx
+  FROM e
+)
+SELECT doc_id, chunk_id, n_tokens, global_idx,
+       CAST(floor(global_idx / 4) AS BIGINT) AS pack_id
+FROM g
+"""
+
+
 def q_text_chunking(spark, sf):
     """Fixed-window chunking + capacity packing (operators/chunking.py):
     32-token windows sliding by 24 (8-token overlap), packed 4 chunks /
@@ -1884,7 +1922,7 @@ QUERIES = {
     "adaptive_tile_map": q_adaptive_tile_map,
     "geo_intersects_join": q_geo_intersects_join,
     "geo_clip": q_geo_clip,
-    "curve_linearize": q_curve_linearize,
+    "chunk_pack_global": q_chunk_pack_global,
     "geo_knn_join": q_geo_knn,
     "geo_knn_join_haversine": q_geo_knn_haversine,
     "geo_range_join": q_geo_range_join,
@@ -1960,6 +1998,11 @@ QUERIES = {
     # spans_explode remains in-window) for text_tfidf.
     "events_json_props": q_events_json_props,
     "spans_reconstruct": q_spans_reconstruct,
+    # round 5 also swapped curve_linearize (driver-green r1-r4;
+    # additionally golden-tested against the reference's own curve
+    # fixtures every round in tests/test_curves.py) for
+    # chunk_pack_global.
+    "curve_linearize": q_curve_linearize,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2024,6 +2067,7 @@ ORACLES = {
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,
     "text_tfidf": ORACLE_TEXT_TFIDF,
+    "chunk_pack_global": ORACLE_CHUNK_PACK_GLOBAL,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,

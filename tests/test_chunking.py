@@ -113,3 +113,32 @@ def test_chunking_property_reconstruction(spark):
         assert rebuilt == toks
 
     check()
+
+
+def test_pack_chunks_global_dense_and_bounded(spark):
+    """Global packing: global_idx is a dense 0..n-1 enumeration in
+    (doc_id, chunk_id) order across MANY input partitions, every pack
+    holds exactly m chunks (last may be short), all within budget."""
+    import numpy as np
+
+    from pyogrio_spark.operators.chunking import pack_chunks_global
+
+    rows = [
+        (d, " ".join(f"d{d}w{i}" for i in range(5 + (d * 7) % 40)))
+        for d in range(200)
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id bigint, text string").repartition(16)
+    ch = chunk_documents(docs, C, O)
+    out = pack_chunks_global(ch, budget_tokens=3 * C, chunk_tokens=C).toPandas()
+
+    n = len(out)
+    assert sorted(out.global_idx) == list(range(n))  # dense, no gaps
+    ordered = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert list(ordered.global_idx) == list(range(n))  # order = (doc, chunk)
+    assert (out.pack_id == out.global_idx // 3).all()
+    sizes = out.groupby("pack_id").size()
+    assert (sizes.iloc[:-1] == 3).all() if len(sizes) > 1 else True
+    assert (out.groupby("pack_id").n_tokens.sum() <= 3 * C).all()
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        pack_chunks_global(ch, budget_tokens=C - 1, chunk_tokens=C)
