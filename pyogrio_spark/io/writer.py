@@ -71,12 +71,18 @@ def _atomic_write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, mp)  # atomic on POSIX — the "commit"
 
 
+class SnapshotConflict(RuntimeError):
+    """Another writer committed between an optimistic reader's snapshot
+    read and its commit; the caller must re-read and retry."""
+
+
 def write_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     properties: dict | None = None,
+    expected_current_id: str | None = None,
 ) -> str:
     """Write ``df`` as a new committed snapshot; returns the snapshot id.
 
@@ -107,6 +113,18 @@ def write_table(
     # read-modify-write of the manifest is the critical section
     with _manifest_lock(path):
         manifest = _read_manifest(path)
+        if expected_current_id is not None:
+            # optimistic concurrency (Iceberg-style validate-and-swap):
+            # a rewrite computed from snapshot X must not clobber a
+            # commit that landed after X was read — without this check
+            # a concurrent append would silently vanish under an
+            # overwrite produced by compaction
+            cur_id = manifest["current"]["id"] if manifest["current"] else None
+            if cur_id != expected_current_id:
+                raise SnapshotConflict(
+                    f"table advanced from {expected_current_id} to {cur_id} "
+                    "since the rewrite's snapshot was read"
+                )
         seq = len(manifest["snapshots"])
         parents = [] if mode == "overwrite" else list(manifest["current"]["data_dirs"]) if manifest["current"] else []
         entry = {
@@ -209,25 +227,39 @@ def compact_table(
     (e.g. ``["cell_id"]``) so parquet min/max stats prune compacted
     files for selective scans.
 
+    The commit validates that the table has not advanced past the
+    snapshot the rewrite was computed from (``expected_current_id``) —
+    a concurrent append can never be clobbered; on conflict the
+    rewrite restarts from the new current (bounded retries, then
+    ``SnapshotConflict`` propagates). Conflicted data dirs are
+    unreferenced and reclaimed by ``expire_snapshots``.
+
     Returns {snapshot, files_before, files_after, bytes, rows}.
     """
-    entry = current_snapshot(path)
-    if entry is None:
-        raise FileNotFoundError(f"no committed snapshot at {path}")
-    dirs = [os.path.join(path, d) for d in entry["data_dirs"]]
-    files_before, total_bytes = _dir_file_stats(spark, dirs)
-    n_out = max(1, -(-total_bytes // max(1, int(target_bytes))))
-    df = spark.read.parquet(*dirs)
-    if sort_by:
-        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
-    else:
-        out = df.repartition(n_out)
-    snap = write_table(
-        out,
-        path,
-        mode="overwrite",
-        properties={"last_compaction": entry["id"], "compaction_target_bytes": int(target_bytes)},
-    )
+    for attempt in range(3):
+        entry = current_snapshot(path)
+        if entry is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        dirs = [os.path.join(path, d) for d in entry["data_dirs"]]
+        files_before, total_bytes = _dir_file_stats(spark, dirs)
+        n_out = max(1, -(-total_bytes // max(1, int(target_bytes))))
+        df = spark.read.parquet(*dirs)
+        if sort_by:
+            out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            out = df.repartition(n_out)
+        try:
+            snap = write_table(
+                out,
+                path,
+                mode="overwrite",
+                properties={"last_compaction": entry["id"], "compaction_target_bytes": int(target_bytes)},
+                expected_current_id=entry["id"],
+            )
+            break
+        except SnapshotConflict:
+            if attempt == 2:
+                raise
     new_entry = current_snapshot(path)
     files_after, _ = _dir_file_stats(
         spark, [os.path.join(path, d) for d in new_entry["data_dirs"]]

@@ -357,3 +357,31 @@ def test_expire_snapshots_reclaims_unreferenced_dirs(spark, tmp_path):
 
     write_table(df.limit(10), tbl, mode="append")
     assert read_committed(spark, tbl).count() == 2010
+
+
+def test_compaction_conflict_never_drops_concurrent_append(spark, tmp_path):
+    """Optimistic concurrency: an append that lands between a rewrite's
+    snapshot read and its commit makes the stale commit fail with
+    SnapshotConflict (direct write_table) and makes compact_table
+    retry from the NEW current — the appended rows survive."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.io.writer import SnapshotConflict, compact_table
+
+    tbl = str(tmp_path / "occ_table")
+    df = spark.range(500).select(F.col("id"))
+    write_table(df.repartition(8), tbl, mode="overwrite")
+    stale = current_snapshot(tbl)["id"]
+
+    # the race: another writer commits while our rewrite is in flight
+    write_table(df.selectExpr("id + 1000 AS id"), tbl, mode="append")
+
+    with pytest.raises(SnapshotConflict, match="advanced"):
+        write_table(df, tbl, mode="overwrite", expected_current_id=stale)
+
+    # compact_table re-reads current and keeps both halves
+    stats = compact_table(spark, tbl, target_bytes=1 << 20)
+    assert stats["rows"] == 1000
+    got = read_committed(spark, tbl)
+    assert got.count() == 1000
+    assert got.filter("id >= 1000").count() == 500
