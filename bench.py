@@ -52,8 +52,11 @@ HEADLINE = [
     "geo_reproject",
     "geo_measures",
     "geo_clip",
-    # round-5 addition: zero-shuffle chunk+pack map over the corpus
+    # round-5 additions: zero-shuffle chunk+pack map over the corpus,
+    # cross-doc global packing (two-phase rank), tf-idf top terms
     "text_chunking",
+    "chunk_pack_global",
+    "text_tfidf",
 ]
 
 

@@ -195,6 +195,53 @@ def run_once_asof_window(cpus: int, n_docs: int) -> dict:
     return run_once_asof(cpus, n_docs, plan="window")
 
 
+def run_once_chunk(cpus: int, n_docs: int) -> dict:
+    """Round-5 operator family: document chunking + global packing.
+    The chunk stage is a pure-codegen zero-shuffle map (split/sequence/
+    explode/slice); pack_chunks_global adds the two-phase rank (one
+    range exchange + partition-local window). Synthesized ~40-token
+    docs; per-row work is JVM string splitting + array slicing."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.operators.chunking import chunk_documents, pack_chunks_global
+    from pyogrio_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(
+        f"scaling_chunk_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.range(n_docs, numPartitions=4 * cpus).select(
+        F.col("id").alias("doc_id"),
+        # ~40 tokens/doc, content varies by id so nothing constant-folds
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{j}_"), ((F.col("id") * (48271 + j)) % 997).cast("string")) for j in range(40)],
+        ).alias("text"),
+    )
+    def run():
+        out = pack_chunks_global(chunk_documents(docs, 32, 8), 128, 32)
+        # materialize EVERY column (count() would let Catalyst prune the
+        # chunk_text slice/join work — the expensive part)
+        row = out.select(
+            F.count("*").alias("n"),
+            F.sum(F.length("chunk_text")).alias("chars"),
+            F.sum("global_idx").alias("gsum"),
+            F.max("pack_id").alias("pmax"),
+        ).collect()[0]
+        return row["n"], row["chars"]
+    n_chunks, chars = run()  # warm pass (codegen compile + JIT)
+    t0 = time.perf_counter()
+    n2, chars2 = run()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    assert (n2, chars2) == (n_chunks, chars)
+    return {"cpus": cpus, "docs": n_docs, "chunks": n_chunks, "chunk_chars": chars,
+            "wall_sec": round(wall, 3), "docs_per_sec": round(n_docs / wall, 1)}
+
+
+
 def run_once_minhash(cpus: int, n_docs: int) -> dict:
     """CPU-bound counterpart: MinHash signatures (16-perm Carter-Wegman
     over one md5 per 3-shingle) on synthesized ~12-word docs. Per-row
@@ -241,7 +288,8 @@ def main() -> None:
     job = sys.argv[2] if len(sys.argv) > 2 else "pip"
     runner = {"pip": run_once, "dedup": run_once_shuffle, "knn": run_once_knn,
               "asof": run_once_asof, "asof_window": run_once_asof_window,
-              "minhash": run_once_minhash}[job]
+              "minhash": run_once_minhash,
+              "chunk": run_once_chunk}[job]
     r8 = runner(8, n_docs)
     r32 = runner(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
