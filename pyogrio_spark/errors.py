@@ -1,0 +1,29 @@
+"""Error hierarchy matching the reference's public ``pyogrio.errors``
+(/root/reference/pyogrio/errors.py) so ported ``except`` clauses keep
+working: same class names, same RuntimeError base, same
+CRS/Feature/Geometry/Field-under-DataLayer nesting."""
+
+
+class DataSourceError(RuntimeError):
+    """Opening or closing a dataset failed (bad path, unreadable or
+    unrecognized container)."""
+
+
+class DataLayerError(RuntimeError):
+    """Working with a single layer failed."""
+
+
+class CRSError(DataLayerError):
+    """Getting or setting CRS values failed."""
+
+
+class FeatureError(DataLayerError):
+    """Reading or writing a feature failed."""
+
+
+class GeometryError(DataLayerError):
+    """Getting or setting a geometry field failed."""
+
+
+class FieldError(DataLayerError):
+    """Getting or setting a non-geometry field failed."""

@@ -92,6 +92,7 @@ def open_table(
     if isinstance(path, (str, os.PathLike)):
         path = resolve_archive(str(path))
         fmt = detect_format(path)
+        _check_exists(path, fmt)
     else:
         fmt = "table"
     if fmt == "shapefile":
@@ -133,6 +134,20 @@ def open_table(
     return read_table(spark, path, **read_table_kwargs)
 
 
+def _check_exists(path: str, fmt: str) -> None:
+    """Reference open semantics: a local path that does not exist fails
+    with ``DataSourceError`` matching GDAL's message
+    (tests/test_core.py:750: raises(DataSourceError, match="No such
+    file or directory")). Remote/Hadoop URIs pass through — their
+    filesystem reports its own errors."""
+    p = str(path)
+    if "://" in p or os.path.exists(p):
+        return
+    from pyogrio_spark.errors import DataSourceError
+
+    raise DataSourceError(f"Failed to open dataset: {p}: No such file or directory")
+
+
 # reference (GDAL) driver names, as read_info/list_drivers report them
 DRIVER_NAMES = {
     "shapefile": "ESRI Shapefile",
@@ -152,6 +167,7 @@ def dataset_info(path: str, layer=None, force_total_bounds: bool = False) -> dic
     None unless forced, like the reference."""
     path = resolve_archive(path)
     fmt = detect_format(path)
+    _check_exists(path, fmt)
     if fmt == "shapefile":
         from pyogrio_spark.io.shapefile import shapefile_info
 
@@ -181,6 +197,7 @@ def dataset_layers(path: str) -> list[list[str]]:
     """[[layer_name, geometry_type], ...] for file-based sources."""
     path = resolve_archive(path)
     fmt = detect_format(path)
+    _check_exists(path, fmt)
     if fmt == "geopackage":
         from pyogrio_spark.io.geopackage import list_layers as gpkg_layers
 

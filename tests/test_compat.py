@@ -318,3 +318,24 @@ def test_write_arrow_infers_engine_geometry_name(tmp_path):
     out = tmp_path / "inferred.geojson"
     write_arrow(table, out, crs=meta["crs"])
     assert len(read_dataframe(str(out))) == 5
+
+
+def test_missing_dataset_raises_datasource_error(tmp_path):
+    """Reference error-surface parity (errors.py + test_core.py:750):
+    opening a nonexistent path raises pyogrio's DataSourceError with
+    GDAL's message, from every read entry point."""
+    from pyogrio_spark.errors import DataLayerError, DataSourceError
+
+    missing = str(tmp_path / "nope.shp")
+    with pytest.raises(DataSourceError, match="No such file or directory"):
+        read_info(missing)
+    with pytest.raises(DataSourceError, match="No such file or directory"):
+        read_dataframe(missing)
+    with pytest.raises(DataSourceError, match="No such file or directory"):
+        list_layers(str(tmp_path / "gone.gpkg"))
+    # hierarchy parity with the reference errors module
+    from pyogrio_spark import errors as E
+
+    assert issubclass(E.CRSError, DataLayerError)
+    assert issubclass(E.FieldError, DataLayerError)
+    assert issubclass(DataSourceError, RuntimeError)
