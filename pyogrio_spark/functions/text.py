@@ -132,3 +132,53 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "token", "tf", "df", "tfidf", "rnk")
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet-shape filter): train
+    an add-one-smoothed bigram model ON the corpus itself, then score
+    each document by its mean bigram log-probability
+    ``avg ln((c(w1,w2) + 1) / (c(w1) + V))``. Low scores = improbable
+    token sequences (gibberish, boilerplate soup) — the standard
+    pretraining quality cut when no external LM is available.
+
+    Plan: posexplode + window-lead bigram stream (codegen; the same
+    shape as shingle_rows), two count aggregations (the model), one
+    broadcast-eligible join of the doc bigram stream against the model
+    (kept a hash join — a web-scale bigram table exceeds broadcast),
+    one final per-doc aggregate. Everything JVM-side; the only scalar
+    on the driver is V (vocabulary size).
+
+    -> (id_col, n_bigrams, lm_score) with lm_score rounded to 6
+    decimals for cross-engine comparison. Single-token docs have no
+    bigrams and are absent (score undefined), matching the SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    long = toks.filter(F.col("_n") >= 2).select(
+        id_col, "_n", F.posexplode("_t").alias("_p", "_w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    big = (
+        long.withColumn("_w2", F.lead("_w1").over(w))
+        .filter(F.col("_w2").isNotNull())
+        .select(id_col, "_w1", "_w2")
+    )
+    c2 = big.groupBy("_w1", "_w2").agg(F.count("*").alias("_c2"))
+    c1 = big.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    vocab = big.select(F.explode(F.array("_w1", "_w2")).alias("_w")).distinct().count()
+    scored = (
+        big.join(c2, ["_w1", "_w2"]).join(c1, "_w1")
+        .withColumn("_lp", F.log((F.col("_c2") + 1) / (F.col("_c1") + F.lit(vocab))))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("lm_score"),
+    )

@@ -966,6 +966,45 @@ FROM g
 """
 
 
+def q_text_lm_score(spark, sf):
+    """Corpus-trained bigram LM quality scores (functions/text.py
+    bigram_lm_scores): add-one smoothing, mean bigram log-prob per doc,
+    rounded 6 decimals."""
+    from pyogrio_spark.functions.text import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bigram_lm_scores(docs)
+
+
+ORACLE_TEXT_LM_SCORE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+  FROM m
+), big AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM e
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1
+), v AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT DISTINCT w FROM (SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big)
+  )
+), s AS (
+  SELECT big.doc_id, ln((c2.c2 + 1) / (c1.c1 + v.v)) AS lp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+FROM s GROUP BY doc_id
+"""
+
+
 def q_text_chunking(spark, sf):
     """Fixed-window chunking + capacity packing (operators/chunking.py):
     32-token windows sliding by 24 (8-token overlap), packed 4 chunks /
@@ -1935,7 +1974,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
-    "dedup_winnow_fingerprints": q_winnow_fingerprints,
+    "text_lm_score": q_text_lm_score,
     "dedup_fingerprint_overlap": q_fingerprint_overlap,
     "decontaminate": q_decontaminate,
     "dedup_components": q_dedup_components,
@@ -2001,8 +2040,11 @@ QUERIES = {
     # round 5 also swapped curve_linearize (driver-green r1-r4;
     # additionally golden-tested against the reference's own curve
     # fixtures every round in tests/test_curves.py) for
-    # chunk_pack_global.
+    # chunk_pack_global, and dedup_winnow_fingerprints (driver-green
+    # r1-r4; the winnow machinery stays exercised in-window as
+    # dedup_fingerprint_overlap's lineage) for text_lm_score.
     "curve_linearize": q_curve_linearize,
+    "dedup_winnow_fingerprints": q_winnow_fingerprints,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2068,6 +2110,7 @@ ORACLES = {
     "text_chunking": ORACLE_TEXT_CHUNKING,
     "text_tfidf": ORACLE_TEXT_TFIDF,
     "chunk_pack_global": ORACLE_CHUNK_PACK_GLOBAL,
+    "text_lm_score": ORACLE_TEXT_LM_SCORE,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,

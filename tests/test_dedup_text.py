@@ -239,3 +239,24 @@ def test_tfidf_top_terms_ranking(spark):
     assert row.tf == 3 and row.df == 2
     assert abs(row.tfidf - round(3 * math.log(4 / 3), 6)) < 1e-9
     assert (out.groupby("doc_id").size() == 3).all()
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one-smoothed bigram LM on a 2-doc corpus, hand-checked;
+    single-token docs have no bigrams and are absent."""
+    import math
+
+    from pyogrio_spark.functions.text import bigram_lm_scores
+
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "solo")]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(out) == {0, 1}
+    # model: c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a)=3 c(b)=2; V=3
+    lp_ab = math.log(4 / 6)
+    lp_ba = math.log(2 / 5)
+    lp_bc = math.log(2 / 5)
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["lm_score"] - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["lm_score"] - round((lp_ab + lp_bc) / 2, 6)) < 1e-9
