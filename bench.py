@@ -57,6 +57,7 @@ HEADLINE = [
     "text_chunking",
     "chunk_pack_global",
     "text_tfidf",
+    "text_lm_score",
 ]
 
 
