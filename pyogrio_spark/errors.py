@@ -27,3 +27,18 @@ class GeometryError(DataLayerError):
 
 class FieldError(DataLayerError):
     """Getting or setting a non-geometry field failed."""
+
+
+def check_dataset_path(path: str) -> None:
+    """Raise ``DataSourceError`` for a local path that does not exist,
+    with the same message shape GDAL surfaces through the reference
+    (its tests match "No such file or directory"). Remote/Hadoop URIs
+    (anything with a scheme) pass through — their filesystem layer
+    reports its own failures at scan time, on the executors that can
+    actually reach it."""
+    import os
+
+    p = str(path)
+    if "://" in p or os.path.exists(p):
+        return
+    raise DataSourceError(f"Failed to open dataset: {p}: No such file or directory")

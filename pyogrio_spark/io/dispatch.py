@@ -135,17 +135,11 @@ def open_table(
 
 
 def _check_exists(path: str, fmt: str) -> None:
-    """Reference open semantics: a local path that does not exist fails
-    with ``DataSourceError`` matching GDAL's message
-    (tests/test_core.py:750: raises(DataSourceError, match="No such
-    file or directory")). Remote/Hadoop URIs pass through — their
-    filesystem reports its own errors."""
-    p = str(path)
-    if "://" in p or os.path.exists(p):
-        return
-    from pyogrio_spark.errors import DataSourceError
+    """Reference open semantics (tests/test_core.py:750): missing local
+    paths raise DataSourceError; see errors.check_dataset_path."""
+    from pyogrio_spark.errors import check_dataset_path
 
-    raise DataSourceError(f"Failed to open dataset: {p}: No such file or directory")
+    check_dataset_path(path)
 
 
 # reference (GDAL) driver names, as read_info/list_drivers report them
