@@ -828,6 +828,64 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def q_decontaminate_fuzzy(spark, sf):
+    """Fuzzy decontamination: flag corpus docs whose MinHash signature
+    shares any LSH band with a benchmark doc — catches high-Jaccard
+    near-verbatim contamination the exact winnowing pass can miss
+    after small edits. Composes the committed minhash machinery
+    (operators/dedup.py) across TWO tables (corpus x benchmark,
+    benchmark side broadcast) instead of a self-join; shared_bands =
+    bands matched (each corpus doc carries one row per band, bench
+    keys are distinct, so the count is exact)."""
+    n_hashes, bands = 16, 4
+    rows = n_hashes // bands
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sig = minhash_signature(docs.select("doc_id", "text"), n_hashes=n_hashes).cache()
+
+    def banded(s):
+        return s.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                                )
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    bench = banded(sig.filter("doc_id < 5")).select("band", "band_key").distinct()
+    corpus = banded(sig.filter("doc_id >= 5"))
+    hits = corpus.join(F.broadcast(bench), ["band", "band_key"])
+    return hits.groupBy("doc_id").agg(F.count("*").alias("shared_bands"))
+
+
+def _oracle_decontaminate_fuzzy() -> str:
+    n, bands, rows = 16, 4, 4
+    band_key = " ".join(
+        "WHEN %d THEN md5(concat_ws(',', %s))" % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""WITH {_oracle_sig_cte(n)},
+banded AS (
+  SELECT doc_id, band, CASE band {band_key} END AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+),
+bench AS (SELECT DISTINCT band, band_key FROM banded WHERE doc_id < 5),
+corpus AS (SELECT * FROM banded WHERE doc_id >= 5)
+SELECT corpus.doc_id, COUNT(*) AS shared_bands
+FROM corpus JOIN bench USING (band, band_key)
+GROUP BY corpus.doc_id"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination — the canonical training-data use of
     winnowing: flag corpus documents sharing any >= (window+k-1)-char
@@ -1967,7 +2025,7 @@ QUERIES = {
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
     "dedup_minhash_signatures": q_minhash_signatures,
-    "geo_rasterize": q_geo_rasterize,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "spans_explode": q_spans_explode,
     "text_tfidf": q_text_tfidf,
     "dedup_exact": q_dedup_exact,
@@ -2045,6 +2103,10 @@ QUERIES = {
     # dedup_fingerprint_overlap's lineage) for text_lm_score.
     "curve_linearize": q_curve_linearize,
     "dedup_winnow_fingerprints": q_winnow_fingerprints,
+    # round 5 swapped geo_rasterize (driver-green r1-r4; burn-in shares
+    # the zonal machinery with in-window geo_zonal_stats) for
+    # decontaminate_fuzzy.
+    "geo_rasterize": q_geo_rasterize,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2105,6 +2167,7 @@ ORACLES = {
     "dedup_winnow_fingerprints": ORACLE_WINNOW,
     "dedup_fingerprint_overlap": ORACLE_FP_OVERLAP,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "decontaminate_fuzzy": _oracle_decontaminate_fuzzy(),
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,
