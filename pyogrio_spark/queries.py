@@ -886,6 +886,38 @@ FROM corpus JOIN bench USING (band, band_key)
 GROUP BY corpus.doc_id"""
 
 
+def q_stratified_sample(spark, sf):
+    """Exact-count stratified sample: exactly min(20, |stratum|) docs
+    per (lang, source) stratum, deterministically ordered by
+    md5(doc_id) — content-stable eval-set construction (re-runs and
+    resumes pick identical docs). Parallelism = number of strata (each
+    stratum's rank is one window partition); at corpus scale strata
+    are lang x source x quality-bucket = thousands of partitions, so
+    no single-reducer bottleneck unless one stratum dominates — then
+    pre-cut by hash before ranking."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "source", "rn")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source, rn FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination — the canonical training-data use of
     winnowing: flag corpus documents sharing any >= (window+k-1)-char
@@ -2107,6 +2139,9 @@ QUERIES = {
     # the zonal machinery with in-window geo_zonal_stats) for
     # decontaminate_fuzzy.
     "geo_rasterize": q_geo_rasterize,
+    # new late-round-5 entry, oracled + preflighted; rotate into the
+    # window in round 6.
+    "stratified_sample": q_stratified_sample,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2168,6 +2203,7 @@ ORACLES = {
     "dedup_fingerprint_overlap": ORACLE_FP_OVERLAP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_fuzzy": _oracle_decontaminate_fuzzy(),
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,
