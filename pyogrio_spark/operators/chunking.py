@@ -40,7 +40,12 @@ def chunk_documents(
             f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens ({chunk_tokens})"
         )
     c, s = int(chunk_tokens), int(chunk_tokens - overlap_tokens)
-    toks = F.split(F.col(text_col), sep)
+    # sep is a LITERAL separator (array_join re-joins with it verbatim),
+    # but F.split takes a regex — escape so a "." or "|" separator
+    # splits literally instead of on every character
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(sep))
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1), (F.ceil((n - F.lit(c)) / F.lit(float(s)))).cast("int") + F.lit(1)

@@ -142,3 +142,12 @@ def test_pack_chunks_global_dense_and_bounded(spark):
 
     with pytest.raises(ValueError, match="budget_tokens"):
         pack_chunks_global(ch, budget_tokens=C - 1, chunk_tokens=C)
+
+
+def test_chunking_regex_special_separator(spark):
+    """sep is literal: a '.'-separated doc must split on dots, not on
+    every character (F.split is regex-based; the operator escapes)."""
+    df = spark.createDataFrame([(0, "a.b.c.d.e")], schema="doc_id bigint, text string")
+    out = chunk_documents(df, 3, 1, sep=".").toPandas().sort_values("chunk_id")
+    assert list(out.chunk_text) == ["a.b.c", "c.d.e"]
+    assert list(out.n_tokens) == [3, 3]
