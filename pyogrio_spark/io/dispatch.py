@@ -92,7 +92,7 @@ def open_table(
     if isinstance(path, (str, os.PathLike)):
         path = resolve_archive(str(path))
         fmt = detect_format(path)
-        _check_exists(path, fmt)
+        _check_exists(path)
     else:
         fmt = "table"
     if fmt == "shapefile":
@@ -134,7 +134,7 @@ def open_table(
     return read_table(spark, path, **read_table_kwargs)
 
 
-def _check_exists(path: str, fmt: str) -> None:
+def _check_exists(path: str) -> None:
     """Reference open semantics (tests/test_core.py:750): missing local
     paths raise DataSourceError; see errors.check_dataset_path."""
     from pyogrio_spark.errors import check_dataset_path
@@ -161,7 +161,7 @@ def dataset_info(path: str, layer=None, force_total_bounds: bool = False) -> dic
     None unless forced, like the reference."""
     path = resolve_archive(path)
     fmt = detect_format(path)
-    _check_exists(path, fmt)
+    _check_exists(path)
     if fmt == "shapefile":
         from pyogrio_spark.io.shapefile import shapefile_info
 
@@ -191,7 +191,7 @@ def dataset_layers(path: str) -> list[list[str]]:
     """[[layer_name, geometry_type], ...] for file-based sources."""
     path = resolve_archive(path)
     fmt = detect_format(path)
-    _check_exists(path, fmt)
+    _check_exists(path)
     if fmt == "geopackage":
         from pyogrio_spark.io.geopackage import list_layers as gpkg_layers
 
@@ -252,8 +252,6 @@ def convert_dataset(
     ``crs=None`` carries the source CRS through (the ogr2ogr default);
     pass a crs to override.
     """
-    from pyogrio_spark.io.reader import read_table  # noqa: F401  (filter surface)
-
     if crs is None:
         try:
             crs = dataset_info(src, layer=layer).get("crs")
