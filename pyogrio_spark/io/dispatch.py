@@ -90,9 +90,13 @@ def open_table(
     distributed variant (single JSON document; GeoJSONSeq is the
     declared scale layout) and raises."""
     if isinstance(path, (str, os.PathLike)):
+        # existence first: a missing path must surface the reference's
+        # DataSourceError('...No such file or directory') regardless of
+        # extension, not a format-detection ValueError (round-5 ADVICE;
+        # reference errors.check_dataset_path semantics)
+        _check_exists(str(path))
         path = resolve_archive(str(path))
         fmt = detect_format(path)
-        _check_exists(path)
     else:
         fmt = "table"
     if fmt == "shapefile":
@@ -113,7 +117,9 @@ def open_table(
             if distributed:
                 return read_geojson_seq_distributed(spark, str(path))
         elif distributed:
-            raise ValueError(
+            from pyogrio_spark.errors import NoDistributedScan
+
+            raise NoDistributedScan(
                 "GeoJSON FeatureCollection has no distributed scan (one JSON "
                 "document); convert to GeoJSONSeq (.geojsonl) for the scale path"
             )
@@ -159,9 +165,9 @@ def dataset_info(path: str, layer=None, force_total_bounds: bool = False) -> dic
     header — no feature scan. GeoJSON FeatureCollections are one JSON
     document (parsed by definition); GeoJSONSeq reports total_bounds
     None unless forced, like the reference."""
+    _check_exists(path)  # before format detection: missing-file semantics
     path = resolve_archive(path)
     fmt = detect_format(path)
-    _check_exists(path)
     if fmt == "shapefile":
         from pyogrio_spark.io.shapefile import shapefile_info
 
@@ -189,9 +195,9 @@ def dataset_info(path: str, layer=None, force_total_bounds: bool = False) -> dic
 
 def dataset_layers(path: str) -> list[list[str]]:
     """[[layer_name, geometry_type], ...] for file-based sources."""
+    _check_exists(path)  # before format detection: missing-file semantics
     path = resolve_archive(path)
     fmt = detect_format(path)
-    _check_exists(path)
     if fmt == "geopackage":
         from pyogrio_spark.io.geopackage import list_layers as gpkg_layers
 
@@ -258,12 +264,14 @@ def convert_dataset(
         except (ValueError, OSError, KeyError):
             crs = None
 
+    from pyogrio_spark.errors import NoDistributedScan
+
     try:
         df = open_table(spark, src, layer=layer, distributed=distributed, **read_table_kwargs)
-    except ValueError:
-        if not distributed:
-            raise
-        # sources with no distributed scan (e.g. FeatureCollection)
+    except NoDistributedScan:
+        # only this specific condition falls back (round-5 ADVICE):
+        # genuine argument/format ValueErrors propagate immediately
+        # instead of re-executing down the driver path to fail again
         df = open_table(spark, src, layer=layer, distributed=False, **read_table_kwargs)
 
     low = str(dst).lower()

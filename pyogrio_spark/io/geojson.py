@@ -252,11 +252,15 @@ def read_geojson(spark, path: str, **read_table_kwargs):
                 # reference's OFSTJSON degradation for .geojson files);
                 # tagged with column metadata so the pandas facade can
                 # parse values back to Python objects (reference
-                # behavior: OFSTJSON arrays read back as lists).
+                # behavior: OFSTJSON arrays read back as lists). Every
+                # non-null value is json.dumps'd — scalars included —
+                # so the facade's json.loads round-trips a mixed
+                # scalar/list column losslessly instead of crashing on
+                # a bare string.
                 pdf[c] = pdf[c].map(
-                    lambda v: json.dumps(v)
-                    if isinstance(v, (list, dict))
-                    else (None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
+                    lambda v: None
+                    if v is None or (isinstance(v, float) and np.isnan(v))
+                    else json.dumps(v)
                 )
                 fields.append(f"`{c}` string")
                 json_cols.add(c)

@@ -273,30 +273,57 @@ def compact_table(
     }
 
 
-def expire_snapshots(path: str) -> dict:
+def expire_snapshots(path: str, orphan_retention_s: float = 86400.0) -> dict:
     """Vacuum: delete data directories no longer referenced by the
     current snapshot — the garbage left behind by overwrite commits
     (incl. compaction). Companion to ``compact_table``: compaction
     rewrites, expiry reclaims.
 
-    Safe under the manifest protocol: the referenced set is read under
-    the manifest lock, and an unreferenced dir can never become
-    referenced again (append snapshots inherit only the *current*
-    dirs; new writes always mint fresh ids), so deleting after lock
-    release races with nothing. Readers of the current snapshot are
-    unaffected; time-travel to expired snapshots is gone — that is the
-    point of retention."""
+    Two classes of unreferenced dir, handled differently:
+
+    * dirs whose name matches a *committed* snapshot id — superseded
+      by a later overwrite. Safe to delete immediately: a superseded
+      dir can never become referenced again (append snapshots inherit
+      only the *current* dirs; new writes always mint fresh ids).
+    * dirs matching NO committed id — either a writer that is mid
+      ``write_table`` (data lands before the manifest lock is taken,
+      writer.py ~25 lines up) or a genuinely dead write (crashed /
+      ``SnapshotConflict``-aborted compaction). Deleting an in-flight
+      dir would make the writer's subsequent commit reference a
+      missing directory, so these are only reclaimed once older than
+      ``orphan_retention_s`` (Iceberg ``remove_orphan_files``-style age
+      guard; default 24 h — far longer than any write's
+      data-to-commit gap).
+
+    Readers of the current snapshot are unaffected; time-travel to
+    expired snapshots is gone — that is the point of retention."""
     import shutil
 
     with _manifest_lock(path):
         manifest = _read_manifest(path)
         cur = manifest["current"]
         referenced = set(cur["data_dirs"]) if cur else set()
+        committed_ids = {s["id"] for s in manifest["snapshots"]}
     data_root = os.path.join(path, "data")
-    removed = []
+    now = time.time()
+    removed, kept_orphans = [], []
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
-            if os.path.join("data", d) not in referenced:
-                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                removed.append(d)
-    return {"removed": removed, "kept": sorted(referenced)}
+            full = os.path.join(data_root, d)
+            if os.path.join("data", d) in referenced:
+                continue
+            if d not in committed_ids:
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # deleted under us — nothing to do
+                if age < orphan_retention_s:
+                    kept_orphans.append(d)  # possibly in-flight
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(d)
+    return {
+        "removed": removed,
+        "kept": sorted(referenced),
+        "kept_orphans": kept_orphans,
+    }

@@ -121,18 +121,19 @@ def pack_chunks_global(
     """
     from pyspark.sql import Window
 
+    from pyogrio_spark.cache import pin_cache
+
     if budget_tokens < chunk_tokens:
         raise ValueError(
             f"budget_tokens ({budget_tokens}) must be >= chunk_tokens ({chunk_tokens})"
         )
     m = budget_tokens // chunk_tokens
     cols = list(order_cols)
-    ordered = (
+    ordered = pin_cache(
         chunks.drop("pack_id")
         .repartitionByRange(*cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
     )
     counts = ordered.groupBy("_pid").count()
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

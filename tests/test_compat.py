@@ -339,3 +339,7 @@ def test_missing_dataset_raises_datasource_error(tmp_path):
     assert issubclass(E.CRSError, DataLayerError)
     assert issubclass(E.FieldError, DataLayerError)
     assert issubclass(DataSourceError, RuntimeError)
+    # existence is checked BEFORE format detection (round-5 ADVICE):
+    # an unrecognized extension still gets the reference's message
+    with pytest.raises(DataSourceError, match="No such file or directory"):
+        read_info(str(tmp_path / "gone.xyzzy"))

@@ -385,3 +385,38 @@ def test_compaction_conflict_never_drops_concurrent_append(spark, tmp_path):
     got = read_committed(spark, tbl)
     assert got.count() == 1000
     assert got.filter("id >= 1000").count() == 500
+
+
+def test_expire_snapshots_spares_inflight_uncommitted_dir(spark, tmp_path):
+    """write_table lands data BEFORE taking the manifest lock; a
+    concurrent expiry must not delete that in-flight dir (round-5
+    ADVICE: doing so loses the writer's about-to-commit snapshot).
+    Uncommitted dirs younger than the retention age are kept; old dead
+    ones are reclaimed."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.io.writer import expire_snapshots
+
+    tbl = str(tmp_path / "inflight_table")
+    df = spark.range(100).select(F.col("id"))
+    write_table(df, tbl, mode="overwrite")
+    write_table(df, tbl, mode="overwrite")  # first dir now unreferenced
+
+    # simulate a writer mid-flight: data dir exists, not in manifest
+    inflight = _os.path.join(tbl, "data", "deadbeefdeadbeef")
+    _os.makedirs(inflight)
+    open(_os.path.join(inflight, "part-0.parquet"), "w").close()
+
+    out = expire_snapshots(tbl)
+    assert len(out["removed"]) == 1          # superseded committed dir goes
+    assert out["kept_orphans"] == ["deadbeefdeadbeef"]
+    assert _os.path.isdir(inflight)          # in-flight dir survives
+
+    # aged past retention -> reclaimed as a dead write
+    old = __import__("time").time() - 7 * 86400
+    _os.utime(inflight, (old, old))
+    out2 = expire_snapshots(tbl)
+    assert out2["removed"] == ["deadbeefdeadbeef"]
+    assert not _os.path.isdir(inflight)

@@ -163,3 +163,34 @@ def test_binary_formats_refuse_list_columns(tmp_path, ext):
     )
     with pytest.raises(ValueError, match="list-type field 'tags'"):
         write_dataframe(pdf, str(tmp_path / f"out.{ext}"))
+
+
+def test_mixed_scalar_and_list_column_round_trips(tmp_path):
+    """A property mixing scalar strings/numbers with lists takes the
+    OFSTJSON branch; every non-null value (scalars included) is stored
+    as JSON so the facade's json.loads round-trips losslessly instead
+    of crashing on a bare scalar (round-5 ADVICE, geojson.py mixed
+    branch)."""
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"mix": "hello"},
+             "geometry": {"type": "Point", "coordinates": [0, 0]}},
+            {"type": "Feature", "properties": {"mix": [1, 2]},
+             "geometry": {"type": "Point", "coordinates": [1, 0]}},
+            {"type": "Feature", "properties": {"mix": "123"},
+             "geometry": {"type": "Point", "coordinates": [2, 0]}},
+            {"type": "Feature", "properties": {"mix": 7},
+             "geometry": {"type": "Point", "coordinates": [3, 0]}},
+            {"type": "Feature", "properties": {"mix": None},
+             "geometry": {"type": "Point", "coordinates": [4, 0]}},
+        ],
+    }
+    p = tmp_path / "mixed.geojson"
+    p.write_text(json.dumps(doc))
+    result = read_dataframe(str(p))
+    assert result["mix"][0] == "hello"          # scalar string survives
+    assert result["mix"][1] == [1, 2]           # list parses to list
+    assert result["mix"][2] == "123"            # numeric-LOOKING string stays str
+    assert result["mix"][3] == 7                # real number stays numeric
+    assert pd.isna(result["mix"][4])
