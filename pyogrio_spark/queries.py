@@ -2074,7 +2074,11 @@ QUERIES = {
     "media_audio_features": q_media_audio_features,
     "media_image_features": q_media_image_features,
     "sim_ivf2_topk_full": q_ivf2_topk_full,
-    "media_video_frames": q_media_video_frames,
+    # round 6 swapped media_video_frames (driver-green r3-r5; the media
+    # codec machinery stays in-window as media_audio_features +
+    # media_image_features) out of the window for stratified_sample —
+    # the one registry entry that had never had a driver row.
+    "stratified_sample": q_stratified_sample,
     "tpch_q1_pricing": q_tpch_q1,
     "geo_within_distance": q_geo_within_distance,
     "geo_areal_interpolate": q_geo_areal_interpolate,
@@ -2139,9 +2143,10 @@ QUERIES = {
     # the zonal machinery with in-window geo_zonal_stats) for
     # decontaminate_fuzzy.
     "geo_rasterize": q_geo_rasterize,
-    # new late-round-5 entry, oracled + preflighted; rotate into the
-    # window in round 6.
-    "stratified_sample": q_stratified_sample,
+    # round 6 swapped media_video_frames here (see its window-slot note
+    # above); the Y4M codec stays golden-tested every round in
+    # tests/test_multimodal.py.
+    "media_video_frames": q_media_video_frames,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
