@@ -2021,6 +2021,192 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------- tokenizer
+
+# Fixed subword vocab for the driver queries: every character the
+# corpus uses (segmentation is total by construction — no UNK branch)
+# plus multi-char subwords chosen so greedy maximal-munch produces
+# multi-token words with interesting longest-match decisions
+# ("table" -> tab+le, "customer" -> cu+sto+mer, "merge" -> mer+g+e
+# because "mer" outranks "me" at position 1).
+TOKENIZER_VOCAB = sorted(
+    set("abcdefghijklmnopqrstuvwy")
+    | {
+        "tab", "le", "val", "ue", "wind", "ow", "sc", "an", "row", "or",
+        "der", "so", "rt", "str", "eam", "qu", "ery", "gr", "oup", "ha",
+        "sh", "jo", "in", "key", "li", "ne", "me", "rge", "pa", "fa",
+        "st", "sl", "sm", "all", "ba", "tch", "big", "col", "umn", "cu",
+        "sto", "mer", "da", "ta", "fil", "ter", "dup", "agg", "the",
+        "vec", "tor", "spa", "rk", "que",
+    }
+)
+
+_VOCAB_VALUES = ", ".join(f"('{t}')" for t in TOKENIZER_VOCAB)
+
+# greedy longest-match segmentation of every distinct word as a
+# recursive CTE: the longest vocab prefix at a position is the match
+# with NO longer vocab prefix (NOT EXISTS — aggregates are illegal in
+# a recursive member); one deterministic successor per state so the
+# recursion is a chain, exactly the operator's loop.
+_SEG_CTE = f"""vocab(tok) AS (VALUES {_VOCAB_VALUES}),
+wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+words AS (SELECT doc_id, unnest(l) AS word,
+                 unnest(generate_series(1, length(l))) - 1 AS word_idx FROM wl),
+dwords AS (SELECT DISTINCT word FROM words),
+seg(word, pos, tok) AS (
+    SELECT dw.word, 1, v.tok
+    FROM dwords dw JOIN vocab v
+      ON substr(dw.word, 1, length(v.tok)) = v.tok
+     AND NOT EXISTS (SELECT 1 FROM vocab v2
+                     WHERE length(v2.tok) > length(v.tok)
+                       AND substr(dw.word, 1, length(v2.tok)) = v2.tok)
+  UNION ALL
+    SELECT s.word, s.pos + length(s.tok), v.tok
+    FROM seg s JOIN vocab v
+      ON s.pos + length(s.tok) <= length(s.word)
+     AND substr(s.word, s.pos + length(s.tok), length(v.tok)) = v.tok
+     AND NOT EXISTS (SELECT 1 FROM vocab v2
+                     WHERE length(v2.tok) > length(v.tok)
+                       AND substr(s.word, s.pos + length(s.tok), length(v2.tok)) = v2.tok)
+)"""
+
+
+def q_text_tokenize(spark, sf):
+    """Greedy longest-match subword segmentation (WordPiece-style
+    maximal munch) against the fixed vocab — distinct words segmented
+    once in a bounded join loop, hash-joined back to the corpus
+    (operators/tokenizer.py). One row per subword token occurrence."""
+    from pyogrio_spark.operators.tokenizer import tokenize_greedy
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return tokenize_greedy(docs, TOKENIZER_VOCAB)
+
+
+ORACLE_TEXT_TOKENIZE = f"""WITH RECURSIVE {_SEG_CTE}
+SELECT w.doc_id, w.word_idx, s.pos AS tok_pos, s.tok AS token
+FROM words w JOIN seg s ON w.word = s.word"""
+
+_BPE_MERGES = 8
+
+
+def _oracle_bpe_ctes(k: int) -> str:
+    """Unrolled BPE training rounds: w0 = char-split distinct words with
+    corpus frequencies; each round materializes the argmax pair (ties
+    on pair ascending) and the merged symbol strings. MATERIALIZED is
+    load-bearing — inlined CTEs re-evaluate w{{r-1}} per reference and
+    the chain goes exponential."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT word, n, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+  FROM (SELECT w AS word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w))"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""b{r} AS MATERIALIZED (
+  SELECT s1, s2, CAST(sum(n) AS BIGINT) AS freq FROM (
+    SELECT n, unnest(l[1:length(l)-1]) AS s1, unnest(l[2:length(l)]) AS s2
+    FROM (SELECT n, string_split(trim(sym), ' ') AS l FROM w{r - 1}))
+  GROUP BY s1, s2 ORDER BY freq DESC, s1, s2 LIMIT 1)""")
+        parts.append(f"""w{r} AS MATERIALIZED (
+  SELECT word, n, replace(sym, ' ' || b.s1 || ' ' || b.s2 || ' ',
+                          ' ' || b.s1 || b.s2 || ' ') AS sym
+  FROM w{r - 1} CROSS JOIN b{r} b)""")
+    return ",\n".join(parts)
+
+
+def q_bpe_train_merges(spark, sf):
+    """Distributed BPE merge training (operators/tokenizer.py): one
+    pair-count aggregation per merge over the distinct-word table, a
+    single argmax row collected per round, codegen string-replace to
+    apply each merge. Returns the codebook-sized merge table."""
+    from pyogrio_spark.operators.tokenizer import train_bpe_merges
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges = train_bpe_merges(docs, num_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, freq bigint"
+    )
+
+
+ORACLE_BPE_TRAIN = (
+    "WITH "
+    + _oracle_bpe_ctes(_BPE_MERGES)
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, s1 AS lhs, s2 AS rhs, freq FROM b{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+def q_text_bpe_apply(spark, sf):
+    """Train 8 BPE merges on the corpus, then apply them as ONE codegen
+    projection (chained string replaces over sentinel-delimited symbol
+    strings) on the distinct-word table, hash-joined back to the word
+    stream. One row per BPE token occurrence."""
+    from pyogrio_spark.operators.tokenizer import apply_bpe_merges, train_bpe_merges
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges = train_bpe_merges(docs, num_merges=_BPE_MERGES)
+    return apply_bpe_merges(docs, [(l, r) for _, l, r, _ in merges])
+
+
+ORACLE_BPE_APPLY = (
+    "WITH "
+    + _oracle_bpe_ctes(_BPE_MERGES)
+    + f""",
+wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+wds AS (SELECT doc_id, unnest(l) AS word,
+               unnest(generate_series(1, length(l))) - 1 AS word_idx FROM wl),
+toks AS (SELECT word, unnest(tl) AS token,
+                unnest(generate_series(1, length(tl))) - 1 AS tok_idx
+         FROM (SELECT word, string_split(trim(sym), ' ') AS tl FROM w{_BPE_MERGES}))
+SELECT w.doc_id, w.word_idx, t.tok_idx, t.token
+FROM wds w JOIN toks t ON w.word = t.word"""
+)
+
+
+def q_token_budget_subword(spark, sf):
+    """Token-budget selection metered in TOKENIZER tokens: per-doc
+    subword counts under greedy segmentation (distinct-word counts
+    hash-joined back), then the two-phase distributed prefix sum —
+    the real-pipeline version of token_budget (which meters whitespace
+    words)."""
+    from pyogrio_spark.operators.budget import budget_filter
+    from pyogrio_spark.operators.tokenizer import subword_token_counts
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cnt = subword_token_counts(docs, TOKENIZER_VOCAB, count_col="token_count")
+    docs = docs.select("doc_id", "lang").join(cnt, "doc_id")
+    docs = docs.withColumn("neg_tokens", -F.col("token_count"))
+    kept = budget_filter(
+        docs, budget=5000, group_col="lang", value_col="token_count",
+        order_cols=("neg_tokens", "doc_id"), num_partitions=16,
+    ).drop("neg_tokens")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("token_count").cast("bigint").alias("tokens_kept"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_BUDGET_SUBWORD = f"""WITH RECURSIVE {_SEG_CTE},
+wtok AS (SELECT word, count(*) AS nt FROM seg GROUP BY word),
+cnt AS (SELECT w.doc_id, CAST(sum(t.nt) AS BIGINT) AS token_count
+        FROM words w JOIN wtok t ON w.word = t.word GROUP BY w.doc_id),
+t AS (SELECT d.lang, d.doc_id, c.token_count
+      FROM documents d JOIN cnt c ON d.doc_id = c.doc_id),
+c AS (SELECT lang, doc_id, token_count,
+             sum(token_count) OVER (PARTITION BY lang ORDER BY token_count DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT lang, count(*) AS n_docs, CAST(sum(token_count) AS BIGINT) AS tokens_kept,
+       min(doc_id) AS first_doc
+FROM c WHERE cum - token_count < 5000
+GROUP BY lang"""
+
+
 def q_window_top_orders_per_segment(spark, sf):
     """window-function surface: top-3 orders by price per market segment."""
     _register_views(spark, sf, ("orders", "customer"))
@@ -2046,14 +2232,21 @@ QUERIES = {
     "geo_measures": q_geo_measures,
     "geo_tile_assignment": q_geo_tile_assignment,
     "geo_pip_join": q_geo_pip_join,
-    "geo_pip_join_poly": q_geo_pip_join_poly,
+    # round 6 swapped geo_pip_join_poly (driver-green r2-r5; the broadcast
+    # PIP planning stays in-window as geo_pip_join, the exact poly-refine
+    # kernel as geo_mask_filter's pytest goldens) for text_tokenize.
+    "text_tokenize": q_text_tokenize,
     "geo_reproject": q_geo_reproject,
     "adaptive_tile_map": q_adaptive_tile_map,
     "geo_intersects_join": q_geo_intersects_join,
     "geo_clip": q_geo_clip,
     "chunk_pack_global": q_chunk_pack_global,
     "geo_knn_join": q_geo_knn,
-    "geo_knn_join_haversine": q_geo_knn_haversine,
+    # round 6 swapped geo_knn_join_haversine (driver-green r2-r5; the ring
+    # expansion machinery stays in-window as geo_knn_join — haversine is
+    # the same loop with a different metric, pytest-asserted) for
+    # bpe_train_merges.
+    "bpe_train_merges": q_bpe_train_merges,
     "geo_range_join": q_geo_range_join,
     "geo_zonal_stats": q_geo_zonal,
     "dedup_minhash_signatures": q_minhash_signatures,
@@ -2066,13 +2259,19 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "text_lm_score": q_text_lm_score,
     "dedup_fingerprint_overlap": q_fingerprint_overlap,
-    "decontaminate": q_decontaminate,
+    # round 6 swapped decontaminate (driver-green r2-r5; the exact
+    # hash-equi-join machinery stays in-window as dedup_exact and the
+    # decontamination surface as decontaminate_fuzzy) for text_bpe_apply.
+    "text_bpe_apply": q_text_bpe_apply,
     "dedup_components": q_dedup_components,
     "text_features": q_text_features,
     "sim_cosine_topk": q_sim_topk,
     "sim_ivf_topk_full": q_ivf_topk_full,
     "media_audio_features": q_media_audio_features,
-    "media_image_features": q_media_image_features,
+    # round 6 swapped media_image_features (driver-green r2-r5; the PGM
+    # codec stays golden-tested in tests/test_multimodal.py and the media
+    # surface in-window as media_audio_features) for token_budget_subword.
+    "token_budget_subword": q_token_budget_subword,
     "sim_ivf2_topk_full": q_ivf2_topk_full,
     # round 6 swapped media_video_frames (driver-green r3-r5; the media
     # codec machinery stays in-window as media_audio_features +
@@ -2147,6 +2346,13 @@ QUERIES = {
     # above); the Y4M codec stays golden-tested every round in
     # tests/test_multimodal.py.
     "media_video_frames": q_media_video_frames,
+    # round 6 tail additions — each swapped out of the window for a new
+    # tokenizer entry (see the window-slot notes above); all driver-green
+    # r2-r5 with in-window twins, still fully oracled + preflighted.
+    "geo_pip_join_poly": q_geo_pip_join_poly,
+    "geo_knn_join_haversine": q_geo_knn_haversine,
+    "decontaminate": q_decontaminate,
+    "media_image_features": q_media_image_features,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2215,6 +2421,10 @@ ORACLES = {
     "text_tfidf": ORACLE_TEXT_TFIDF,
     "chunk_pack_global": ORACLE_CHUNK_PACK_GLOBAL,
     "text_lm_score": ORACLE_TEXT_LM_SCORE,
+    "text_tokenize": ORACLE_TEXT_TOKENIZE,
+    "bpe_train_merges": ORACLE_BPE_TRAIN,
+    "text_bpe_apply": ORACLE_BPE_APPLY,
+    "token_budget_subword": ORACLE_BUDGET_SUBWORD,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,

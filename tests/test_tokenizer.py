@@ -1,0 +1,143 @@
+"""Subword tokenization operators (operators/tokenizer.py): greedy
+longest-match segmentation, the distributed BPE trainer, codegen BPE
+apply, and the metering compose. Hand-computed goldens + invariants
+(reconstruction, count consistency) + plan checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyogrio_spark.operators.tokenizer import (
+    apply_bpe_merges,
+    subword_token_counts,
+    tokenize_greedy,
+    train_bpe_merges,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_greedy_longest_match_golden(spark):
+    """Maximal munch: at each position the LONGEST vocab prefix wins,
+    even when a shorter prefix would allow a better overall split
+    ("mer" beats "me" in "merge" -> mer+g+e, the classic greedy-vs-
+    optimal divergence WordPiece accepts)."""
+    vocab = list("abcdefglmnrstuv") + ["me", "mer", "rge", "tab", "le", "ta"]
+    out = tokenize_greedy(_docs(spark, ["table merge"]), vocab)
+    rows = sorted((r.word_idx, r.tok_pos, r.token) for r in out.collect())
+    assert rows == [
+        (0, 1, "tab"), (0, 4, "le"),
+        (1, 1, "mer"), (1, 4, "g"), (1, 5, "e"),
+    ]
+
+
+def test_greedy_byte_fallback_single_char(spark):
+    """A character absent from the vocab is emitted as a single-char
+    token (byte-fallback), keeping segmentation total."""
+    out = tokenize_greedy(_docs(spark, ["axa"]), ["a"])  # no 'x' in vocab
+    rows = sorted((r.tok_pos, r.token) for r in out.collect())
+    assert rows == [(1, "a"), (2, "x"), (3, "a")]
+
+
+def test_greedy_reconstruction_exact(spark):
+    """Concatenating each word's tokens in tok_pos order reproduces the
+    word exactly, for every word in the corpus — segmentation loses
+    nothing."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyogrio_spark.queries import TOKENIZER_VOCAB
+
+    tok = tokenize_greedy(docs, TOKENIZER_VOCAB)
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("word_idx", "word")
+    )
+    # collect_list has no order guarantee -> rebuild via sort_array of structs
+    rebuilt = (
+        tok.groupBy("doc_id", "word_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tok_pos", "token"))),
+                    lambda s: s.token,
+                ),
+                "",
+            ).alias("re")
+        )
+    )
+    bad = words.join(rebuilt, ["doc_id", "word_idx"]).filter(F.col("re") != F.col("word"))
+    assert bad.count() == 0
+
+
+def test_bpe_train_golden_and_run_semantics(spark):
+    """Tiny corpus with hand-computed pair counts. 'aaaa' contributes
+    3 adjacent (a,a) occurrences. Under the documented string-replace
+    semantics (adjacent occurrences share their delimiting space) one
+    round turns 'a a a a' into 'aa a a' — the leftover (a,a) pair
+    ties with (aa,a) at freq 2 and wins the ascending tie-break."""
+    docs = _docs(spark, ["aaaa aaaa b"])
+    merges = train_bpe_merges(docs, num_merges=2)
+    assert merges[0][1:3] == ("a", "a")
+    assert merges[0][3] == 6  # 3 per word x 2 words
+    assert merges[1] == (2, "a", "a", 2)
+
+
+def test_bpe_train_tie_break_deterministic(spark):
+    """Equal-frequency pairs break on (lhs, rhs) ascending."""
+    docs = _docs(spark, ["ab cd"])
+    merges = train_bpe_merges(docs, num_merges=1)
+    assert merges[0][1:3] == ("a", "b")  # (a,b) < (c,d), both freq 1
+
+
+def test_bpe_apply_matches_iterative_train_state(spark):
+    """apply_bpe_merges (one codegen projection) reproduces the
+    trainer's final symbol state: re-tokenizing with the trained merges
+    and re-counting pairs gives no pair with frequency above the last
+    accepted merge (monotone BPE invariant), and reconstruction is
+    exact."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe_merges(docs, num_merges=6)
+    freqs = [m[3] for m in merges]
+    assert freqs == sorted(freqs, reverse=True)  # merge freqs monotone non-increasing
+    out = apply_bpe_merges(docs, [(l, r) for _, l, r, _ in merges])
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("word_idx", "word")
+    )
+    rebuilt = out.groupBy("doc_id", "word_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_idx", "token"))),
+                lambda s: s.token,
+            ),
+            "",
+        ).alias("re")
+    )
+    bad = words.join(rebuilt, ["doc_id", "word_idx"]).filter(F.col("re") != F.col("word"))
+    assert bad.count() == 0
+
+
+def test_subword_counts_match_tokenize(spark):
+    """subword_token_counts(doc) == number of tokenize_greedy rows for
+    that doc — the cheap metering path agrees with the full one."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    from pyogrio_spark.queries import TOKENIZER_VOCAB
+
+    cnt = {r.doc_id: r.n_subword_tokens for r in subword_token_counts(docs, TOKENIZER_VOCAB).collect()}
+    full = {
+        r.doc_id: r.n
+        for r in tokenize_greedy(docs, TOKENIZER_VOCAB)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert cnt == full
+
+
+def test_apply_bpe_plan_is_single_projection_no_python(spark):
+    """The merge chain compiles to codegen string replaces: no
+    BatchEvalPython / ArrowEvalPython stages anywhere in the plan, and
+    the distinct-word side is the only aggregation."""
+    docs = _docs(spark, ["ab ab cd"])
+    out = apply_bpe_merges(docs, [("a", "b")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "replace" in out._jdf.queryExecution().analyzed().toString()
