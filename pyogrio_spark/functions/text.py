@@ -182,3 +182,132 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("lm_score"),
     )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_n: int = 5,
+    line_sep: str | None = None,
+    line_words: int | None = None,
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, table
+    A1), per document:
+
+    * ``top{n}_frac`` for n in ``top_ns`` — word-mass of the most
+      frequent word n-gram: ``max_count * n / n_words`` (Gopher uses
+      the character fraction; with whitespace-delimited words the word
+      mass is the same signal and stays integer-exact pre-division).
+    * ``dup{dup_n}_frac`` — fraction of n-gram occurrences whose
+      n-gram appears more than once in the document (Gopher's
+      "duplicate n-gram" family; this counts occurrences rather than
+      union-of-covered-characters, which keeps the statistic exact in
+      ANSI SQL — documented divergence).
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of line
+      occurrences (resp. their character mass) whose line appears more
+      than once. Lines come from ``line_sep`` (e.g. ``"\\n"``) or,
+      for unstructured single-line corpora, fixed ``line_words``-word
+      segments. Omit both to skip the line metrics.
+
+    All ratios round to 6 decimals (cross-engine float rule). Every
+    stage is codegen: posexplode + per-doc lead windows + one
+    aggregation tree — documents are bounded-length, so per-doc window
+    partitions are bounded and the whole operator scales as one
+    shuffle over the token stream plus doc-sized aggregates.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("i", "w")
+    ).filter(F.length("w") > 0)
+    nw = toks.groupBy(id_col).agg(F.count("*").alias("_nw"))
+
+    w = Window.partitionBy(id_col).orderBy("i")
+    ns = sorted(set(top_ns) | {dup_n})
+    max_n = max(ns)
+    led = toks.select(
+        id_col, "w", *[F.lead("w", k).over(w).alias(f"_w{k}") for k in range(1, max_n)]
+    )
+    grams = None
+    for n in ns:
+        parts = [F.col("w")] + [F.col(f"_w{k}") for k in range(1, n)]
+        g = (
+            led.filter(F.col(f"_w{n-1}").isNotNull())
+            .select(id_col, F.lit(n).alias("_n"), F.concat_ws(" ", *parts).alias("_g"))
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    per = (
+        grams.groupBy(id_col, "_n", "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col, "_n")
+        .agg(
+            F.max("_c").alias("_mx"),
+            F.sum("_c").alias("_tot"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_dup"),
+        )
+    )
+    out = nw
+    for n in top_ns:
+        out = out.join(
+            per.filter(F.col("_n") == n).select(id_col, F.col("_mx").alias(f"_mx{n}")),
+            id_col,
+            "left",
+        )
+    dup = per.filter(F.col("_n") == dup_n).select(
+        id_col,
+        F.round(F.col("_dup") / F.col("_tot").cast("double"), 6).alias(f"dup{dup_n}_frac"),
+    )
+    out = out.join(dup, id_col, "left").select(
+        id_col,
+        F.col("_nw"),
+        *[
+            F.coalesce(
+                F.round(F.col(f"_mx{n}") * F.lit(n) / F.col("_nw").cast("double"), 6),
+                F.lit(0.0),
+            ).alias(f"top{n}_frac")
+            for n in top_ns
+        ],
+        F.coalesce(F.col(f"dup{dup_n}_frac"), F.lit(0.0)).alias(f"dup{dup_n}_frac"),
+    )
+
+    if line_sep is not None or line_words is not None:
+        if line_sep is not None:
+            lines = docs.select(
+                id_col, F.explode(F.split(F.col(text_col), _re.escape(line_sep))).alias("_line")
+            ).filter(F.length(F.trim("_line")) > 0)
+        else:
+            lines = (
+                toks.groupBy(id_col, (F.col("i") / F.lit(line_words)).cast("bigint").alias("_li"))
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s.w
+                        ),
+                        " ",
+                    ).alias("_line")
+                )
+            )
+        lstats = (
+            lines.groupBy(id_col, "_line")
+            .agg(F.count("*").alias("_c"), F.length("_line").alias("_len"))
+            .groupBy(id_col)
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0)))
+                    / F.sum("_c").cast("double"),
+                    6,
+                ).alias("dup_line_frac"),
+                F.round(
+                    F.sum(F.when(F.col("_c") > 1, F.col("_c") * F.col("_len")).otherwise(F.lit(0)))
+                    / F.sum(F.col("_c") * F.col("_len")).cast("double"),
+                    6,
+                ).alias("dup_line_char_frac"),
+            )
+        )
+        out = out.join(lstats, id_col, "left")
+    return out.withColumnRenamed("_nw", "n_words")

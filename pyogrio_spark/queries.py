@@ -2207,6 +2207,133 @@ FROM c WHERE cum - token_count < 5000
 GROUP BY lang"""
 
 
+# ------------------------------------------------------- repetition filters
+
+_REP_LINE_WORDS = 8
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition quality filters (functions/text.py
+    repetition_scores): top-2/3/4-gram word mass, duplicate-5-gram
+    occurrence fraction, and duplicate-line fractions over fixed
+    8-word segments (the corpus is single-line). All codegen: one
+    token explode, per-doc lead windows, one aggregation tree."""
+    from pyogrio_spark.functions.text import repetition_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return repetition_scores(docs, line_words=_REP_LINE_WORDS)
+
+
+_REP_CTE = f"""toks AS (
+  SELECT doc_id, unnest(l) AS w, unnest(generate_series(1, length(l))) - 1 AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+nw AS (SELECT doc_id, count(*) AS n_words FROM toks GROUP BY doc_id),
+led AS (SELECT doc_id, i, w,
+        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+        lead(w, 3) OVER (PARTITION BY doc_id ORDER BY i) AS w3,
+        lead(w, 4) OVER (PARTITION BY doc_id ORDER BY i) AS w4
+        FROM toks),
+grams AS (
+  SELECT doc_id, 2 AS n, w || ' ' || w1 AS g FROM led WHERE w1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, w || ' ' || w1 || ' ' || w2 FROM led WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 4, w || ' ' || w1 || ' ' || w2 || ' ' || w3 FROM led WHERE w3 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 5, w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+  FROM led WHERE w4 IS NOT NULL),
+per AS (SELECT doc_id, n, max(c) AS mx, sum(c) AS tot,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        FROM (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+        GROUP BY 1, 2),
+lines AS (SELECT doc_id, i // {_REP_LINE_WORDS} AS li, string_agg(w, ' ' ORDER BY i) AS line
+          FROM toks GROUP BY doc_id, i // {_REP_LINE_WORDS}),
+lst AS (SELECT doc_id,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6) AS dup_line_frac,
+               round(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) / CAST(sum(c * len) AS DOUBLE), 6) AS dup_line_char_frac
+        FROM (SELECT doc_id, line, count(*) AS c, length(line) AS len
+              FROM lines GROUP BY doc_id, line)
+        GROUP BY doc_id),
+rep AS (
+  SELECT n.doc_id, n.n_words,
+         round(p2.mx * 2 / CAST(n.n_words AS DOUBLE), 6) AS top2_frac,
+         round(p3.mx * 3 / CAST(n.n_words AS DOUBLE), 6) AS top3_frac,
+         round(p4.mx * 4 / CAST(n.n_words AS DOUBLE), 6) AS top4_frac,
+         round(p5.dup / CAST(p5.tot AS DOUBLE), 6) AS dup5_frac,
+         l.dup_line_frac, l.dup_line_char_frac
+  FROM nw n
+  JOIN per p2 ON n.doc_id = p2.doc_id AND p2.n = 2
+  JOIN per p3 ON n.doc_id = p3.doc_id AND p3.n = 3
+  JOIN per p4 ON n.doc_id = p4.doc_id AND p4.n = 4
+  JOIN per p5 ON n.doc_id = p5.doc_id AND p5.n = 5
+  JOIN lst l ON n.doc_id = l.doc_id)"""
+
+ORACLE_TEXT_REPETITION = f"WITH {_REP_CTE}\nSELECT * FROM rep"
+
+
+def q_corpus_curation_rep(spark, sf):
+    """Pretraining filter stack v2: exact-dedup (keep first) ->
+    quality gate -> REPETITION gate (Gopher top-2-gram mass +
+    duplicate-5-gram fraction) -> language filter -> per-language
+    accounting. Extends corpus_curation with the repetition_scores
+    composition."""
+    from pyogrio_spark.functions.text import repetition_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w = F.row_number().over(Window.partitionBy(fp).orderBy("doc_id"))
+    deduped = docs.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+    rep = repetition_scores(docs, line_words=_REP_LINE_WORDS).select(
+        "doc_id", "top2_frac", "dup5_frac"
+    )
+    kept = (
+        deduped.join(rep, "doc_id")
+        .filter(F.round(quality_score(), 6) >= 0.5)
+        .filter(F.col("lang").isin("en", "es", "fr"))
+        .filter((F.col("top2_frac") <= F.lit(8e-2)) & (F.col("dup5_frac") <= F.lit(1e-2)))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count()).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_CURATION_REP = f"""
+WITH {_REP_CTE},
+fp AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                               ORDER BY doc_id) AS rn
+  FROM documents),
+dd AS (SELECT * FROM fp WHERE rn = 1),
+q AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+')) AS token_count,
+         len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+         len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) AS punct_ratio,
+         length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mean_wlen,
+         len(list_intersect(list_distinct(list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t))),
+             [{', '.join("'" + w + "'" for w in LANG_PROFILES['en'])}])) AS stop_hits
+  FROM dd),
+scored AS (
+  SELECT doc_id, lang, token_count,
+         round(
+           (CASE WHEN token_count >= 10 AND token_count <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+           + (CASE WHEN mean_wlen >= 2.5 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+           + (CASE WHEN stop_hits >= 2 THEN 1.0 ELSE 0.5 END) * 0.2
+           + least(alpha_ratio * 1.25, 1.0) * 0.2
+           + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.1, 6) AS quality
+  FROM q)
+SELECT s.lang, count(*) AS n_docs, CAST(sum(s.token_count) AS BIGINT) AS total_tokens,
+       min(s.doc_id) AS first_doc
+FROM scored s JOIN rep r ON s.doc_id = r.doc_id
+WHERE s.quality >= 0.5 AND s.lang IN ('en', 'es', 'fr')
+  AND r.top2_frac <= 8e-2 AND r.dup5_frac <= 1e-2
+GROUP BY s.lang
+"""
+
+
 def q_window_top_orders_per_segment(spark, sf):
     """window-function surface: top-3 orders by price per market segment."""
     _register_views(spark, sf, ("orders", "customer"))
@@ -2265,7 +2392,11 @@ QUERIES = {
     "text_bpe_apply": q_text_bpe_apply,
     "dedup_components": q_dedup_components,
     "text_features": q_text_features,
-    "sim_cosine_topk": q_sim_topk,
+    # round 6 swapped sim_cosine_topk (driver-green r1-r5; in-window twin
+    # sim_ivf_topk_full is checked against the IDENTICAL brute-force
+    # oracle, so the cosine kernel keeps its hard signal) for
+    # text_repetition.
+    "text_repetition": q_text_repetition,
     "sim_ivf_topk_full": q_ivf_topk_full,
     "media_audio_features": q_media_audio_features,
     # round 6 swapped media_image_features (driver-green r2-r5; the PGM
@@ -2288,7 +2419,10 @@ QUERIES = {
     "sim_ivf2pq_topk_full": q_ivf2pq_topk_full,
     "text_chunking": q_text_chunking,
     "window_top_orders": q_window_top_orders_per_segment,
-    "corpus_curation": q_corpus_curation,
+    # round 6 swapped corpus_curation (driver-green r1-r5) for its strict
+    # superset corpus_curation_rep (same dedup + quality + lang stages
+    # plus the new repetition gates) — every stage keeps a hard signal.
+    "corpus_curation_rep": q_corpus_curation_rep,
     "geo_curation": q_geo_curation,
     "dataset_split": q_dataset_split,
     "domain_mix": q_domain_mix,
@@ -2353,6 +2487,8 @@ QUERIES = {
     "geo_knn_join_haversine": q_geo_knn_haversine,
     "decontaminate": q_decontaminate,
     "media_image_features": q_media_image_features,
+    "sim_cosine_topk": q_sim_topk,
+    "corpus_curation": q_corpus_curation,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2425,6 +2561,8 @@ ORACLES = {
     "bpe_train_merges": ORACLE_BPE_TRAIN,
     "text_bpe_apply": ORACLE_BPE_APPLY,
     "token_budget_subword": ORACLE_BUDGET_SUBWORD,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "corpus_curation_rep": ORACLE_CURATION_REP,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,
