@@ -470,3 +470,72 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    probe_cap: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shape (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means
+    (``ivf_train`` centroids or the seeded ``make_centroids``
+    codebook), then within each cluster remove every item that is
+    too close to an earlier one.
+
+    Keep rule: item x is REMOVED iff some y with key(y) < key(x) in
+    the same cluster has cosine(x, y) >= threshold — the deterministic
+    per-pair rule (SemDeDup removes one item per over-threshold pair;
+    keeping the lowest key is its "keep one example" made
+    reproducible). Not a transitive closure: y itself may also have
+    been removed by an even earlier item.
+
+    Scale design: pair volume is Σ cluster², never corpus² — the
+    cluster count C is chosen so n/C is partition-sized (the same
+    bucket-bounding argument as the LSH band join, spatial-join cells,
+    and IVF probing). ``probe_cap`` additionally bounds skewed
+    clusters: only the first ``probe_cap`` items per cluster (by key)
+    act as removers, making the per-cluster cost linear in cap x size
+    (recall gated in tests, exactly like pruned-nprobe IVF). Cosines
+    are computed on double-cast vectors so the decision boundary is
+    bit-reproducible in ANSI SQL (float products diverge ~1e-9 across
+    engines).
+
+    Returns the KEPT rows: ``(key, ivf_bucket)``.
+    """
+    dv = F.col(vec_col).cast("array<double>")
+    assigned = ivf_assign(corpus, centroids, vec_col).select(
+        key, "ivf_bucket", dv.alias("_v")
+    )
+    a = assigned.select(
+        F.col(key).alias("_ky"),
+        "ivf_bucket",
+        F.col("_v").alias("_vy"),
+        _norm(F.col("_v")).alias("_ny"),
+    )
+    if probe_cap is not None:
+        wcap = Window.partitionBy("ivf_bucket").orderBy("_ky")
+        a = a.withColumn("_r", F.row_number().over(wcap)).filter(
+            F.col("_r") <= int(probe_cap)
+        ).drop("_r")
+    b = assigned.select(
+        F.col(key).alias("_kx"),
+        "ivf_bucket",
+        F.col("_v").alias("_vx"),
+        _norm(F.col("_v")).alias("_nx"),
+    )
+    cos = _dot(F.col("_vx"), F.col("_vy")) / (F.col("_nx") * F.col("_ny"))
+    removed = (
+        b.join(a, on="ivf_bucket")
+        .filter(F.col("_ky") < F.col("_kx"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("_kx").alias(key))
+        .distinct()
+    )
+    return assigned.join(removed, on=key, how="left_anti").select(key, "ivf_bucket")

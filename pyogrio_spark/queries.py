@@ -2207,6 +2207,79 @@ FROM c WHERE cum - token_count < 5000
 GROUP BY lang"""
 
 
+# ----------------------------------------------------------------- SemDeDup
+
+_SEMDEDUP_EPS = "3e-1"
+_SEMDEDUP_CAP = 16
+
+
+def q_semdedup_exact(spark, sf):
+    """SemDeDup (operators/similarity.py semantic_dedup): k-means
+    cluster the embeddings (seeded codebook — the deterministic twin
+    of ivf_train, same assignment expression), remove every vector
+    with an earlier same-cluster neighbor above the cosine threshold.
+    Exact within-cluster pairs; returns the kept set."""
+    from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = make_centroids(64, 8)
+    return semantic_dedup(emb, cents, threshold=float(_SEMDEDUP_EPS))
+
+
+def q_semdedup_pruned(spark, sf):
+    """Pruned SemDeDup twin: only the first probe_cap items per cluster
+    (by key) act as removers — per-cluster cost linear in cap x size,
+    the 100 TB path for skewed clusters. The cap rule is deterministic,
+    so this variant is fully oracled too (QUALIFY row cap), unlike
+    pruned-nprobe IVF whose probe choice is score-dependent."""
+    from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = make_centroids(64, 8)
+    return semantic_dedup(
+        emb, cents, threshold=float(_SEMDEDUP_EPS), probe_cap=_SEMDEDUP_CAP
+    )
+
+
+def _oracle_semdedup(probe_cap: int | None = None) -> str:
+    """Mirror of semantic_dedup with the seeded codebook inlined as
+    literals: same argmax assignment (first-max tie rule in both
+    engines), same double-cast cosine (bit-parity verified), same
+    earlier-neighbor NOT EXISTS rule."""
+    from pyogrio_spark.operators.similarity import make_centroids
+
+    cents = make_centroids(64, 8)
+    def lit(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"list_inner_product(CAST(embedding AS DOUBLE[]), {lit(cents[i])})"
+        " / greatest(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),"
+        " CAST(embedding AS DOUBLE[]))), 1e-12)"
+        for i in range(cents.shape[0])
+    )
+    removers = "assigned"
+    cap_cte = ""
+    if probe_cap is not None:
+        cap_cte = f""",
+removers AS (
+  SELECT * FROM assigned
+  QUALIFY row_number() OVER (PARTITION BY ivf_bucket ORDER BY vec_id) <= {probe_cap})"""
+        removers = "removers"
+    return f"""
+WITH assigned AS MATERIALIZED (
+  SELECT vec_id, CAST(list_position(s, list_max(s)) - 1 AS INTEGER) AS ivf_bucket,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM (SELECT vec_id, embedding, [{scores}] AS s FROM embeddings)){cap_cte}
+SELECT x.vec_id, x.ivf_bucket FROM assigned x
+WHERE NOT EXISTS (
+  SELECT 1 FROM {removers} y
+  WHERE y.ivf_bucket = x.ivf_bucket AND y.vec_id < x.vec_id
+    AND list_inner_product(x.v, y.v)
+        / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v)))
+        >= {_SEMDEDUP_EPS})"""
+
+
 # ------------------------------------------------------- repetition filters
 
 _REP_LINE_WORDS = 8
@@ -2424,7 +2497,10 @@ QUERIES = {
     # plus the new repetition gates) — every stage keeps a hard signal.
     "corpus_curation_rep": q_corpus_curation_rep,
     "geo_curation": q_geo_curation,
-    "dataset_split": q_dataset_split,
+    # round 6 swapped dataset_split (driver-green r1-r5; the md5-bucket
+    # machinery keeps hard signals in-window via domain_mix and
+    # stratified_sample's md5 ordering) for semdedup_exact.
+    "semdedup_exact": q_semdedup_exact,
     "domain_mix": q_domain_mix,
     "token_budget": q_token_budget,
     # The driver records correctness rows for the FIRST 50 entries only,
@@ -2489,6 +2565,11 @@ QUERIES = {
     "media_image_features": q_media_image_features,
     "sim_cosine_topk": q_sim_topk,
     "corpus_curation": q_corpus_curation,
+    "dataset_split": q_dataset_split,
+    # new round-6 entry at tail (oracled + preflighted; rotate into the
+    # window next round per the established protocol): the pruned
+    # SemDeDup twin — its exact twin semdedup_exact is in-window.
+    "semdedup_pruned": q_semdedup_pruned,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2563,6 +2644,8 @@ ORACLES = {
     "token_budget_subword": ORACLE_BUDGET_SUBWORD,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "corpus_curation_rep": ORACLE_CURATION_REP,
+    "semdedup_exact": _oracle_semdedup(),
+    "semdedup_pruned": _oracle_semdedup(probe_cap=_SEMDEDUP_CAP),
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ivf_topk_full": ORACLE_SIM_TOPK,
     "sim_ivf2_topk_full": ORACLE_SIM_TOPK,

@@ -237,3 +237,72 @@ def test_ivfpq_exact_at_full_probe_and_adc_recall(spark, vecs, vecs_pd):
     assert hitsq >= hits2  # ADC-ordered rerank >= plain ivf2 at equal budget
     coded.unpersist()
     b2.unpersist()
+
+
+def test_semantic_dedup_matches_numpy_rule(spark):
+    """semantic_dedup with TRAINED k-means centroids (ivf_train — the
+    variant the seeded-codebook oracle can't cover) matches a numpy
+    replica of the exact rule: remove x iff some y < x in x's cluster
+    has cosine >= eps."""
+    import numpy as np
+
+    from pyogrio_spark.operators.similarity import ivf_assign, ivf_train, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train(emb, dim=64, n_centroids=4, iters=2)
+    kept = {r.vec_id for r in semantic_dedup(emb, cents, threshold=0.3).collect()}
+
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64))
+         for r in emb.select("vec_id", "embedding").collect()),
+    )
+    buckets = {
+        r.vec_id: r.ivf_bucket for r in ivf_assign(emb, cents).select("vec_id", "ivf_bucket").collect()
+    }
+    expected = set()
+    by_bucket: dict[int, list] = {}
+    for vid, v in rows:
+        removed = False
+        for yid, y in by_bucket.get(buckets[vid], []):
+            c = float(v @ y / (np.linalg.norm(v) * np.linalg.norm(y)))
+            if c >= 0.3:
+                removed = True
+                break
+        if not removed:
+            expected.add(vid)
+        by_bucket.setdefault(buckets[vid], []).append((vid, v))
+    assert kept == expected
+
+
+def test_semantic_dedup_probe_cap_superset_and_recall(spark):
+    """The pruned variant (probe_cap) can only remove items that the
+    exact variant also removes (removers are a subset), so its kept
+    set is a superset; recall of the exact removals stays high on this
+    data."""
+    from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = make_centroids(64, 8)
+    exact = {r.vec_id for r in semantic_dedup(emb, cents, threshold=0.3).collect()}
+    pruned = {
+        r.vec_id
+        for r in semantic_dedup(emb, cents, threshold=0.3, probe_cap=16).collect()
+    }
+    assert exact <= pruned
+    n_all = emb.count()
+    removed_exact = n_all - len(exact)
+    removed_pruned = n_all - len(pruned)
+    assert removed_exact > 0  # the threshold actually bites at sf0.01
+    assert removed_pruned >= 0.5 * removed_exact  # cap=16 keeps most removals
+
+
+def test_semantic_dedup_plan_bucket_bounded(spark):
+    """No cartesian product and no Python stages: the pair join is an
+    equi-join on ivf_bucket."""
+    from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, make_centroids(64, 8), threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
