@@ -45,6 +45,46 @@ def _unzip_member(path: str, want_exts: tuple[str, ...]) -> str:
     return hits[0]
 
 
+def _unzip_named_member(path: str, member: str) -> str:
+    """Extract the archive and return the explicitly-requested member
+    (the ``zip://a.zip!inner.shp`` chain); reuses the per-archive cache."""
+    import tempfile
+    import zipfile
+
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    root = _ZIP_CACHE.get(key)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="pyogrio_spark_zip_")
+        with zipfile.ZipFile(path) as z:
+            z.extractall(root)
+        _ZIP_CACHE[key] = root
+    hit = os.path.join(root, member.lstrip("/"))
+    if not os.path.exists(hit):
+        raise ValueError(f"{path}: archive has no member {member!r}")
+    return hit
+
+
+def resolve_uri(path: str) -> str:
+    """URI grammar (pyogrio_spark.uri grammar: file://, zip://...!member,
+    remote schemes) -> the path the format codecs read. Plain local
+    paths pass through untouched; remote schemes map to the Hadoop-FS
+    connector URI (consumed by the parquet/table reader)."""
+    p = str(path)
+    if p.startswith("/vsimem/"):
+        from pyogrio_spark.uri import vsimem_to_local
+
+        return vsimem_to_local(p)
+    if "://" not in p and "!" not in p:
+        return p
+    from pyogrio_spark.uri import storage_path
+
+    local, member = storage_path(p)
+    if member is not None:
+        _check_exists(local)  # reference missing-file semantics pre-extract
+        return _unzip_named_member(local, member)
+    return local
+
+
 def resolve_archive(path: str) -> str:
     """Zip-archive dataset variants -> path of the extracted dataset;
     non-archive paths pass through unchanged."""
@@ -90,10 +130,12 @@ def open_table(
     distributed variant (single JSON document; GeoJSONSeq is the
     declared scale layout) and raises."""
     if isinstance(path, (str, os.PathLike)):
-        # existence first: a missing path must surface the reference's
-        # DataSourceError('...No such file or directory') regardless of
-        # extension, not a format-detection ValueError (round-5 ADVICE;
-        # reference errors.check_dataset_path semantics)
+        # URI grammar first (file:// / zip://...!member / remote
+        # schemes), then existence: a missing path must surface the
+        # reference's DataSourceError('...No such file or directory')
+        # regardless of extension, not a format-detection ValueError
+        # (round-5 ADVICE; reference errors.check_dataset_path semantics)
+        path = resolve_uri(str(path))
         _check_exists(str(path))
         path = resolve_archive(str(path))
         fmt = detect_format(path)
@@ -165,6 +207,7 @@ def dataset_info(path: str, layer=None, force_total_bounds: bool = False) -> dic
     header — no feature scan. GeoJSON FeatureCollections are one JSON
     document (parsed by definition); GeoJSONSeq reports total_bounds
     None unless forced, like the reference."""
+    path = resolve_uri(path)
     _check_exists(path)  # before format detection: missing-file semantics
     path = resolve_archive(path)
     fmt = detect_format(path)
@@ -195,6 +238,7 @@ def dataset_info(path: str, layer=None, force_total_bounds: bool = False) -> dic
 
 def dataset_layers(path: str) -> list[list[str]]:
     """[[layer_name, geometry_type], ...] for file-based sources."""
+    path = resolve_uri(path)
     _check_exists(path)  # before format detection: missing-file semantics
     path = resolve_archive(path)
     fmt = detect_format(path)
