@@ -48,3 +48,15 @@ from pyogrio_spark.compat import (  # noqa: F401
     write_arrow,
     write_dataframe,
 )
+from pyogrio_spark.runtime import (  # noqa: F401
+    __gdal_geos_version__,
+    __gdal_version__,
+    __gdal_version_string__,
+    get_gdal_config_option,
+    get_gdal_data_path,
+    set_gdal_config_options,
+    vsi_curl_clear_cache,
+    vsi_listtree,
+    vsi_rmtree,
+    vsi_unlink,
+)

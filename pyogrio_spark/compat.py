@@ -771,6 +771,13 @@ def write_dataframe(
             raise ValueError("Cannot pass both metadata and layer_metadata")
         layer_metadata = metadata
     path = str(path)
+    if path.startswith("/vsimem/"):
+        # in-memory namespace (reference /vsimem/ writes, core.py:380+):
+        # backed by the engine's local vsimem root; format detection
+        # below still keys off the original extension
+        from pyogrio_spark.uri import vsimem_to_local
+
+        path = vsimem_to_local(path)
     pdf = df.copy()
     if geometry_column in pdf.columns and geometry_column != "geometry_wkb":
         pdf = pdf.rename(columns={geometry_column: "geometry_wkb"})
