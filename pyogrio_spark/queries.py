@@ -99,7 +99,12 @@ BOXES_SQL = """(
 )"""
 
 
-_DOCS_GEO_CACHE: dict = {}
+# weak-keyed by the session object: a GC'd session drops its cached
+# plans (an id(spark) key could collide after id reuse and pinned the
+# entries for the process lifetime)
+import weakref
+
+_DOCS_GEO_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _docs_geo(spark: SparkSession, sf: str) -> DataFrame:
@@ -111,8 +116,10 @@ def _docs_geo(spark: SparkSession, sf: str) -> DataFrame:
     is a one-time ingest cost, not a per-query cost, so queries sharing a
     session share the materialized derivation exactly as they would share
     the stored table."""
-    key = (id(spark), sf)
-    hit = _DOCS_GEO_CACHE.get(key)
+    per_session = _DOCS_GEO_CACHE.get(spark)
+    if per_session is None:
+        per_session = _DOCS_GEO_CACHE.setdefault(spark, {})
+    hit = per_session.get(sf)
     if hit is not None:
         return hit
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -120,7 +127,7 @@ def _docs_geo(spark: SparkSession, sf: str) -> DataFrame:
     docs = docs.withColumn("geometry_wkb", point_wkb_column("lon", "lat"))
     docs = bounds_columns(docs)  # exercises the WKB decode kernel
     docs = docs.withColumn("cell_id", cell_id_column("xmin", "ymin", GEO_RES)).cache()
-    _DOCS_GEO_CACHE[key] = docs
+    per_session[sf] = docs
     return docs
 
 
