@@ -109,6 +109,73 @@ WKT_BY_EPSG: dict[int, str] = {
     ),
 }
 
+# --------------------------------------------- NAD83 State Plane (meters)
+# The highest-traffic SPCS83 zones, both projection families (standard
+# public SPCS83 parameters; serialization-only — identification
+# round-trips through the AUTHORITY node regardless).
+# Lambert Conformal Conic 2SP zones:
+#   code -> (esri zone name, sp1, sp2, lat0, cm, false_e, false_n)
+_SP_LCC: dict[int, tuple] = {
+    # California zones I-VI (FIPS 0401-0406)
+    26941: ("California_I_FIPS_0401", 41.6666666667, 40.0, 39.3333333333, -122.0, 2000000, 500000),
+    26942: ("California_II_FIPS_0402", 39.8333333333, 38.3333333333, 37.6666666667, -122.0, 2000000, 500000),
+    26943: ("California_III_FIPS_0403", 38.4333333333, 37.0666666667, 36.5, -120.5, 2000000, 500000),
+    26944: ("California_IV_FIPS_0404", 37.25, 36.0, 35.3333333333, -119.0, 2000000, 500000),
+    26945: ("California_V_FIPS_0405", 35.4666666667, 34.0333333333, 33.5, -118.0, 2000000, 500000),
+    26946: ("California_VI_FIPS_0406", 33.8833333333, 32.7833333333, 32.1666666667, -116.25, 2000000, 500000),
+    # Texas zones (FIPS 4201-4205)
+    32137: ("Texas_North_FIPS_4201", 36.1833333333, 34.65, 34.0, -101.5, 200000, 1000000),
+    32138: ("Texas_North_Central_FIPS_4202", 33.9666666667, 32.1333333333, 31.6666666667, -98.5, 600000, 2000000),
+    32139: ("Texas_Central_FIPS_4203", 31.8833333333, 30.1166666667, 29.6666666667, -100.3333333333, 700000, 3000000),
+    32140: ("Texas_South_Central_FIPS_4204", 30.2833333333, 28.3833333333, 27.8333333333, -99.0, 600000, 4000000),
+    32141: ("Texas_South_FIPS_4205", 27.8333333333, 26.1666666667, 25.6666666667, -98.5, 300000, 5000000),
+    # New York Long Island (FIPS 3104)
+    32118: ("New_York_Long_Island_FIPS_3104", 41.0333333333, 40.6666666667, 40.1666666667, -74.0, 300000, 0),
+    # Florida North (FIPS 0903)
+    26960: ("Florida_North_FIPS_0903", 30.75, 29.5833333333, 29.0, -84.5, 600000, 0),
+    # Washington (FIPS 4601-4602)
+    32148: ("Washington_North_FIPS_4601", 48.7333333333, 47.5, 47.0, -120.8333333333, 500000, 0),
+    32149: ("Washington_South_FIPS_4602", 47.3333333333, 45.8333333333, 45.3333333333, -120.5, 500000, 0),
+}
+# Transverse Mercator zones:
+#   code -> (esri zone name, lat0, cm, scale, false_e, false_n)
+_SP_TM: dict[int, tuple] = {
+    # New York East/Central/West (FIPS 3101-3103)
+    32115: ("New_York_East_FIPS_3101", 38.8333333333, -74.5, 0.9999, 150000, 0),
+    32116: ("New_York_Central_FIPS_3102", 40.0, -76.5833333333, 0.9999, 250000, 0),
+    32117: ("New_York_West_FIPS_3103", 40.0, -78.5833333333, 0.9999, 350000, 0),
+    # Florida East/West (FIPS 0901-0902)
+    26958: ("Florida_East_FIPS_0901", 24.3333333333, -81.0, 0.999941177, 200000, 0),
+    26959: ("Florida_West_FIPS_0902", 24.3333333333, -82.0, 0.999941177, 200000, 0),
+}
+
+
+def _stateplane_wkt(code: int) -> str:
+    if code in _SP_LCC:
+        zone, sp1, sp2, lat0, cm, fe, fn = _SP_LCC[code]
+        return (
+            f'PROJCS["NAD_1983_StatePlane_{zone}",'
+            + _NAD83_GEOGCS
+            + '],PROJECTION["Lambert_Conformal_Conic"],'
+            f'PARAMETER["False_Easting",{fe}],PARAMETER["False_Northing",{fn}],'
+            f'PARAMETER["Central_Meridian",{cm}],'
+            f'PARAMETER["Standard_Parallel_1",{sp1}],'
+            f'PARAMETER["Standard_Parallel_2",{sp2}],'
+            f'PARAMETER["Latitude_Of_Origin",{lat0}],UNIT["Meter",1],'
+            f'AUTHORITY["EPSG","{code}"]]'
+        )
+    zone, lat0, cm, k0, fe, fn = _SP_TM[code]
+    return (
+        f'PROJCS["NAD_1983_StatePlane_{zone}",'
+        + _NAD83_GEOGCS
+        + '],PROJECTION["Transverse_Mercator"],'
+        f'PARAMETER["False_Easting",{fe}],PARAMETER["False_Northing",{fn}],'
+        f'PARAMETER["Central_Meridian",{cm}],PARAMETER["Scale_Factor",{k0}],'
+        f'PARAMETER["Latitude_Of_Origin",{lat0}],UNIT["Meter",1],'
+        f'AUTHORITY["EPSG","{code}"]]'
+    )
+
+
 # name fragment (case/sep-insensitive) -> EPSG code, for authority-less
 # .prj files; checked longest-first so Web-Mercator wins over its own
 # embedded GCS_WGS_1984
@@ -132,6 +199,14 @@ _NAME_TABLE: list[tuple[str, int]] = [
     ("gcswgs1984", 4326),
     ("wgs84", 4326),
     ("wgs1984", 4326),
+]
+
+# state-plane fragments ("stateplanecaliforniaifips0401" matches both the
+# Esri meter name and the _Feet variant's prefix); inserted at the front
+# so the specific zone wins over the generic nad83 datum fragment
+_NAME_TABLE[:0] = [
+    ("stateplane" + re.sub(r"[^a-z0-9]", "", zone[0].lower()), code)
+    for code, zone in list(_SP_LCC.items()) + list(_SP_TM.items())
 ]
 
 _UTM_RE = re.compile(r"WGS[_ ]?1984[_ ]?UTM[_ ]?Zone[_ ]?(\d{1,2})([NS])", re.IGNORECASE)
@@ -247,6 +322,8 @@ def crs_to_wkt(crs) -> str:
         or 26901 <= code <= 26923
     ):
         return _utm_wkt(code)
+    if code in _SP_LCC or code in _SP_TM:
+        return _stateplane_wkt(code)
     # identification-only skeleton: round-trips the code through every
     # format reader; full parameters need a PROJ database (module doc)
     return f'LOCAL_CS["EPSG:{code}",UNIT["Meter",1],AUTHORITY["EPSG","{code}"]]'

@@ -443,3 +443,48 @@ def test_common_projected_crs_full_wkt():
     assert epsg_from_wkt('PROJCS["NAD_1983_Contiguous_USA_Albers"]') == 5070
     assert epsg_from_wkt('GEOGCS["GCS_North_American_1927"]') == 4267
     assert epsg_from_wkt('GEOGCS["GCS_ETRS_1989"]') == 4258
+
+
+def test_stateplane_identification_roundtrip():
+    """NAD83 State Plane (meters) for the highest-traffic zones — both
+    the Lambert (CA/TX/NY-LI/FL-N/WA) and Transverse-Mercator
+    (NY-E/C/W, FL-E/W) families — serialize full WKT (not the LOCAL_CS
+    skeleton) and identify by authority and by authority-less Esri
+    .prj name, including the _Feet variants' shared name stem."""
+    from pyogrio_spark.crs import _SP_LCC, _SP_TM, crs_to_wkt, epsg_from_wkt
+
+    for code in _SP_LCC:
+        wkt = crs_to_wkt(code)
+        assert "Lambert_Conformal_Conic" in wkt and "LOCAL_CS" not in wkt, code
+        assert "D_North_American_1983" in wkt
+        assert epsg_from_wkt(wkt) == code
+    for code in _SP_TM:
+        wkt = crs_to_wkt(code)
+        assert "Transverse_Mercator" in wkt and "LOCAL_CS" not in wkt, code
+        assert epsg_from_wkt(wkt) == code
+    # authority-less Esri .prj names resolve to the zone, not the datum
+    assert epsg_from_wkt('PROJCS["NAD_1983_StatePlane_California_V_FIPS_0405"]') == 26945
+    assert epsg_from_wkt('PROJCS["NAD_1983_StatePlane_Texas_Central_FIPS_4203"]') == 32139
+    assert epsg_from_wkt('PROJCS["NAD_1983_StatePlane_New_York_Long_Island_FIPS_3104"]') == 32118
+    assert epsg_from_wkt('PROJCS["NAD_1983_StatePlane_Florida_East_FIPS_0901"]') == 26958
+    assert epsg_from_wkt('PROJCS["NAD_1983_StatePlane_Washington_North_FIPS_4601"]') == 32148
+    # spot-check standard SPCS83 parameters
+    assert 'PARAMETER["Central_Meridian",-118.0]' in crs_to_wkt(26945)
+    assert 'PARAMETER["False_Northing",3000000]' in crs_to_wkt(32139)
+    assert 'PARAMETER["Scale_Factor",0.9999]' in crs_to_wkt(32115)
+
+
+def test_stateplane_binary_format_roundtrip(tmp_path):
+    """A state-plane CRS survives a shapefile write/read through the
+    engine (the .prj path real users hit)."""
+    import pandas as pd
+
+    from pyogrio_spark.compat import read_info, write_dataframe
+    from pyogrio_spark.geometry import wkb as W
+
+    pdf = pd.DataFrame(
+        {"a": [1], "geometry": [W.encode_point(1900000.0, 550000.0)]}
+    )
+    shp = tmp_path / "sp.shp"
+    write_dataframe(pdf, str(shp), crs=26945)
+    assert read_info(str(shp))["crs"] == "EPSG:26945"
