@@ -58,6 +58,14 @@ HEADLINE = [
     "chunk_pack_global",
     "text_tfidf",
     "text_lm_score",
+    # round-6 additions: greedy subword tokenization (one-projection
+    # codegen), Gopher repetition filters, cluster-bounded semantic dedup,
+    # corpus-global line dedup, perplexity-percentile gate
+    "text_tokenize",
+    "text_repetition",
+    "semdedup_exact",
+    "dedup_lines_global",
+    "quality_percentile",
 ]
 
 

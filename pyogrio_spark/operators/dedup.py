@@ -542,3 +542,82 @@ def embedding_near_dup_pairs(
     dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     cos = (dot / (F.col("_na") * F.col("_nb"))).alias("cosine")
     return cand.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
+
+
+def line_dedup_global(
+    docs: DataFrame,
+    line_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-global line-level exact dedup (the C4 / "Deduplicating
+    Training Data" pipeline stage): every duplicate occurrence of a
+    line ACROSS the whole corpus is removed except the first, then
+    documents are reassembled from their surviving lines in order.
+    Lines are ``line_words``-token segments (the ``line_sep``-less
+    convention of ``repetition_scores`` for single-line corpora; pass
+    a real separator corpus through ``chunk_documents`` semantics all
+    the same). "First" is the (doc_id, line_index) order — content
+    identity, never partition layout, decides the keeper.
+
+    -> (doc_id, text, n_lines, n_kept); a document whose every line is
+    a duplicate survives with empty text, so downstream length filters
+    see it instead of silently losing the row.
+
+    Scale shape (the part that matters at 100 TB):
+    * segmentation reuses ``chunk_documents`` with zero overlap — a
+      pure-codegen map, NO shuffle;
+    * the keeper decision is one groupBy on md5(line) (map-side
+      combine; the aggregate is a single bigint ``min``, not a struct,
+      so it stays in codegen) — shuffle #1, keyed by content hash, so
+      boilerplate lines concentrate but reduce to one row each;
+    * keepers join back to the segment stream on the same hash —
+      shuffle #2, AQE-handled skew;
+    * reassembly groups by doc — shuffle #3, bounded by document size.
+    Line index is packed into the keeper key as
+    ``doc_id * 2^20 + line_id`` to keep the min() a plain bigint
+    (documented bound: 2^20 segments per document — an 8M-word doc at
+    the default width; wider corpora pass a larger ``line_words``).
+    """
+    from pyogrio_spark.operators.chunking import chunk_documents
+
+    segs = chunk_documents(
+        docs, chunk_tokens=line_words, overlap_tokens=0,
+        text_col=text_col, id_col=id_col, sep=sep,
+    ).select(
+        id_col,
+        F.col("chunk_id").alias("_li"),
+        F.col("chunk_text").alias("_line"),
+    )
+    occ = (F.col(id_col) * F.lit(1 << 20) + F.col("_li")).alias("_occ")
+    segs = segs.select(id_col, "_li", "_line", F.md5("_line").alias("_h"), occ)
+    keepers = segs.groupBy("_h").agg(F.min("_occ").alias("_keep"))
+    kept = (
+        segs.join(keepers, "_h")
+        .filter(F.col("_occ") == F.col("_keep"))
+        .drop("_h", "_occ", "_keep")
+    )
+    n_lines = docs.select(
+        id_col,
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.size(F.split(F.col(text_col), __import__("re").escape(sep))) / F.lit(float(line_words))).cast("int"),
+        ).alias("n_lines"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("_li", "_line"))), lambda s: s._line),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        n_lines.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -17,7 +17,7 @@ pushes into the scan of any table that persists the column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 1_000_000
@@ -116,4 +116,62 @@ def resample_to_weights(
     return (
         out.withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
         .drop("_nc")
+    )
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    p: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact percentile gate — keep rows whose score sits at or above
+    the ``p``-th percent-rank of their group (the "keep the top X% by
+    quality score" curation step). Exact and tie-stable: percent_rank
+    is ``(rank - 1) / (n - 1)`` with equal scores sharing a rank, so
+    membership depends only on the score multiset, never on partition
+    layout. Adds ``pct_rank``.
+
+    Scale: a window over ``group_col`` is a per-group global sort —
+    exactness costs one range-shuffle of the corpus. That is the
+    honest price of an exact rank; the 100 TB fast path is
+    ``percentile_filter_approx`` (two-phase: per-group approximate
+    threshold, broadcast, map-side filter — no global sort), gated
+    against this exact variant in tests.
+    """
+    keys = [group_col] if group_col else []
+    w = Window.partitionBy(*keys).orderBy(F.col(score_col))
+    out = df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 9))
+    return out.filter(F.col("pct_rank") >= F.lit(float(p)))
+
+
+def percentile_filter_approx(
+    df: DataFrame,
+    score_col: str,
+    p: float,
+    group_col: str | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Two-phase approximate percentile gate: per-group threshold via
+    approxQuantile (Greenwald-Khanna, driver holds one scalar per
+    group), then a broadcast map-side filter ``score >= threshold``.
+    No global sort, no corpus shuffle — the plan a 1000-executor
+    cluster wants. Guarantee: the threshold's rank error is bounded by
+    ``relative_error`` * n, so membership differs from the exact gate
+    only within that band (asserted in tests). One aggregation job for
+    ALL groups (percentile_approx map-side sketches merge), thresholds
+    broadcast-joined back — never a per-group driver loop."""
+    accuracy = max(100, int(1.0 / max(relative_error, 1e-6)))
+    if group_col is None:
+        thr = df.agg(
+            F.percentile_approx(score_col, F.lit(float(p)), F.lit(accuracy)).alias("_t")
+        ).collect()[0]["_t"]
+        return df.filter(F.col(score_col) >= F.lit(thr))
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, F.lit(float(p)), F.lit(accuracy)).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
     )

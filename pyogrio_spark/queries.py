@@ -2430,6 +2430,104 @@ def q_window_top_orders_per_segment(spark, sf):
     )
 
 
+_LINE_DEDUP_WORDS = 8
+
+
+def q_dedup_lines_global(spark, sf):
+    """Corpus-global line-level exact dedup (operators/dedup.py
+    line_dedup_global — the C4 / Lee-et-al pipeline stage): every
+    duplicate occurrence of an 8-word line across the corpus is
+    dropped except the first (by (doc_id, line) order), documents
+    reassembled from surviving lines. Zero-shuffle segmentation via
+    chunk_documents; keeper decision is a bigint min over md5(line)."""
+    from pyogrio_spark.operators.dedup import line_dedup_global
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return line_dedup_global(docs, line_words=_LINE_DEDUP_WORDS)
+
+
+ORACLE_DEDUP_LINES_GLOBAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS w, unnest(generate_series(1, length(l))) - 1 AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+segs AS (
+  SELECT doc_id, i // {_LINE_DEDUP_WORDS} AS li, string_agg(w, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, i // {_LINE_DEDUP_WORDS}),
+keep AS (
+  SELECT line, min(doc_id * 1048576 + li) AS keeper FROM segs GROUP BY line),
+kept AS (
+  SELECT s.doc_id, s.li, s.line FROM segs s JOIN keep k
+  ON s.line = k.line AND s.doc_id * 1048576 + s.li = k.keeper),
+nl AS (SELECT doc_id, count(*) AS n_lines FROM segs GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY li) AS text, count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT n.doc_id, coalesce(r.text, '') AS text,
+       CAST(n.n_lines AS INTEGER) AS n_lines,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM nl n LEFT JOIN reb r USING (doc_id)
+"""
+
+
+def q_quality_percentile(spark, sf):
+    """CCNet-style perplexity-percentile gate: bigram-LM score the
+    corpus (bigram_lm_scores, already hash-green), keep documents at
+    or above the 0.7 percent-rank of their language (operators/
+    sampling.py percentile_filter). Exact and tie-stable: ranks on the
+    ROUNDED score so both engines rank the identical key. Scale note
+    in the operator docstring — the exact gate is a per-group sort;
+    the approx twin (percentile_filter_approx, two-phase sketch +
+    broadcast threshold) is the 100 TB path, band-gated in pytest."""
+    from pyogrio_spark.functions.text import bigram_lm_scores
+    from pyogrio_spark.operators.sampling import percentile_filter
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = bigram_lm_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return percentile_filter(scored, "lm_score", 0.7, group_col="lang").select(
+        "doc_id", "lang", F.col("n_bigrams"), "lm_score", "pct_rank"
+    )
+
+
+# same bigram-LM CTE stack as ORACLE_TEXT_LM_SCORE (kept verbatim — the
+# LM score must be the identical rounded key both gates rank on),
+# followed by the per-language percent_rank gate
+ORACLE_QUALITY_PERCENTILE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+  FROM m
+), big AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM e
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1
+), v AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT DISTINCT w FROM (SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big)
+  )
+), s AS (
+  SELECT big.doc_id, ln((c2.c2 + 1) / (c1.c1 + v.v)) AS lp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+), lm AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+  FROM s GROUP BY doc_id
+), scored AS (
+  SELECT l.doc_id, d.lang, l.n_bigrams, l.lm_score
+  FROM lm l JOIN documents d USING (doc_id)
+), r AS (
+  SELECT doc_id, lang, n_bigrams, lm_score,
+         round(percent_rank() OVER (PARTITION BY lang ORDER BY lm_score), 9) AS pct_rank
+  FROM scored)
+SELECT doc_id, lang, n_bigrams, lm_score, pct_rank FROM r WHERE pct_rank >= 0.7
+"""
+
+
 # ================================================================= registry
 
 QUERIES = {
@@ -2489,13 +2587,21 @@ QUERIES = {
     # media_image_features) out of the window for stratified_sample —
     # the one registry entry that had never had a driver row.
     "stratified_sample": q_stratified_sample,
-    "tpch_q1_pricing": q_tpch_q1,
+    # round 6 (late) swapped tpch_q1_pricing (driver-green r1-r5; the
+    # SQL-passthrough/aggregation machinery keeps hard signals in-window
+    # via window_top_orders and events_sessionize) for the new
+    # corpus-global line dedup.
+    "dedup_lines_global": q_dedup_lines_global,
     "geo_within_distance": q_geo_within_distance,
     "geo_areal_interpolate": q_geo_areal_interpolate,
     "geo_measures_geodesic": q_geo_measures_geodesic,
     "events_sessionize": q_events_sessionize,
     "events_asof_rates": q_events_asof_rates,
-    "read_bounds": q_read_bounds,
+    # round 6 (late) swapped read_bounds (driver-green r1-r5; the bounds
+    # kernel stays hard-signaled in-window — every geo query derives its
+    # envelope columns through it and geo_bbox_filter gates on them) for
+    # the new CCNet-style perplexity-percentile gate.
+    "quality_percentile": q_quality_percentile,
     "sim_ivf2pq_topk_full": q_ivf2pq_topk_full,
     "text_chunking": q_text_chunking,
     "window_top_orders": q_window_top_orders_per_segment,
@@ -2577,6 +2683,11 @@ QUERIES = {
     # window next round per the established protocol): the pruned
     # SemDeDup twin — its exact twin semdedup_exact is in-window.
     "semdedup_pruned": q_semdedup_pruned,
+    # round 6 (late) window swaps — both driver-green r1-r5, moved to
+    # the tail for dedup_lines_global / quality_percentile (see the
+    # window-slot notes above); still fully oracled + preflighted.
+    "tpch_q1_pricing": q_tpch_q1,
+    "read_bounds": q_read_bounds,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2651,6 +2762,8 @@ ORACLES = {
     "token_budget_subword": ORACLE_BUDGET_SUBWORD,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "corpus_curation_rep": ORACLE_CURATION_REP,
+    "dedup_lines_global": ORACLE_DEDUP_LINES_GLOBAL,
+    "quality_percentile": ORACLE_QUALITY_PERCENTILE,
     "semdedup_exact": _oracle_semdedup(),
     "semdedup_pruned": _oracle_semdedup(probe_cap=_SEMDEDUP_CAP),
     "sim_cosine_topk": ORACLE_SIM_TOPK,

@@ -260,3 +260,63 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert abs(out[0]["lm_score"] - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
     assert out[1]["n_bigrams"] == 2
     assert abs(out[1]["lm_score"] - round((lp_ab + lp_bc) / 2, 6)) < 1e-9
+
+
+def test_line_dedup_global_semantics(spark):
+    """Corpus-global first-occurrence-wins on 4-word lines: the later
+    twin doc empties out, a partial overlap keeps only its novel line,
+    order within survivors is preserved, and no line text survives
+    twice anywhere."""
+    import pandas as pd
+
+    from pyogrio_spark.operators.dedup import line_dedup_global
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f g h",          # lines: "a b c d", "e f g h"
+                "a b c d e f g h",          # exact twin -> fully removed
+                "x y z w e f g h",          # keeps only "x y z w"
+            ],
+        }
+    )
+    out = (
+        line_dedup_global(spark.createDataFrame(pdf), line_words=4)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "text"] == "a b c d e f g h"
+    assert out.loc[1, "n_lines"] == 2 and out.loc[1, "n_kept"] == 2
+    assert out.loc[2, "text"] == "" and out.loc[2, "n_kept"] == 0
+    assert out.loc[2, "n_lines"] == 2  # the row survives for length filters
+    assert out.loc[3, "text"] == "x y z w"
+    # global invariant: every 4-word line appears at most once anywhere
+    lines = [ln for t in out.text for ln in [t[i:] for i in [0]] if t]
+    all_lines = []
+    for t in out.text:
+        toks = t.split(" ") if t else []
+        all_lines += [" ".join(toks[i : i + 4]) for i in range(0, len(toks), 4)]
+    assert len(all_lines) == len(set(all_lines))
+
+
+def test_line_dedup_global_short_tail_and_plan(spark):
+    """A short tail line dedups like any other; the plan keeps Python
+    out entirely (built-ins only) and resolves the keeper with hash
+    aggregates, not a corpus sort."""
+    import pandas as pd
+
+    from pyogrio_spark.operators.dedup import line_dedup_global
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d e", "p q r s e"]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = line_dedup_global(df, line_words=4)
+    got = out.toPandas().set_index("doc_id")
+    assert got.loc[1, "text"] == "a b c d e"
+    assert got.loc[2, "text"] == "p q r s"  # tail "e" deduped against doc 1's
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan

@@ -97,3 +97,61 @@ def test_resample_to_weights_copies(spark):
     # copy_idx is dense 0..n-1 per doc
     import numpy as np
     assert (en.groupby("doc_id").copy_idx.max().to_numpy() + 1 == en.groupby("doc_id").size().to_numpy()).all()
+
+
+def test_percentile_filter_exact_ties_and_groups(spark):
+    """percent_rank semantics: membership depends only on the score
+    multiset; a tie group straddling the cut is in or out as one."""
+    import pandas as pd
+
+    from pyogrio_spark.operators.sampling import percentile_filter
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "lang": ["en"] * 5 + ["es"] * 5,
+            "q": [0.1, 0.2, 0.3, 0.4, 0.5, 0.7, 0.7, 0.7, 0.7, 0.9],
+        }
+    )
+    out = percentile_filter(
+        spark.createDataFrame(pdf), "q", 0.5, group_col="lang"
+    ).toPandas()
+    # en: ranks (0,.25,.5,.75,1) -> keep q>=0.3
+    assert sorted(out[out.lang == "en"].q) == [0.3, 0.4, 0.5]
+    # es: 0.7-tie has percent_rank 0 (first rank), 0.9 has 1.0 -> tie
+    # group below the cut drops as one
+    assert sorted(out[out.lang == "es"].q) == [0.9]
+
+
+def test_percentile_filter_approx_band_and_plan(spark):
+    """The two-phase approximate gate stays within the sketch's rank
+    band of the exact gate and broadcasts the threshold (no corpus
+    sort in the plan)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyogrio_spark.operators.sampling import (
+        percentile_filter,
+        percentile_filter_approx,
+    )
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4000),
+            "lang": ["en", "es"] * 2000,
+            "q": np.round(rng.normal(0, 1, 4000), 6),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    exact = set(percentile_filter(df, "q", 0.8, group_col="lang").toPandas().doc_id)
+    approx_df = percentile_filter_approx(df, "q", 0.8, group_col="lang", relative_error=0.001)
+    approx = set(approx_df.toPandas().doc_id)
+    # rank error bound: relative_error * n per group -> symmetric diff small
+    assert len(exact ^ approx) <= 2 * int(0.001 * 2000) + 2
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Sort" not in plan.split("BroadcastExchange")[0]  # no corpus sort feeding the filter
+    # ungrouped form works too
+    n_all = percentile_filter_approx(df, "q", 0.5).count()
+    assert abs(n_all - 2000) < 50
