@@ -63,13 +63,27 @@ def make_centroids(dim: int, n_centroids: int, seed: int = 29) -> np.ndarray:
 
 
 def _centroid_scores(vec_col, centroids: np.ndarray):
-    return F.array(
-        *[
-            _dot(vec_col, F.array(*[F.lit(float(x)) for x in centroids[i]]))
-            / F.greatest(_norm(vec_col), F.lit(1e-12))
-            for i in range(centroids.shape[0])
-        ]
-    )
+    """Per-centroid cosine scores as ONE parsed SQL expression. The
+    Column-object build (C x dim F.lit py4j calls — ~600 at 8x64) cost
+    ~0.7s of driver time per invocation; the parsed string resolves to
+    the IDENTICAL Catalyst tree (same HOF fold, same double literals —
+    D-suffix parity pytest-verified), so results are bit-equal."""
+    vec = _col_sql(vec_col)
+    exprs = []
+    for i in range(centroids.shape[0]):
+        lits = ",".join(f"{float(x)!r}D" for x in centroids[i])
+        exprs.append(
+            f"aggregate(zip_with({vec}, array({lits}), (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x)"
+            f" / greatest(sqrt(aggregate({vec}, 0.0D, (acc, x) -> acc + x * x)), 1e-12D)"
+        )
+    return F.expr("array(" + ",".join(exprs) + ")")
+
+
+def _col_sql(col) -> str:
+    """SQL text for a plain column reference (Column or name)."""
+    name = col._jc.toString() if not isinstance(col, str) else col
+    return f"`{name}`"
 
 
 def ivf_train(
@@ -509,28 +523,50 @@ def semantic_dedup(
 
     Returns the KEPT rows: ``(key, ivf_bucket)``.
     """
+    from pyogrio_spark.cache import pin_cache
+
+    dim = int(centroids.shape[1])
     dv = F.col(vec_col).cast("array<double>")
-    assigned = ivf_assign(corpus, centroids, vec_col).select(
-        key, "ivf_bucket", dv.alias("_v")
+    # cached: consumed three times (both pair sides + the final
+    # anti-join); at storage scale the assignment is a persisted column
+    # (ivf_assign docstring), so the cache stands in for that table
+    assigned = pin_cache(
+        ivf_assign(corpus, centroids, vec_col).select(key, "ivf_bucket", dv.alias("_v"))
     )
-    a = assigned.select(
-        F.col(key).alias("_ky"),
-        "ivf_bucket",
-        F.col("_v").alias("_vy"),
-        _norm(F.col("_v")).alias("_ny"),
-    )
+
+    # The cosine runs once PER CANDIDATE PAIR (Σ cluster² rows), so its
+    # per-row cost is the whole operator. The interpreted HOF fold
+    # (_dot) costs ~9µs/row at dim 64; unrolled element_at chains
+    # codegen but deserialize the array per term and measured SLOWER
+    # (5.7s vs 2.55s at sf0.1). Winning layout: flatten each side to
+    # `dim` scalar double columns BEFORE the join — the array is
+    # decoded once per ROW, and the post-join cosine is straight-line
+    # double arithmetic (~4x over the unrolled chain). The wide
+    # expressions are built as SQL strings (selectExpr — one py4j
+    # call, JVM-side parse): Column-object construction at dim 64 cost
+    # 1.9s of driver time per invocation, more than the job itself.
+    # Accumulation order is _dot/_norm's exact left fold
+    # (0.0 + t1 + t2 + ...), so results are bit-equal and the SQL
+    # oracle's UNNEST-sum parity is unaffected.
+    def _flat(df, kname, p, nname):
+        cols = [f"element_at(_v, {i}) AS {p}{i}" for i in range(1, dim + 1)]
+        nsum = " + ".join(
+            f"element_at(_v, {i}) * element_at(_v, {i})" for i in range(1, dim + 1)
+        )
+        return df.selectExpr(
+            f"`{key}` AS {kname}", "ivf_bucket", *cols,
+            f"sqrt(0.0D + {nsum}) AS {nname}",
+        )
+
+    a = _flat(assigned, "_ky", "_y", "_ny")
     if probe_cap is not None:
         wcap = Window.partitionBy("ivf_bucket").orderBy("_ky")
         a = a.withColumn("_r", F.row_number().over(wcap)).filter(
             F.col("_r") <= int(probe_cap)
         ).drop("_r")
-    b = assigned.select(
-        F.col(key).alias("_kx"),
-        "ivf_bucket",
-        F.col("_v").alias("_vx"),
-        _norm(F.col("_v")).alias("_nx"),
-    )
-    cos = _dot(F.col("_vx"), F.col("_vy")) / (F.col("_nx") * F.col("_ny"))
+    b = _flat(assigned, "_kx", "_x", "_nx")
+    dsum = " + ".join(f"_x{i} * _y{i}" for i in range(1, dim + 1))
+    cos = F.expr(f"(0.0D + {dsum}) / (_nx * _ny)")
     removed = (
         b.join(a, on="ivf_bucket")
         .filter(F.col("_ky") < F.col("_kx"))

@@ -242,6 +242,60 @@ def run_once_chunk(cpus: int, n_docs: int) -> dict:
 
 
 
+def run_once_linededup(cpus: int, n_docs: int) -> dict:
+    """Round-6 operator family: corpus-global line dedup. Shape under
+    test: zero-shuffle segmentation, md5-keyed bigint-min keeper
+    groupBy (map-side combine), hash-join back, doc-keyed reassembly —
+    three shuffles over the line stream. Synthesized ~32-token docs
+    where ~25% of 8-word lines repeat across docs (every 4th line slot
+    draws from a small shared pool), so the keeper join does real
+    elimination work."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.operators.dedup import line_dedup_global
+    from pyogrio_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(
+        f"scaling_linededup_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # 4 lines/doc x 8 words; line slot 3 of each doc comes from a pool
+    # of 50k shared lines -> global duplicates, the rest unique per doc
+    parts = []
+    for li in range(4):
+        seed = 48271 + li
+        if li == 3:
+            words = [F.concat(F.lit(f"p{j}_"), ((F.col("id") * 16807) % 50_000).cast("string")) for j in range(8)]
+        else:
+            words = [F.concat(F.lit(f"u{li}_{j}_"), ((F.col("id") * seed + j) % (1 << 40)).cast("string")) for j in range(8)]
+        parts.extend(words)
+    docs = spark.range(n_docs, numPartitions=4 * cpus).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *parts).alias("text")
+    )
+
+    def run():
+        out = line_dedup_global(docs, line_words=8)
+        row = out.select(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum("n_kept").alias("kept"),
+            F.sum("n_lines").alias("lines"),
+        ).collect()[0]
+        return row["n"], row["chars"], row["kept"], row["lines"]
+
+    res = run()  # warm pass (codegen compile + JIT)
+    t0 = time.perf_counter()
+    res2 = run()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    assert res == res2
+    return {"cpus": cpus, "docs": n_docs, "rows": res[0], "kept_lines": res[2],
+            "total_lines": res[3], "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
 def run_once_minhash(cpus: int, n_docs: int) -> dict:
     """CPU-bound counterpart: MinHash signatures (16-perm Carter-Wegman
     over one md5 per 3-shingle) on synthesized ~12-word docs. Per-row
