@@ -137,13 +137,20 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embeddi
 # is recall-gated like single-level IVF.
 
 
+def _lit_vec(row):
+    """Literal double array as ONE parsed expression — dim F.lit py4j
+    calls otherwise dominate driver time (see _centroid_scores);
+    D-suffix double-literal parity is pytest-verified."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in row) + ")")
+
+
 def _select_centroid(arr2d: np.ndarray, idx_col):
     """Literal array-of-arrays -> the row's own centroid (1-based
     element_at); selection only, no dot products."""
-    lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in arr2d]
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in arr2d
     )
-    return F.element_at(lits, idx_col + 1)
+    return F.element_at(F.expr(f"array({rows})"), idx_col + 1)
 
 
 def _residual(vec_col, coarse: np.ndarray, bucket_col):
@@ -158,7 +165,7 @@ def _fine_scores(res_col, fine: np.ndarray):
     dot(r, f_i) - ||f_i||^2 / 2 (monotone in -||r - f_i||^2)."""
     return F.array(
         *[
-            _dot(res_col, F.array(*[F.lit(float(x)) for x in fine[i]]))
+            _dot(res_col, _lit_vec(fine[i]))
             - F.lit(float(np.dot(fine[i], fine[i]) / 2.0))
             for i in range(fine.shape[0])
         ]
@@ -336,7 +343,7 @@ def _pq_codes(res_col, codebooks: np.ndarray):
     for j in range(m):
         scores = F.array(
             *[
-                _dot(_sub(res_col, j, dsub), F.array(*[F.lit(float(x)) for x in codebooks[j][t]]))
+                _dot(_sub(res_col, j, dsub), _lit_vec(codebooks[j][t]))
                 - F.lit(float(np.dot(codebooks[j][t], codebooks[j][t]) / 2.0))
                 for t in range(k_sub)
             ]
@@ -436,7 +443,7 @@ def ivfpq_topk(
             F.array(
                 *[
                     _dot(_sub(F.col("_punit"), j, dsub),
-                         F.array(*[F.lit(float(x)) for x in codebooks[j][t]]))
+                         _lit_vec(codebooks[j][t]))
                     for t in range(k_sub)
                 ]
             )

@@ -343,7 +343,7 @@ def main() -> None:
     runner = {"pip": run_once, "dedup": run_once_shuffle, "knn": run_once_knn,
               "asof": run_once_asof, "asof_window": run_once_asof_window,
               "minhash": run_once_minhash,
-              "chunk": run_once_chunk}[job]
+              "chunk": run_once_chunk, "linededup": run_once_linededup}[job]
     r8 = runner(8, n_docs)
     r32 = runner(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
