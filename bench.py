@@ -65,6 +65,7 @@ HEADLINE = [
     "text_repetition",
     "semdedup_exact",
     "dedup_lines_global",
+    "dedup_spans_global",
     "quality_percentile",
 ]
 

@@ -621,3 +621,92 @@ def line_dedup_global(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def span_dedup_global(
+    docs: DataFrame,
+    window_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-global exact SUBSTRING dedup — the suffix-array stage of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499), re-shaped for Spark. Any
+    ``window_tokens``-token span whose text occurs elsewhere in the
+    corpus is removed except its first occurrence, at TOKEN
+    granularity: partially-overlapping duplicated regions are cut
+    without dropping whole lines (the coarser sibling is
+    ``line_dedup_global``, which removes fixed segments).
+
+    Rule: a token (doc, off) is removed iff some sliding
+    ``window_tokens``-gram occurrence covering it is NOT its gram's
+    keeper; keeper = min (doc_id, position) occurrence of that gram
+    text — content order, never partition layout. Docs shorter than
+    the window contribute no grams and are never cut. A fully
+    duplicated document survives with empty text (same convention as
+    line dedup) so length filters see it.
+
+    Scale shape — the paper builds ONE suffix array over the corpus,
+    which is inherently sequential; at a fixed match width the same
+    decision is a gram stream plus a content-keyed min, all
+    shuffle-bounded:
+    * gram formation: posexplode + ``window_tokens - 1`` ``lead``s
+      over (doc, position) — the ``shingle_rows`` codegen shape; one
+      doc-keyed shuffle of the token stream;
+    * keeper decision: groupBy md5(gram) with a single bigint ``min``
+      (map-side combine; boilerplate grams concentrate but reduce to
+      one row each) — occurrence packed as ``doc_id * 2^20 + pos``,
+      same 2^20-tokens-per-doc bound as line dedup;
+    * duplicate occurrences join back on the hash (AQE skew-handled),
+      explode to ≤ ``window_tokens`` covered offsets each — volume is
+      bounded by actual duplication, not corpus size;
+    * token anti-join + reassembly are doc-keyed shuffles bounded by
+      document size.
+
+    -> (doc_id, text, n_tokens, n_kept).
+    """
+    import re as _re
+
+    w = int(window_tokens)
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), _re.escape(sep)).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    tl = toks.select(id_col, "_n", F.posexplode("_t").alias("_p", "_tok"))
+    ww = Window.partitionBy(id_col).orderBy("_p")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(ww) for j in range(1, w)]
+    grams = (
+        tl.withColumn("_g", F.concat_ws(sep, *parts))
+        .filter(F.col("_p") <= F.col("_n") - w)
+        .select(
+            id_col,
+            "_p",
+            F.md5("_g").alias("_h"),
+            (F.col(id_col) * F.lit(1 << 20) + F.col("_p")).alias("_occ"),
+        )
+    )
+    keepers = grams.groupBy("_h").agg(F.min("_occ").alias("_keep"))
+    covered = (
+        grams.join(keepers, "_h")
+        .filter(F.col("_occ") != F.col("_keep"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("_p"), F.col("_p") + F.lit(w - 1))).alias("_p"),
+        )
+        .distinct()
+    )
+    kept = tl.join(covered, on=[id_col, "_p"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("_p", "_tok"))), lambda s: s._tok),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    nt = toks.select(id_col, F.col("_n").cast("bigint").alias("n_tokens"))
+    return nt.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )

@@ -2446,6 +2446,56 @@ def q_dedup_lines_global(spark, sf):
     return line_dedup_global(docs, line_words=_LINE_DEDUP_WORDS)
 
 
+_SPAN_DEDUP_WINDOW = 10
+
+
+def q_dedup_spans_global(spark, sf):
+    """Corpus-global exact substring dedup (operators/dedup.py
+    span_dedup_global — the Lee-et-al suffix-array stage at fixed
+    match width): every 10-token sliding span duplicated anywhere in
+    the corpus is cut at token granularity except its first
+    occurrence (by (doc_id, pos)), documents reassembled from
+    surviving tokens. Gram stream + content-hash bigint-min keeper —
+    no suffix array, no all-pairs."""
+    from pyogrio_spark.operators.dedup import span_dedup_global
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return span_dedup_global(docs, window_tokens=_SPAN_DEDUP_WINDOW)
+
+
+ORACLE_DEDUP_SPANS_GLOBAL = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS w, unnest(generate_series(1, length(l))) - 1 AS i
+  FROM s),
+g AS (
+  SELECT doc_id, unnest(generate_series(0, length(l) - {_SPAN_DEDUP_WINDOW})) AS p, l
+  FROM s WHERE length(l) >= {_SPAN_DEDUP_WINDOW}),
+grams AS (
+  SELECT doc_id, p, array_to_string(l[p + 1 : p + {_SPAN_DEDUP_WINDOW}], ' ') AS gram
+  FROM g),
+keep AS (SELECT gram, min(doc_id * 1048576 + p) AS keeper FROM grams GROUP BY gram),
+dup AS (
+  SELECT gr.doc_id, gr.p FROM grams gr JOIN keep k
+  ON gr.gram = k.gram AND gr.doc_id * 1048576 + gr.p <> k.keeper),
+cov AS (
+  SELECT DISTINCT doc_id, off FROM (
+    SELECT doc_id, unnest(generate_series(p, p + {_SPAN_DEDUP_WINDOW} - 1)) AS off
+    FROM dup)),
+kept AS (
+  SELECT t.doc_id, t.i, t.w FROM toks t LEFT JOIN cov c
+  ON t.doc_id = c.doc_id AND t.i = c.off WHERE c.doc_id IS NULL),
+nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text, count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT n.doc_id, coalesce(r.text, '') AS text,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM nt n LEFT JOIN reb r USING (doc_id)
+"""
+
+
 ORACLE_DEDUP_LINES_GLOBAL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(l) AS w, unnest(generate_series(1, length(l))) - 1 AS i
@@ -2604,7 +2654,11 @@ QUERIES = {
     "quality_percentile": q_quality_percentile,
     "sim_ivf2pq_topk_full": q_ivf2pq_topk_full,
     "text_chunking": q_text_chunking,
-    "window_top_orders": q_window_top_orders_per_segment,
+    # round 6 (late) swapped window_top_orders (driver-green r1-r5; SQL
+    # window-function machinery keeps hard signals in-window via
+    # events_sessionize, text_tfidf ranking, and chunk_pack_global's
+    # two-phase rank) for the new corpus-global substring dedup.
+    "dedup_spans_global": q_dedup_spans_global,
     # round 6 swapped corpus_curation (driver-green r1-r5) for its strict
     # superset corpus_curation_rep (same dedup + quality + lang stages
     # plus the new repetition gates) — every stage keeps a hard signal.
@@ -2688,6 +2742,9 @@ QUERIES = {
     # window-slot notes above); still fully oracled + preflighted.
     "tpch_q1_pricing": q_tpch_q1,
     "read_bounds": q_read_bounds,
+    # round 6 (late): window_top_orders to the tail (driver-green r1-r5)
+    # for dedup_spans_global; still fully oracled + preflighted.
+    "window_top_orders": q_window_top_orders_per_segment,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2763,6 +2820,7 @@ ORACLES = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "corpus_curation_rep": ORACLE_CURATION_REP,
     "dedup_lines_global": ORACLE_DEDUP_LINES_GLOBAL,
+    "dedup_spans_global": ORACLE_DEDUP_SPANS_GLOBAL,
     "quality_percentile": ORACLE_QUALITY_PERCENTILE,
     "semdedup_exact": _oracle_semdedup(),
     "semdedup_pruned": _oracle_semdedup(probe_cap=_SEMDEDUP_CAP),

@@ -320,3 +320,69 @@ def test_line_dedup_global_short_tail_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_span_dedup_global_token_granularity(spark):
+    """Sliding-window substring dedup cuts duplicated REGIONS at token
+    granularity: a doc that re-embeds another doc's 6-token run loses
+    exactly the covered tokens while keeping its novel prefix/suffix;
+    the first occurrence (lowest doc_id, pos) keeps its text."""
+    import pandas as pd
+
+    from pyogrio_spark.operators.dedup import span_dedup_global
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f",            # the original 6-token run
+                "x y a b c d e f z w",    # re-embeds it mid-document
+                "p q r s",                # shorter than the window: untouched
+            ],
+        }
+    )
+    out = (
+        span_dedup_global(spark.createDataFrame(pdf), window_tokens=6)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "text"] == "a b c d e f"
+    assert out.loc[1, "n_tokens"] == 6 and out.loc[1, "n_kept"] == 6
+    # only the 6 duplicated tokens go; "x y" and "z w" survive in order
+    assert out.loc[2, "text"] == "x y z w"
+    assert out.loc[2, "n_tokens"] == 10 and out.loc[2, "n_kept"] == 4
+    assert out.loc[3, "text"] == "p q r s"  # no 6-gram fits: never cut
+
+
+def test_span_dedup_global_overlap_union_and_plan(spark):
+    """Overlapping duplicated windows remove the UNION of their covered
+    offsets (doc 2 duplicates two overlapping 4-gram occurrences of
+    doc 1's text — every covered token goes once, not twice); an exact
+    twin empties out but keeps its row; the plan is pure built-ins with
+    hash aggregates, no corpus sort, no cartesian product."""
+    import pandas as pd
+
+    from pyogrio_spark.operators.dedup import span_dedup_global
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e",      # grams: "a b c d", "b c d e"
+                "a b c d e",      # exact twin: both grams duplicate -> empty
+                "q a b c d e r",  # duplicated interior region a..e
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = span_dedup_global(df, window_tokens=4)
+    got = out.toPandas().set_index("doc_id").sort_index()
+    assert got.loc[1, "text"] == "a b c d e"
+    assert got.loc[2, "text"] == "" and got.loc[2, "n_kept"] == 0
+    assert got.loc[2, "n_tokens"] == 5  # row survives for length filters
+    assert got.loc[3, "text"] == "q r" and got.loc[3, "n_kept"] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
