@@ -67,6 +67,14 @@ HEADLINE = [
     "dedup_lines_global",
     "dedup_spans_global",
     "quality_percentile",
+    # round-6 scrubbing batch: normalization, PII redaction, URL/domain
+    # hygiene (broadcast blocklist anti-join), Bloom-bitset benchmark
+    # decontamination, cluster-balanced diversity sampling
+    "text_normalize",
+    "text_pii_redact",
+    "url_domains",
+    "decontaminate_bloom",
+    "cluster_sample",
 ]
 
 

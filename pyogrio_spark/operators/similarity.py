@@ -582,3 +582,29 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(removed, on=key, how="left_anti").select(key, "ivf_bucket")
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    n_per_cluster: int,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced subset selection: assign every vector to its
+    argmax-cosine cluster (the same persisted-``ivf_bucket`` expression
+    as ivf_assign) and keep exactly min(n, |cluster|) members per
+    cluster, deterministically ordered by md5(key) — so rare modes of
+    the embedding space survive a downsample that a uniform sample
+    would wash out (the cluster-balancing step of SemDeDup/DataComp
+    curation). Content-stable: re-runs and resumes pick identical
+    members. One window per cluster; at corpus scale cluster count
+    (thousands) is the parallelism, and a dominant cluster is pre-cut
+    by hash before ranking exactly as stratified_sample documents."""
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    w = Window.partitionBy("ivf_bucket").orderBy(F.md5(F.col(key).cast("string")), key)
+    return (
+        assigned.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= n_per_cluster)
+        .select(key, "ivf_bucket", "rn")
+    )

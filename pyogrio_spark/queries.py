@@ -2580,6 +2580,266 @@ SELECT doc_id, lang, n_bigrams, lm_score, pct_rank FROM r WHERE pct_rank >= 0.7
 
 # ================================================================= registry
 
+# ------------------------------------------------------ corpus scrubbing
+#
+# Round-6 additions: the cleaning stages of a pretraining pipeline
+# (normalize -> redact -> URL hygiene -> benchmark decontamination),
+# functions/scrub.py. The synthetic corpus contains none of these
+# patterns, so each query AUGMENTS the text deterministically from
+# doc_id — the identical expression on both engines — and the oracle
+# compares the scrubbed result exactly (md5 of the output text is the
+# hard signal).
+
+# the normalization mess: tab + typographic junk + doc-varying space
+# run + a control char. Shared constant so the Spark and SQL builds
+# cannot drift.
+_MESS = " “q”—x… "
+
+
+def q_text_normalize(spark, sf):
+    """Text normalization (functions/scrub.py normalize_text):
+    control-strip, typographic fold (curly quotes/dashes/ellipsis/NBSP
+    -> ASCII), whitespace-run collapse, trim. Zero-shuffle map stage;
+    output keyed by md5 of the normalized text."""
+    from pyogrio_spark.functions.scrub import normalize_text
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\t" + _MESS),
+        F.expr("repeat(' ', cast(doc_id % 3 + 1 as int))"),
+        F.lit("\x01end"),
+    )
+    norm = normalize_text(aug)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(aug).alias("n_raw"),
+        F.length(norm).alias("n_norm"),
+    )
+
+
+def _oracle_text_normalize() -> str:
+    from pyogrio_spark.functions.scrub import normalize_sql
+
+    aug = (
+        f"text || chr(9) || '{_MESS}' || repeat(' ', CAST(doc_id % 3 + 1 AS INT))"
+        " || chr(1) || 'end'"
+    )
+    return f"""
+SELECT doc_id, md5({normalize_sql(f"({aug})")}) AS norm_md5,
+       length({aug}) AS n_raw, length({normalize_sql(f"({aug})")}) AS n_norm
+FROM documents"""
+
+
+def q_text_pii_redact(spark, sf):
+    """PII redaction (functions/scrub.py redact_pii): emails, phone
+    numbers (dash and dot forms), IPv4 addresses -> typed placeholder
+    tokens, with pre-redaction audit counts. The PII is planted
+    deterministically from doc_id (presence varies by doc so counts
+    are non-constant); md5 of the redacted text pins replacement
+    positions exactly. Pure map stage — regexp codegen, zero shuffle."""
+    from pyogrio_spark.functions.scrub import pii_counts, redact_pii
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 != 0,
+            F.concat(F.lit(" reach user"), s(d), F.lit("@mail-"), s(d % 5), F.lit(".example.com")),
+        ).otherwise(F.lit("")),
+        F.concat(F.lit(" call 415-555-"), F.lpad(s(d % 10000), 4, "0")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" alt 212.555."), F.lpad(s((d * 7) % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 != 1,
+            F.concat(F.lit(" from 10."), s(d % 256), F.lit(".0."), s(d % 100)),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts(aug)
+    red = redact_pii(aug)
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("n_chars_red"),
+    )
+
+
+def _oracle_text_pii() -> str:
+    from pyogrio_spark.functions.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_sql
+
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 3 <> 0 THEN ' reach user' || doc_id || '@mail-'"
+        " || (doc_id % 5) || '.example.com' ELSE '' END"
+        " || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' alt 212.555.'"
+        " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 4 <> 1 THEN ' from 10.' || (doc_id % 256)"
+        " || '.0.' || (doc_id % 100) ELSE '' END"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, ({aug}) AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips,
+       md5({redact_sql("t")}) AS redacted_md5,
+       length({redact_sql("t")}) AS n_chars_red
+FROM a"""
+
+
+_URL_BLOCKLIST = ["ads.example0.net", "ads.example2.net"]
+
+
+def q_url_domains(spark, sf):
+    """URL hygiene (functions/scrub.py): extract every URL, derive its
+    domain, DROP whole documents referencing any blocked domain
+    (broadcast blocklist -> doc-level anti-join), then per-domain
+    stats over the survivors. URLs planted deterministically from
+    doc_id; docs with a blocked ad domain lose their cdn URLs too —
+    the doc-level (not URL-level) drop is the point."""
+    from pyogrio_spark.functions.scrub import doc_url_table, filter_blocked_domains
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.concat(F.lit(" see https://cdn"), s(d % 40), F.lit(".example.org/p/"), s(d)),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" ad http://ads.example"), s(d % 3), F.lit(".net/x")),
+        ).otherwise(F.lit("")),
+    )
+    aug_docs = docs.select("doc_id", aug.alias("text"))
+    block = spark.createDataFrame([(b,) for b in _URL_BLOCKLIST], "domain string")
+    kept = filter_blocked_domains(aug_docs, block)
+    return (
+        doc_url_table(kept)
+        .groupBy("domain")
+        .agg(F.count_distinct("doc_id").alias("n_docs"), F.count("*").alias("n_urls"))
+    )
+
+
+def _oracle_url_domains() -> str:
+    from pyogrio_spark.functions.scrub import URL_RE
+
+    blocked = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' see https://cdn' || (doc_id % 40) || '.example.org/p/' || doc_id
+              || CASE WHEN doc_id % 4 = 0 THEN ' ad http://ads.example'
+                 || (doc_id % 3) || '.net/x' ELSE '' END AS t
+  FROM documents),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '{URL_RE}')) AS url FROM a),
+du AS (
+  SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u),
+bad AS (SELECT DISTINCT doc_id FROM du WHERE domain IN ({blocked}))
+SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+FROM du WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+GROUP BY domain"""
+
+
+_BLOOM_K, _BLOOM_M, _BLOOM_W, _BLOOM_S = 3, 65536, 16, 4
+
+
+def q_decontaminate_bloom(spark, sf):
+    """Benchmark decontamination via a broadcast Bloom bitset
+    (functions/scrub.py decontaminate_bloom): the benchmark set
+    (doc_id < 5, mirroring the winnow-join `decontaminate` entry)
+    collapses to a 65536-bit filter over strided 16-char grams —
+    m/64 longs in ONE parsed array literal — and every corpus gram
+    tests membership with pure element_at+mask codegen. No join on
+    the corpus side at all: the 100 TB architecture for contamination
+    checks (the winnow-join twin stays the exact-verify path). The
+    oracle simulates the filter bit-exactly (position-set join with
+    count(DISTINCT hash)=k), so even Bloom false positives match."""
+    from pyogrio_spark.functions.scrub import decontaminate_bloom
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return decontaminate_bloom(
+        docs.filter("doc_id >= 5"),
+        docs.filter("doc_id < 5"),
+        width=_BLOOM_W,
+        stride=_BLOOM_S,
+        n_hashes=_BLOOM_K,
+        m_bits=_BLOOM_M,
+    )
+
+
+ORACLE_DECONTAMINATE_BLOOM = f"""
+WITH bg AS (
+  SELECT DISTINCT substring(text, p, {_BLOOM_W}) AS g
+  FROM (SELECT text, unnest(generate_series(1, greatest(length(text) - {_BLOOM_W - 1}, 1),
+               {_BLOOM_S})) AS p
+        FROM documents WHERE doc_id < 5)),
+bpos AS (
+  SELECT DISTINCT ('0x' || substring(md5(g || '#' || j), 1, 15))::BIGINT % {_BLOOM_M} AS pos
+  FROM bg, (VALUES (0), (1), (2)) t(j)),
+cg AS (
+  SELECT DISTINCT doc_id, substring(text, p, {_BLOOM_W}) AS g
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - {_BLOOM_W - 1}, 1),
+               {_BLOOM_S})) AS p
+        FROM documents WHERE doc_id >= 5)),
+hit AS (
+  SELECT doc_id, g
+  FROM (SELECT c.doc_id, c.g, t.j,
+               ('0x' || substring(md5(c.g || '#' || t.j), 1, 15))::BIGINT % {_BLOOM_M} AS pos
+        FROM cg c, (VALUES (0), (1), (2)) t(j)) cp
+  JOIN bpos USING (pos)
+  GROUP BY doc_id, g HAVING count(DISTINCT j) = {_BLOOM_K})
+SELECT doc_id, count(*) AS n_hits FROM hit GROUP BY doc_id"""
+
+
+def q_cluster_sample(spark, sf):
+    """Cluster-balanced diversity sampling (operators/similarity.py
+    cluster_balanced_sample): argmax-cosine cluster assignment (the
+    persisted-ivf_bucket expression) + exactly min(16, |cluster|)
+    members per cluster ordered by md5(vec_id) — rare embedding-space
+    modes survive the downsample. Composes the IVF codebook with the
+    stratified_sample keep rule."""
+    from pyogrio_spark.operators.similarity import cluster_balanced_sample, make_centroids
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cluster_balanced_sample(emb, make_centroids(64, 8), n_per_cluster=16)
+
+
+def _oracle_cluster_sample() -> str:
+    """Mirror of cluster_balanced_sample: the seeded codebook inlined
+    as literals with the identical first-max tie rule and double-cast
+    cosine as _oracle_semdedup (bit-parity verified there)."""
+    from pyogrio_spark.operators.similarity import make_centroids
+
+    cents = make_centroids(64, 8)
+
+    def lit(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"list_inner_product(CAST(embedding AS DOUBLE[]), {lit(cents[i])})"
+        " / greatest(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),"
+        " CAST(embedding AS DOUBLE[]))), 1e-12)"
+        for i in range(cents.shape[0])
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, CAST(list_position(s, list_max(s)) - 1 AS INTEGER) AS ivf_bucket
+  FROM (SELECT vec_id, [{scores}] AS s FROM embeddings))
+SELECT vec_id, ivf_bucket, rn FROM (
+  SELECT vec_id, ivf_bucket,
+         row_number() OVER (PARTITION BY ivf_bucket
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM assigned) WHERE rn <= 16"""
+
+
 QUERIES = {
     "scan_where_project": q_scan_where_project,
     "scan_skip_max": q_scan_skip_max,
@@ -2610,8 +2870,15 @@ QUERIES = {
     "text_tfidf": q_text_tfidf,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_simhash": q_simhash,
-    "dedup_ngram_jaccard": q_ngram_jaccard,
+    # round 6 (late) swapped dedup_simhash (driver-green r1-r5; the
+    # hamming-chunk blocking stays pytest-covered and the near-dup
+    # surface keeps hard signals via dedup_minhash_lsh_pairs +
+    # dedup_fingerprint_overlap in-window) for url_domains, and
+    # dedup_ngram_jaccard (driver-green r1-r5; the shingle machinery
+    # stays in-window via dedup_minhash_signatures and the LSH-verify
+    # lineage) for text_pii_redact.
+    "url_domains": q_url_domains,
+    "text_pii_redact": q_text_pii_redact,
     "text_lm_score": q_text_lm_score,
     "dedup_fingerprint_overlap": q_fingerprint_overlap,
     # round 6 swapped decontaminate (driver-green r2-r5; the exact
@@ -2663,13 +2930,23 @@ QUERIES = {
     # superset corpus_curation_rep (same dedup + quality + lang stages
     # plus the new repetition gates) — every stage keeps a hard signal.
     "corpus_curation_rep": q_corpus_curation_rep,
-    "geo_curation": q_geo_curation,
+    # round 6 (late) swapped geo_curation (driver-green r1-r5; every
+    # stage of it — bbox filter, PIP join, measures — keeps its own
+    # hard signal in-window, and the pipeline shape stays in-window as
+    # corpus_curation_rep) for cluster_sample.
+    "cluster_sample": q_cluster_sample,
     # round 6 swapped dataset_split (driver-green r1-r5; the md5-bucket
     # machinery keeps hard signals in-window via domain_mix and
     # stratified_sample's md5 ordering) for semdedup_exact.
     "semdedup_exact": q_semdedup_exact,
-    "domain_mix": q_domain_mix,
-    "token_budget": q_token_budget,
+    # round 6 (late) swapped domain_mix (driver-green r1-r5; the
+    # md5-bucket resampling machinery keeps hard signals in-window via
+    # stratified_sample and the new cluster_sample keep rule) for
+    # decontaminate_bloom, and token_budget (driver-green r1-r5; the
+    # two-phase prefix-sum machinery stays in-window as
+    # token_budget_subword) for text_normalize.
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "text_normalize": q_text_normalize,
     # The driver records correctness rows for the FIRST 50 entries only,
     # so the window is ROTATED across rounds to give every oracled entry
     # a hard-signal row (round-3 VERDICT item 8): rounds 1-3 checked
@@ -2745,6 +3022,15 @@ QUERIES = {
     # round 6 (late): window_top_orders to the tail (driver-green r1-r5)
     # for dedup_spans_global; still fully oracled + preflighted.
     "window_top_orders": q_window_top_orders_per_segment,
+    # round 6 (late) scrubbing-batch swaps — all five driver-green
+    # r1-r5, moved to the tail for text_normalize / text_pii_redact /
+    # url_domains / decontaminate_bloom / cluster_sample (see the
+    # window-slot notes above); still fully oracled + preflighted.
+    "dedup_simhash": q_simhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "domain_mix": q_domain_mix,
+    "token_budget": q_token_budget,
+    "geo_curation": q_geo_curation,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -2807,6 +3093,11 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_fuzzy": _oracle_decontaminate_fuzzy(),
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "text_normalize": _oracle_text_normalize(),
+    "text_pii_redact": _oracle_text_pii(),
+    "url_domains": _oracle_url_domains(),
+    "decontaminate_bloom": ORACLE_DECONTAMINATE_BLOOM,
+    "cluster_sample": _oracle_cluster_sample(),
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,
