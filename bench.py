@@ -75,6 +75,10 @@ HEADLINE = [
     "url_domains",
     "decontaminate_bloom",
     "cluster_sample",
+    # span-kind projection over the interleaved sequence; temperature-
+    # scaled domain mixing (data-dependent integer targets)
+    "spans_strip_media",
+    "temperature_resample",
 ]
 
 

@@ -175,3 +175,52 @@ def percentile_filter_approx(
         .filter(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    total: int = 100_000,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the T5/mC4 rule): target
+    counts proportional to n_g^alpha, flattening the domain imbalance
+    a raw corpus has (alpha=1 keeps it, alpha=0 is uniform). Unlike
+    ``resample_to_weights`` the weights here are DATA-DEPENDENT —
+    derived from the observed group sizes — so the operator is
+    two-phase: a group-count aggregate (|groups| rows), then a
+    broadcast of the integer targets back onto a per-group
+    md5-ordered exact take.
+
+    Cross-engine exactness: the scaled weight is materialized as the
+    INTEGER floor(n^alpha * 1e6); the group-sum and the target
+    (total * s_g) / S are then pure integer arithmetic, immune to
+    float summation order. alpha=0.5 routes through sqrt (correctly
+    rounded in IEEE 754, so bit-identical on any engine); other
+    alphas use pow, whose last-ulp may differ across libm builds —
+    the 1e6 quantization makes that a 1-in-1e10 event, not zero.
+
+    Scale: the only aggregates are |groups|-sized; the take is the
+    stratified_sample window (per-group parallelism, dominant groups
+    pre-cut by hash before ranking at production scale)."""
+    n = F.col("_n").cast("double")
+    s = F.floor((F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))) * 1e6).cast("bigint")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n")).withColumn("_s", s)
+    # `_ssum`, not `_S`: Spark resolves case-insensitively, so `_S`
+    # would collide with `_s` in the crossJoin output
+    tot = counts.agg(F.sum("_s").alias("_ssum"))
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        # integer DIV, not `/`: bigint `/` is double division in Spark,
+        # and total * s_g overflows the 2^53 double mantissa at corpus
+        # scale — the quotient must stay exact integer arithmetic
+        F.expr(f"CAST(({total}L * _s) DIV _ssum AS BIGINT)").alias("_target"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(key_col).cast("string")), key_col)
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= F.col("_target"))
+        .drop("_target")
+    )

@@ -2840,6 +2840,90 @@ SELECT vec_id, ivf_bucket, rn FROM (
   FROM assigned) WHERE rn <= 16"""
 
 
+def q_spans_strip_media(spark, sf):
+    """Span-kind projection with offset compaction (functions/spans.py
+    filter_spans_kind): synthesize the interleaved sequence (same
+    derivation as spans_explode), shuffle it, strip the media spans,
+    re-compact offsets to 0..n-1 — keeping orig_offset so the oracle
+    proves order survival. The sequence edit is pure HOF codegen
+    (filter + transform-with-index), no explode until the flat
+    projection at the end."""
+    from pyogrio_spark.functions.spans import strip_media_spans
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
+
+    def mk_span(i):
+        is_media = (F.col("doc_id") + i) % 4 == 0
+        return F.struct(
+            F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.when(is_media, F.lit(None).cast("string"))
+            .otherwise(F.concat_ws(" ", F.slice(F.col("_toks"), i * 5 + 1, 5)))
+            .alias("text"),
+            F.when(
+                is_media,
+                F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string")),
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), F.col("_ns") - 1), mk_span)
+    with_spans = docs.select("doc_id", spans.alias("spans")).repartition(16, "doc_id")
+    stripped = strip_media_spans(with_spans)
+    ex = stripped.select("doc_id", F.explode("spans").alias("s"))
+    return ex.select(
+        "doc_id",
+        F.col("s.offset").alias("span_idx"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.orig_offset").alias("orig_offset"),
+    )
+
+
+ORACLE_SPANS_STRIP_MEDIA = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b2 AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 5.0) AS INT) AS ns FROM base),
+ex AS (SELECT doc_id, toks, unnest(generate_series(0, ns - 1)) AS i FROM b2),
+textspans AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ') AS span_text
+  FROM ex WHERE (doc_id + i) % 4 <> 0)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS span_idx,
+       span_text, i AS orig_offset
+FROM textspans
+"""
+
+
+def q_temperature_resample(spark, sf):
+    """Temperature-scaled domain sampling (operators/sampling.py
+    temperature_resample): per-source targets proportional to
+    n_source^0.5 (integer-quantized so both engines agree exactly),
+    exact md5-ordered take per source — the T5/mC4 mixing rule with
+    data-dependent weights, vs domain_mix's fixed weights."""
+    from pyogrio_spark.operators.sampling import temperature_resample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return temperature_resample(docs, alpha=0.5, total=200, group_col="source").select(
+        "doc_id", "source", "rn"
+    )
+
+
+ORACLE_TEMPERATURE_RESAMPLE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+s AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS sc FROM c),
+t AS (SELECT source, (200 * sc) // (SELECT sum(sc) FROM s) AS target FROM s),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.source, r.rn FROM r JOIN t USING (source) WHERE r.rn <= t.target
+"""
+
+
 QUERIES = {
     "scan_where_project": q_scan_where_project,
     "scan_skip_max": q_scan_skip_max,
@@ -2866,9 +2950,16 @@ QUERIES = {
     "geo_zonal_stats": q_geo_zonal,
     "dedup_minhash_signatures": q_minhash_signatures,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "spans_explode": q_spans_explode,
+    # round 6 (late) swapped spans_explode (driver-green r1-r5) for its
+    # strict superset spans_strip_media — the same span synthesis and
+    # order invariant plus the kind projection + offset compaction, so
+    # the interleaved-sequence machinery keeps its hard signal.
+    "spans_strip_media": q_spans_strip_media,
     "text_tfidf": q_text_tfidf,
-    "dedup_exact": q_dedup_exact,
+    # round 6 (late) swapped dedup_exact (driver-green r1-r5; the
+    # exact-hash keeper machinery stays in-window via dedup_lines_global
+    # and corpus_curation_rep's dedup stage) for temperature_resample.
+    "temperature_resample": q_temperature_resample,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     # round 6 (late) swapped dedup_simhash (driver-green r1-r5; the
     # hamming-chunk blocking stays pytest-covered and the near-dup
@@ -3031,6 +3122,11 @@ QUERIES = {
     "domain_mix": q_domain_mix,
     "token_budget": q_token_budget,
     "geo_curation": q_geo_curation,
+    # round 6 (late): spans_explode and dedup_exact to the tail
+    # (driver-green r1-r5) for spans_strip_media / temperature_resample
+    # (see the window-slot notes above); still fully oracled.
+    "spans_explode": q_spans_explode,
+    "dedup_exact": q_dedup_exact,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -3098,6 +3194,8 @@ ORACLES = {
     "url_domains": _oracle_url_domains(),
     "decontaminate_bloom": ORACLE_DECONTAMINATE_BLOOM,
     "cluster_sample": _oracle_cluster_sample(),
+    "spans_strip_media": ORACLE_SPANS_STRIP_MEDIA,
+    "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,

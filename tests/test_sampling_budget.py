@@ -155,3 +155,56 @@ def test_percentile_filter_approx_band_and_plan(spark):
     # ungrouped form works too
     n_all = percentile_filter_approx(df, "q", 0.5).count()
     assert abs(n_all - 2000) < 50
+
+
+def test_temperature_resample_targets_and_determinism(spark):
+    from pyogrio_spark.operators.sampling import temperature_resample
+
+    # 3 domains with sizes 64 / 16 / 4: sqrt weights 8 / 4 / 2 -> of a
+    # 42-doc budget the integer targets are 42*8/14=24, 42*4/14=12,
+    # 42*2/14=6 (exact integer arithmetic, no float boundary); the
+    # small domain holds only 4 docs so its take caps there
+    rows = [(i, "big") for i in range(64)]
+    rows += [(100 + i, "mid") for i in range(16)]
+    rows += [(200 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_resample(df, alpha=0.5, total=42, group_col="source")
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"big": 24, "mid": 12, "small": 4}
+    # determinism: same member set on re-run
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_resample(df, alpha=0.5, total=42, group_col="source")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_temperature_resample_flattens_vs_alpha1(spark):
+    from pyogrio_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    t05 = temperature_resample(df, alpha=0.5, total=40, group_col="source")
+    t10 = temperature_resample(df, alpha=1.0, total=40, group_col="source")
+    share = lambda out: {  # noqa: E731
+        r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    s05, s10 = share(t05), share(t10)
+    # alpha=1 keeps raw proportions; alpha=0.5 lifts the small domain
+    assert s10["small"] == 4 and s05["small"] > s10["small"]
+
+
+def test_temperature_resample_broadcast_targets(spark):
+    from pyogrio_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(30)], "doc_id bigint, source string")
+    plan = (
+        temperature_resample(df, alpha=0.5, total=10, group_col="source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # targets join the corpus broadcast-side
