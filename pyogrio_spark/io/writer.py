@@ -327,3 +327,89 @@ def expire_snapshots(path: str, orphan_retention_s: float = 86400.0) -> dict:
         "kept": sorted(referenced),
         "kept_orphans": kept_orphans,
     }
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    retries: int = 3,
+) -> dict:
+    """MERGE-shaped keyed upsert as a snapshot operation: rows of the
+    current table whose key matches an update row are replaced, all
+    other rows survive, new keys append — committed atomically as one
+    overwrite snapshot (copy-on-write MERGE, the Delta/Iceberg COW
+    strategy; reference analogue: the append-vs-overwrite decision of
+    _io.pyx:2676-2762 lifted to row granularity).
+
+    Plan shape: survivors = current LEFT ANTI updates on the keys (one
+    shuffle on the key columns), then union. At production scale the
+    refinement is partition-pruned COW (rewrite only the partitions
+    containing matched keys — the same anti-join restricted per
+    partition) or merge-on-read deletion vectors; the commit protocol
+    here is identical for all three, which is the part that matters
+    for correctness.
+
+    Concurrency: computed against snapshot X and committed with
+    validate-and-swap (``expected_current_id=X``); a commit landing in
+    between triggers a recompute from the new current (bounded
+    retries), so concurrent appends are never clobbered — the
+    compact_table contract.
+
+    Returns {snapshot, matched, inserted, rows}.
+    """
+    last_exc: Exception | None = None
+    for _ in range(max(1, retries)):
+        entry = current_snapshot(path)
+        if entry is None:
+            n_up = updates.count()
+            snap = write_table(updates, path, mode="overwrite")
+            return {"snapshot": snap, "matched": 0, "inserted": n_up, "rows": n_up}
+        dirs = [os.path.join(path, d) for d in entry["data_dirs"]]
+        cur = spark.read.parquet(*dirs)
+        survivors = cur.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.unionByName(updates)
+        n_cur, n_up = entry["row_count"], updates.count()
+        try:
+            snap = write_table(
+                merged, path, mode="overwrite", expected_current_id=entry["id"]
+            )
+        except SnapshotConflict as exc:  # table advanced: recompute
+            last_exc = exc
+            continue
+        n_rows = current_snapshot(path)["row_count"]
+        matched = n_cur + n_up - n_rows
+        return {"snapshot": snap, "matched": int(matched), "inserted": int(n_up - matched), "rows": int(n_rows)}
+    raise last_exc
+
+
+def delete_from_table(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    retries: int = 3,
+) -> dict:
+    """DELETE WHERE as a snapshot operation: keep every row NOT
+    matching ``predicate`` (a Spark SQL boolean expression over the
+    table's columns), commit as one overwrite snapshot with the same
+    validate-and-swap/retry contract as ``upsert_table``.
+
+    Returns {snapshot, deleted, rows}.
+    """
+    last_exc: Exception | None = None
+    for _ in range(max(1, retries)):
+        entry = current_snapshot(path)
+        if entry is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        dirs = [os.path.join(path, d) for d in entry["data_dirs"]]
+        cur = spark.read.parquet(*dirs)
+        kept = cur.filter(f"NOT ({predicate})")
+        try:
+            snap = write_table(kept, path, mode="overwrite", expected_current_id=entry["id"])
+        except SnapshotConflict as exc:
+            last_exc = exc
+            continue
+        n_rows = current_snapshot(path)["row_count"]
+        return {"snapshot": snap, "deleted": int(entry["row_count"] - n_rows), "rows": int(n_rows)}
+    raise last_exc

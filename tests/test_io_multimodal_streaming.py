@@ -420,3 +420,66 @@ def test_expire_snapshots_spares_inflight_uncommitted_dir(spark, tmp_path):
     out2 = expire_snapshots(tbl)
     assert out2["removed"] == ["deadbeefdeadbeef"]
     assert not _os.path.isdir(inflight)
+
+
+def test_upsert_table_merge_semantics(spark, tmp_path):
+    """COW MERGE: matched keys replaced, unmatched survive, new keys
+    insert — one atomic overwrite snapshot."""
+    from pyogrio_spark.io.writer import upsert_table
+
+    tbl = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k bigint, v string")
+    upsert_table(spark, tbl, base, keys=["k"])
+    updates = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (100, "NEW100")], "k bigint, v string"
+    )
+    res = upsert_table(spark, tbl, updates, keys=["k"])
+    assert res["matched"] == 2 and res["inserted"] == 1 and res["rows"] == 11
+    got = {r["k"]: r["v"] for r in read_committed(spark, tbl).collect()}
+    assert got[3] == "NEW3" and got[7] == "NEW7" and got[100] == "NEW100"
+    assert got[0] == "v0" and len(got) == 11
+    # snapshot history: two snapshots, current is the merge
+    assert current_snapshot(tbl)["operation"] == "overwrite"
+
+
+def test_upsert_table_conflict_retry_keeps_concurrent_append(spark, tmp_path):
+    """An append landing between the upsert's read and commit must
+    survive: the upsert recomputes from the new current."""
+    from pyogrio_spark.io import writer as W
+
+    tbl = str(tmp_path / "merge_conflict")
+    base = spark.createDataFrame([(i, "old") for i in range(5)], "k bigint, v string")
+    W.upsert_table(spark, tbl, base, keys=["k"])
+
+    real_write = W.write_table
+    raced = {"done": False}
+
+    def racing_write(df, path, **kw):
+        # first commit attempt: sneak an append in just before it, so
+        # the validate-and-swap sees an advanced table exactly once
+        if not raced["done"] and kw.get("expected_current_id"):
+            raced["done"] = True
+            extra = spark.createDataFrame([(999, "appended")], "k bigint, v string")
+            real_write(extra, path, mode="append")
+        return real_write(df, path, **kw)
+
+    W.write_table, orig = racing_write, W.write_table
+    try:
+        res = W.upsert_table(spark, tbl, spark.createDataFrame([(2, "NEW2")], "k bigint, v string"), keys=["k"])
+    finally:
+        W.write_table = orig
+    got = {r["k"]: r["v"] for r in read_committed(spark, tbl).collect()}
+    assert got[999] == "appended", "concurrent append was clobbered by the upsert"
+    # 5 base rows + the raced append, k=2 replaced in place -> 6
+    assert got[2] == "NEW2" and res["rows"] == 6
+
+
+def test_delete_from_table(spark, tmp_path):
+    from pyogrio_spark.io.writer import delete_from_table, upsert_table
+
+    tbl = str(tmp_path / "del_tbl")
+    base = spark.createDataFrame([(i, i % 3) for i in range(30)], "k bigint, bucket bigint")
+    upsert_table(spark, tbl, base, keys=["k"])
+    res = delete_from_table(spark, tbl, "bucket = 1")
+    assert res["deleted"] == 10 and res["rows"] == 20
+    assert read_committed(spark, tbl).filter("bucket = 1").count() == 0
