@@ -79,6 +79,8 @@ HEADLINE = [
     # scaled domain mixing (data-dependent integer targets)
     "spans_strip_media",
     "temperature_resample",
+    # multi-zoom tile rollup (one corpus agg + reused-exchange parents)
+    "geo_tile_pyramid",
 ]
 
 

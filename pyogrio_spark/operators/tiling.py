@@ -127,3 +127,43 @@ def assign_adaptive(df: DataFrame, tile_map: pd.DataFrame, lon_col: str = "xmin"
             lookup.filter(F.col("res") == int(r)), cand["_cand"] == lookup["tile_id"], "left_anti"
         ).drop("_cand")
     return assigned
+
+
+def tile_pyramid(
+    df: DataFrame,
+    base_res: int = 8,
+    min_res: int = 0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-zoom tile rollup: per-tile aggregates at every resolution
+    from ``base_res`` down to ``min_res`` — the tile-pyramid any map
+    service / spatial OLAP cube precomputes. ONE corpus-sized
+    aggregation (the base level), then each coarser level re-aggregates
+    the PREVIOUS level's output via the exact integer parent formula —
+    level r has <= 4^r rows, so the rollup chain costs log-many
+    dimension-sized shuffles, never a second corpus pass. All
+    aggregates are rollup-closed (count -> sum, min -> min), which is
+    what makes level-over-level exact; parent(cell_r(p)) == cell_{r-1}(p)
+    holds exactly for the equal-angle quadtree (floor nesting), so
+    re-deriving any level from raw points gives identical rows — the
+    oracle's check."""
+    cur = (
+        df.groupBy(F.expr(cell_expr_sql(lon_col, lat_col, base_res)).alias("cell"))
+        .agg(F.count("*").alias("n_docs"), F.min(key_col).alias("min_key"))
+        .withColumn("res", F.lit(base_res))
+    )
+    levels = [cur]
+    for r in range(base_res, min_res, -1):
+        nxt = (
+            levels[-1]
+            .groupBy(F.expr(parent_expr_sql("cell", r)).alias("cell"))
+            .agg(F.sum("n_docs").alias("n_docs"), F.min("min_key").alias("min_key"))
+            .withColumn("res", F.lit(r - 1))
+        )
+        levels.append(nxt)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.select("res", "cell", "n_docs", "min_key")

@@ -2840,6 +2840,34 @@ SELECT vec_id, ivf_bucket, rn FROM (
   FROM assigned) WHERE rn <= 16"""
 
 
+_PYR_BASE, _PYR_MIN = 8, 4
+
+
+def q_geo_tile_pyramid(spark, sf):
+    """Multi-zoom tile pyramid (operators/tiling.py tile_pyramid):
+    per-tile doc counts + min doc_id at res 8..4 — one corpus
+    aggregation, then level-over-level parent rollups (each level is
+    tile-count-sized). Strict superset of geo_tile_assignment's cell
+    formula; the oracle re-derives every level from raw points, which
+    only matches if the parent rollup is exact."""
+    from pyogrio_spark.operators.tiling import tile_pyramid
+
+    return tile_pyramid(
+        _docs_geo(spark, sf), base_res=_PYR_BASE, min_res=_PYR_MIN, key_col="doc_id"
+    )
+
+
+def _oracle_tile_pyramid() -> str:
+    levels = []
+    for r in range(_PYR_MIN, _PYR_BASE + 1):
+        levels.append(
+            f"SELECT {r} AS res, {cell_expr_sql('lon', 'lat', r)} AS cell,"
+            f" count(*) AS n_docs, min(doc_id) AS min_key"
+            f" FROM {DOCS_GEO_SQL} d GROUP BY 2"
+        )
+    return "\nUNION ALL\n".join(levels)
+
+
 def q_spans_strip_media(spark, sf):
     """Span-kind projection with offset compaction (functions/spans.py
     filter_spans_kind): synthesize the interleaved sequence (same
@@ -2929,7 +2957,12 @@ QUERIES = {
     "scan_skip_max": q_scan_skip_max,
     "geo_bbox_filter": q_geo_bbox,
     "geo_measures": q_geo_measures,
-    "geo_tile_assignment": q_geo_tile_assignment,
+    # round 6 (late) swapped geo_tile_assignment (driver-green r1-r5)
+    # for its strict superset geo_tile_pyramid — the same cell formula
+    # at every level plus the parent rollup, so the tile machinery
+    # keeps its hard signal (assignment itself stays oracled at tail
+    # and inside adaptive_tile_map's frontier).
+    "geo_tile_pyramid": q_geo_tile_pyramid,
     "geo_pip_join": q_geo_pip_join,
     # round 6 swapped geo_pip_join_poly (driver-green r2-r5; the broadcast
     # PIP planning stays in-window as geo_pip_join, the exact poly-refine
@@ -3127,6 +3160,9 @@ QUERIES = {
     # (see the window-slot notes above); still fully oracled.
     "spans_explode": q_spans_explode,
     "dedup_exact": q_dedup_exact,
+    # round 6 (late): geo_tile_assignment to the tail (driver-green
+    # r1-r5) for its superset geo_tile_pyramid; still fully oracled.
+    "geo_tile_assignment": q_geo_tile_assignment,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -3196,6 +3232,7 @@ ORACLES = {
     "cluster_sample": _oracle_cluster_sample(),
     "spans_strip_media": ORACLE_SPANS_STRIP_MEDIA,
     "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
+    "geo_tile_pyramid": _oracle_tile_pyramid(),
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,

@@ -90,3 +90,49 @@ def test_areal_interpolate_conserves_mass(spark):
     assert total == pytest.approx(1 + 2 + 3 + 4 + 5, rel=1e-9)
     # multiple tiles actually got slices
     assert out.count() > 5
+
+
+def test_tile_pyramid_rollup_exact(spark):
+    """Every level's total equals the corpus; each level's rows match a
+    from-scratch aggregation at that res (parent rollup is exact)."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.index.grid import cell_expr_sql
+    from pyogrio_spark.operators.tiling import tile_pyramid
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (((F.col("id") * 2654435761) % 36000000) / 1e5 - 180).alias("lon"),
+        (((F.col("id") * 40503) % 17000000) / 1e5 - 85).alias("lat"),
+    )
+    pyr = tile_pyramid(docs, base_res=7, min_res=3).cache()
+    totals = {r["res"]: r["t"] for r in pyr.groupBy("res").agg(F.sum("n_docs").alias("t")).collect()}
+    assert totals == {r: 2000 for r in range(3, 8)}
+    for r in (3, 5, 7):
+        scratch = (
+            docs.groupBy(F.expr(cell_expr_sql("lon", "lat", r)).alias("cell"))
+            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_key"))
+        )
+        lvl = pyr.filter(F.col("res") == r).select("cell", "n_docs", "min_key")
+        assert lvl.exceptAll(scratch).count() == 0 and scratch.exceptAll(lvl).count() == 0
+    pyr.unpersist()
+
+
+def test_tile_pyramid_rollup_not_corpus_per_level(spark):
+    """The coarser levels must not re-scan the corpus: every non-base
+    union branch physically reuses the base aggregation's exchange
+    (Spark's logical plan duplicates the lineage per branch; the
+    physical dedup is ReusedExchange, so assert there)."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.operators.tiling import tile_pyramid
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+        (F.col("id") % 170 - 85.0).alias("lat"),
+    )
+    out = tile_pyramid(docs, base_res=6, min_res=2)
+    out.collect()  # AQE: reuse nodes materialize in the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") + plan.count("ReusedQueryStage") >= 6 - 2, plan[:2000]
