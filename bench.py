@@ -81,6 +81,8 @@ HEADLINE = [
     "temperature_resample",
     # multi-zoom tile rollup (one corpus agg + reused-exchange parents)
     "geo_tile_pyramid",
+    # per-(lang, source) corpus report card with exact percentiles
+    "corpus_stats",
 ]
 
 

@@ -2840,6 +2840,53 @@ SELECT vec_id, ivf_bucket, rn FROM (
   FROM assigned) WHERE rn <= 16"""
 
 
+def q_corpus_stats(spark, sf):
+    """Corpus report card: per-(lang, source) doc counts, whitespace
+    token totals, mean quality score, and exact interpolated p50/p90 of
+    doc length — the summary table every curation run publishes. One
+    aggregation; the exact percentiles use the same linear-interpolation
+    definition in both engines (Spark percentile == DuckDB
+    quantile_cont). At 100 TB the exact percentile is the only
+    non-sketch stage — swap percentile_approx (the
+    percentile_filter_approx twin) when the group count explodes."""
+    from pyogrio_spark.functions.text import quality_score, token_count
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    feat = docs.select("lang", "source", "n_chars", token_count(), quality_score())
+    return feat.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+    )
+
+
+ORACLE_CORPUS_STATS = """
+WITH feat AS (
+  SELECT lang, source, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS token_count,
+         (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 10000
+               THEN 1.0 ELSE 0.3 END) * 0.3
+         + (CASE WHEN n_chars / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+                 BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         + (CASE WHEN len(list_intersect(list_distinct(list_transform(
+                     string_split_regex(trim(text), '\\s+'), x -> lower(x))),
+                     ['the','a','and','of','to','in','is','that','it','for'])) >= 2
+                 THEN 1.0 ELSE 0.5 END) * 0.2
+         + least(len(regexp_extract_all(text, '[A-Za-z]')) / greatest(n_chars, 1) * 1.25, 1.0) * 0.2
+         + (1.0 - least(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(n_chars, 1) * 4.0, 1.0)) * 0.1
+           AS quality_score
+  FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(token_count) AS BIGINT) AS total_tokens,
+       round(avg(quality_score), 6) AS mean_quality,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM feat GROUP BY lang, source
+"""
+
+
 _PYR_BASE, _PYR_MIN = 8, 4
 
 
@@ -2980,7 +3027,11 @@ QUERIES = {
     # bpe_train_merges.
     "bpe_train_merges": q_bpe_train_merges,
     "geo_range_join": q_geo_range_join,
-    "geo_zonal_stats": q_geo_zonal,
+    # round 6 (late) swapped geo_zonal_stats (driver-green r1-r5; the
+    # zonal area-weight machinery keeps a hard signal in-window via
+    # geo_areal_interpolate, and zonal_poly/rasterize stay oracled at
+    # the tail) for the corpus report card.
+    "corpus_stats": q_corpus_stats,
     "dedup_minhash_signatures": q_minhash_signatures,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     # round 6 (late) swapped spans_explode (driver-green r1-r5) for its
@@ -3163,6 +3214,9 @@ QUERIES = {
     # round 6 (late): geo_tile_assignment to the tail (driver-green
     # r1-r5) for its superset geo_tile_pyramid; still fully oracled.
     "geo_tile_assignment": q_geo_tile_assignment,
+    # round 6 (late): geo_zonal_stats to the tail (driver-green r1-r5)
+    # for corpus_stats; still fully oracled.
+    "geo_zonal_stats": q_geo_zonal,
     # Rows-only queries (no DuckDB oracle by design) LAST so the driver's
     # fixed-size correctness window always covers every oracled query first.
     # (media_features retired in round 3 — all four media paths are real
@@ -3233,6 +3287,7 @@ ORACLES = {
     "spans_strip_media": ORACLE_SPANS_STRIP_MEDIA,
     "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
     "geo_tile_pyramid": _oracle_tile_pyramid(),
+    "corpus_stats": ORACLE_CORPUS_STATS,
     "dedup_components": _oracle_components(),
     "text_features": _oracle_text_features(),
     "text_chunking": ORACLE_TEXT_CHUNKING,

@@ -63,7 +63,11 @@ def run_width(job: str, cpus: int, n_docs: int) -> dict | None:
         "kw = dict(cached=False) if {j!r} == 'pip' else dict()\n"
         "print('RESULT ' + json.dumps(fn({c}, {n}, **kw)))\n"
     ).format(r=REPO, s=os.path.join(REPO, "scripts"), j=job, c=cpus, n=n_docs)
-    p = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=1800)
+    try:
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print(f"# width {cpus} subprocess exceeded 1800s (storm), sample dropped", flush=True)
+        return None
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
