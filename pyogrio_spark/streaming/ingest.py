@@ -45,20 +45,28 @@ def ingest_corpus_stream(
     chunk_tokens: int = 32,
     overlap_tokens: int = 8,
     budget_tokens: int = 128,
+    scrub: bool = False,
 ):
     """Start the ingest StreamingQuery writing chunked/packed rows to a
     committed table at ``table_path``. Returns the StreamingQuery.
 
-    Per micro-batch: drop exact content duplicates (md5 of normalized
-    text — one shuffle over the batch, not the corpus), chunk + pack
-    (zero-shuffle map), append-commit one snapshot. The batch id is
-    recorded in the snapshot properties so replayed triggers are
-    detectable downstream.
+    Per micro-batch: optionally scrub (normalize + PII-redact — the
+    zero-shuffle map from functions/scrub.py, so it adds NO streaming
+    state and no extra exchange), drop exact content duplicates (md5 of
+    normalized text — one shuffle over the batch, not the corpus),
+    chunk + pack (zero-shuffle map), append-commit one snapshot. The
+    batch id is recorded in the snapshot properties so replayed
+    triggers are detectable downstream.
     """
+    from pyogrio_spark.functions.scrub import normalize_text, redact_pii
     from pyogrio_spark.io.writer import write_table
     from pyogrio_spark.operators.chunking import chunk_documents, pack_chunks
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if scrub:
+            batch_df = batch_df.withColumn(
+                "text", redact_pii(normalize_text(F.col("text")))
+            )
         deduped = (
             batch_df.withColumn(
                 "_h", F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))

@@ -90,3 +90,33 @@ def test_ingest_batch_dedup_suppresses_within_batch(spark, tmp_path):
     exp = pack_chunks(chunk_documents(docs), 128, 32)
     assert got.count() == exp.count()
     assert got.select("doc_id").distinct().count() == 50
+
+
+def test_ingest_scrub_stage_redacts_before_commit(spark, tmp_path):
+    """scrub=True: committed chunks contain redaction tokens, never the
+    planted PII; the stage is batch-stateless (same checkpoint contract)."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.io.writer import read_committed
+
+    src = str(tmp_path / "scrub_src")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach admin@leak.example.com or 415-555-0000 at 10.1.2.3"),
+        ),
+    )
+    docs.coalesce(1).write.parquet(src)
+    tbl = str(tmp_path / "scrub_tbl")
+    ckpt = str(tmp_path / "scrub_ckpt")
+    q = ingest_corpus_stream(read_documents_stream(spark, src), tbl, ckpt, scrub=True)
+    q.awaitTermination(120)
+    chunks = read_committed(spark, tbl)
+    leaked = chunks.filter(
+        F.col("chunk_text").contains("admin@leak.example.com")
+        | F.col("chunk_text").contains("415-555-0000")
+        | F.col("chunk_text").contains("10.1.2.3")
+    ).count()
+    assert leaked == 0
+    assert chunks.filter(F.col("chunk_text").contains("<EMAIL>")).count() > 0
