@@ -24,6 +24,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @contextlib.contextmanager
@@ -358,7 +359,26 @@ def upsert_table(
     compact_table contract.
 
     Returns {snapshot, matched, inserted, rows}.
+
+    Raises ``ValueError`` when ``updates`` carries more than one row for
+    the same key — the Delta/Iceberg MERGE contract (a multi-row source
+    key makes "replace the matched row" ambiguous and would silently
+    break the keyed-table invariant).  Callers that want last-wins must
+    resolve it themselves (e.g. a row_number window over ``keys``).
     """
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_desc = ", ".join(f"{k}={dup[0][k]!r}" for k in keys)
+        raise ValueError(
+            f"upsert_table: updates contain multiple rows for key ({key_desc}); "
+            "deduplicate on the merge keys before upserting"
+        )
     last_exc: Exception | None = None
     for _ in range(max(1, retries)):
         entry = current_snapshot(path)
@@ -378,7 +398,15 @@ def upsert_table(
         except SnapshotConflict as exc:  # table advanced: recompute
             last_exc = exc
             continue
-        n_rows = current_snapshot(path)["row_count"]
+        # Stats must come from the snapshot THIS call committed: a
+        # concurrent commit landing after ours would make
+        # current_snapshot() report someone else's row count (negative
+        # matched counts in the worst case).  The manifest keeps every
+        # committed entry, so look ours up by id.
+        committed = next(
+            s for s in _read_manifest(path)["snapshots"] if s["id"] == snap
+        )
+        n_rows = committed["row_count"]
         matched = n_cur + n_up - n_rows
         return {"snapshot": snap, "matched": int(matched), "inserted": int(n_up - matched), "rows": int(n_rows)}
     raise last_exc
@@ -404,7 +432,10 @@ def delete_from_table(
             raise FileNotFoundError(f"no committed snapshot at {path}")
         dirs = [os.path.join(path, d) for d in entry["data_dirs"]]
         cur = spark.read.parquet(*dirs)
-        kept = cur.filter(f"NOT ({predicate})")
+        # SQL DELETE removes only rows where the predicate is TRUE;
+        # rows where it evaluates to NULL (nullable columns) survive.
+        # A bare NOT(pred) would drop them — coalesce to false first.
+        kept = cur.filter(f"NOT coalesce(({predicate}), false)")
         try:
             snap = write_table(kept, path, mode="overwrite", expected_current_id=entry["id"])
         except SnapshotConflict as exc:

@@ -483,3 +483,40 @@ def test_delete_from_table(spark, tmp_path):
     res = delete_from_table(spark, tbl, "bucket = 1")
     assert res["deleted"] == 10 and res["rows"] == 20
     assert read_committed(spark, tbl).filter("bucket = 1").count() == 0
+
+
+def test_delete_from_table_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE WHERE removes only rows where the predicate is TRUE;
+    NULL-predicate rows (nullable column) must survive the delete."""
+    from pyogrio_spark.io.writer import delete_from_table, upsert_table
+
+    tbl = str(tmp_path / "del_null_tbl")
+    base = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 20), (3, None), (4, 7)], "k bigint, score bigint"
+    )
+    upsert_table(spark, tbl, base, keys=["k"])
+    res = delete_from_table(spark, tbl, "score > 10")
+    # only k=2 matches TRUE; the two NULL-score rows are kept
+    assert res["deleted"] == 1 and res["rows"] == 4
+    kept = {r["k"] for r in read_committed(spark, tbl).collect()}
+    assert kept == {0, 1, 3, 4}
+
+
+def test_upsert_table_rejects_duplicate_key_updates(spark, tmp_path):
+    """MERGE contract: multiple source rows per key is ambiguous and
+    must fail fast (Delta/Iceberg raise), not silently corrupt the
+    keyed-table invariant."""
+    import pytest as _pytest
+    from pyogrio_spark.io.writer import upsert_table
+
+    tbl = str(tmp_path / "merge_dup_tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    upsert_table(spark, tbl, base, keys=["k"])
+    dup_updates = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (3, "z")], "k bigint, v string"
+    )
+    with _pytest.raises(ValueError, match="multiple rows"):
+        upsert_table(spark, tbl, dup_updates, keys=["k"])
+    # table unchanged
+    got = {r["k"]: r["v"] for r in read_committed(spark, tbl).collect()}
+    assert got == {1: "a", 2: "b"}
