@@ -15,14 +15,18 @@ Scale design (the part that must survive 100 TB):
   touched exactly once, by a hash join of ``word -> tokens`` back onto
   the exploded text. This is the same distinct-key trick the dedup
   operators use.
-* **Greedy matching is a bounded join loop.** Each round matches the
-  longest vocab prefix of every active suffix: explode candidate
-  lengths ``1..max_token_len``, equi-join the broadcast vocab, take
-  ``max(length)`` per (word, pos). Words drop out as they finish, so
-  round ``r`` only carries words with > r tokens; rounds are bounded
-  by the longest word (real tokenizers cap word length — pathological
-  inputs should be pre-split upstream). Per-round state is pinned via
-  ``pin_cache`` (spark_partition_id/lazy-loop rules, see BENCH notes).
+* **Greedy matching is ONE Arrow-batched pass.** Segmentation runs as
+  a single ``mapInPandas`` stage over the distinct-word table: the
+  vocab ships once per executor as a Spark broadcast, and each Arrow
+  batch of words is segmented with an in-memory longest-first set
+  probe (per-length vocab sets — the trie-equivalent for bounded
+  token lengths). Because the distinct-word table is dimension-sized
+  (the point of the bullet above), the batch-Python stage is
+  legitimate here; the corpus-sized frames never leave the JVM. Job
+  count is INDEPENDENT of word length — a pathological 10k-char
+  URL/DNA "word" costs one longer inner loop inside its batch, not
+  thousands of sequential Spark jobs (the failure mode of the
+  join-per-token-position formulation this replaced).
 * **BPE apply is pure codegen.** Applying an ordered merge list is a
   chain of string ``replace`` calls over the sentinel-delimited symbol
   string — one whole-stage-codegen projection, zero shuffles beyond
@@ -46,8 +50,6 @@ are exactly reproducible in ANSI SQL for the correctness oracles.
 from __future__ import annotations
 
 import re
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -87,50 +89,58 @@ def tokenize_greedy(
     Returns one row per subword token occurrence:
     ``(id_col, word_idx, tok_pos, token)`` with ``tok_pos`` the 1-based
     character offset of the token inside its word.
+
+    Plan shape: distinct-word aggregation (one shuffle), ONE
+    ``mapInPandas`` segmentation stage over that dimension-sized table
+    (vocab broadcast once per executor; longest-first probe against
+    per-length vocab sets), then the word→tokens hash join back onto
+    the corpus word stream. The number of Spark jobs is independent of
+    the longest word in the corpus.
     """
     vocab_list = sorted(set(vocab))
     if not vocab_list:
         raise ValueError("vocab must be non-empty")
-    max_tok = max(len(t) for t in vocab_list)
     spark = docs.sparkSession
-    vdf = spark.createDataFrame([(t,) for t in vocab_list], "token string")
+    bc_vocab = spark.sparkContext.broadcast(vocab_list)
+
+    def _segment(batches):
+        import pandas as pd
+
+        vset = set(bc_vocab.value)
+        # probe longest-first; skip lengths with no vocab entries
+        lens = sorted({len(t) for t in vset}, reverse=True)
+        for pdf in batches:
+            out_w: list[str] = []
+            out_p: list[int] = []
+            out_t: list[str] = []
+            for w in pdf["word"]:
+                n = len(w)
+                i = 0
+                while i < n:
+                    rem = n - i
+                    for L in lens:
+                        if L <= rem and w[i : i + L] in vset:
+                            break
+                    else:
+                        L = 1  # byte-fallback: emit the single char as-is
+                    out_w.append(w)
+                    out_p.append(i + 1)
+                    out_t.append(w[i : i + L])
+                    i += L
+            yield pd.DataFrame(
+                {
+                    "word": pd.array(out_w, dtype="string"),
+                    "tok_pos": pd.array(out_p, dtype="int32"),
+                    "token": pd.array(out_t, dtype="string"),
+                }
+            )
 
     words = _words_with_index(docs, text_col, id_col, sep)
-    active = (
-        words.select("word").distinct()
-        .select("word", F.lit(1).alias("pos"), F.length("word").alias("wlen"))
+    seg = (
+        words.select("word")
+        .distinct()
+        .mapInPandas(_segment, schema="word string, tok_pos int, token string")
     )
-
-    segs: list[DataFrame] = []
-    while True:
-        active = pin_cache(active)
-        if active.count() == 0:
-            break
-        cand = (
-            active.select(
-                "word",
-                "pos",
-                F.explode(
-                    F.sequence(F.lit(1), F.least(F.lit(max_tok), F.col("wlen") - F.col("pos") + 1))
-                ).alias("l"),
-            )
-            .withColumn("piece", F.expr("substring(word, pos, l)"))
-            .join(F.broadcast(vdf), F.col("piece") == F.col("token"))
-            .groupBy("word", "pos")
-            .agg(F.max("l").alias("tl"))
-        )
-        step = pin_cache(
-            active.join(cand, ["word", "pos"], "left")
-            .withColumn("tl", F.coalesce("tl", F.lit(1)))
-            .withColumn("token", F.expr("substring(word, pos, tl)"))
-        )
-        step.count()  # materialize before deriving next round's state
-        segs.append(step.select("word", F.col("pos").alias("tok_pos"), "token"))
-        active = step.filter(F.col("pos") + F.col("tl") <= F.col("wlen")).select(
-            "word", (F.col("pos") + F.col("tl")).alias("pos"), "wlen"
-        )
-
-    seg = reduce(DataFrame.unionByName, segs)
     return words.join(seg, "word").select(id_col, "word_idx", "tok_pos", "token")
 
 
@@ -173,6 +183,7 @@ def train_bpe_merges(
     num_merges: int,
     text_col: str = "text",
     sep: str = " ",
+    checkpoint_every: int = 16,
 ) -> list[tuple[int, str, str, int]]:
     """Byte-pair-encoding merge training (Sennrich-style): starting
     from single characters, repeatedly merge the most frequent adjacent
@@ -212,6 +223,16 @@ def train_bpe_merges(
     )
     merges: list[tuple[int, str, str, int]] = []
     for k in range(num_merges):
+        if checkpoint_every > 0 and k > 0 and k % checkpoint_every == 0:
+            # Truncate the logical plan: each round chains one
+            # F.replace onto the prior state, so without truncation
+            # Catalyst re-analyzes an O(k)-deep plan every round —
+            # O(rounds^2) driver cost that stalls a 32k-merge
+            # production train even though caching bounds execution.
+            # localCheckpoint materializes the current symbols and
+            # restarts lineage from the stored blocks, keeping
+            # per-round analysis cost constant.
+            state = state.localCheckpoint(eager=True)
         state = pin_cache(state)
         toks = state.select(
             "word", "n", F.posexplode(F.split(F.trim(F.col("sym")), " ")).alias("i", "s")
@@ -257,11 +278,18 @@ def apply_bpe_merges(
     dwords = words.select("word").distinct()
     sym = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
     state = dwords.withColumn("sym", sym)
-    for i in range(0, len(merges), replaces_per_stage):
+    for si, i in enumerate(range(0, len(merges), replaces_per_stage)):
         col = F.col("sym")
         for lhs, rhs in merges[i : i + replaces_per_stage]:
             col = F.replace(col, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} "))
         state = state.withColumn("sym", col)
+        # Every 8 stages (512 merges at the default chunk size) truncate
+        # lineage: a 32k-merge production vocab is ~500 chained stages,
+        # past MAX_PINS the FIFO pin eviction would recompute evicted
+        # stages through the full chain, and Catalyst re-analysis of the
+        # growing plan is O(stages^2).
+        if si > 0 and si % 8 == 0:
+            state = state.localCheckpoint(eager=True)
         state = pin_cache(state)  # stage barrier: bound codegen depth
     seg = state.select(
         "word", F.posexplode(F.split(F.trim(F.col("sym")), " ")).alias("tok_idx", "token")

@@ -141,3 +141,68 @@ def test_apply_bpe_plan_is_single_projection_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "replace" in out._jdf.queryExecution().analyzed().toString()
+
+
+def _jobs_for(spark, group, fn):
+    """Run fn under a job group, return how many Spark jobs it launched."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_greedy_pathological_long_word(spark):
+    """A 5000-char 'word' (URL/DNA-style pathology) segments correctly
+    in the single mapInPandas pass: 1666 'xxx' + trailing 'xx'."""
+    word = "x" * 5000
+    out = tokenize_greedy(_docs(spark, [word]), ["x", "xx", "xxx"])
+    rows = sorted((r.tok_pos, r.token) for r in out.collect())
+    assert len(rows) == 1667
+    assert rows[0] == (1, "xxx") and rows[-1] == (4999, "xx")
+    assert all(t == "xxx" for _, t in rows[:-1])
+    assert "".join(t for _, t in rows) == word
+
+
+def test_greedy_job_count_independent_of_word_length(spark):
+    """The segmentation is ONE mapInPandas stage over distinct words:
+    the number of Spark jobs must not grow with the longest word (the
+    per-token-position join-loop formulation launched one-plus jobs per
+    position, i.e. thousands for a pathological word)."""
+    vocab = list("abcdefgh")
+    short = _docs(spark, ["abc def", "gh ab"])
+    longw = _docs(spark, ["abc def", "a" * 2000])
+    n_short = _jobs_for(
+        spark, "tok-short", lambda: tokenize_greedy(short, vocab).count()
+    )
+    n_long = _jobs_for(
+        spark, "tok-long", lambda: tokenize_greedy(longw, vocab).count()
+    )
+    assert n_short == n_long, (n_short, n_long)
+
+
+def test_bpe_train_checkpoint_invariant(spark, monkeypatch):
+    """Lineage truncation must not change training: merges with
+    checkpoint_every=3 match an uncheckpointed train, and
+    localCheckpoint actually fires on the expected rounds."""
+    # patch the concrete class the session instantiates (Spark 4 splits
+    # the abstract pyspark.sql.DataFrame from classic/connect impls)
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    docs = _docs(spark, ["low lower lowest", "new newer newest", "wide wider"])
+    baseline = train_bpe_merges(docs, num_merges=10, checkpoint_every=0)
+
+    calls = {"n": 0}
+    orig = _DF.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(_DF, "localCheckpoint", counting)
+    chk = train_bpe_merges(docs, num_merges=10, checkpoint_every=3)
+    assert chk == baseline
+    # rounds 3, 6, 9 truncate
+    assert calls["n"] == 3
