@@ -3003,7 +3003,11 @@ QUERIES = {
     "scan_where_project": q_scan_where_project,
     "scan_skip_max": q_scan_skip_max,
     "geo_bbox_filter": q_geo_bbox,
-    "geo_measures": q_geo_measures,
+    # round 7 swapped geo_measures (driver-green r1-r6; the planar
+    # measure kernels keep a hard signal in-window via
+    # geo_measures_geodesic, geo_clip, and geo_areal_interpolate's
+    # area weights) to the tail for semdedup_pruned — the one oracled
+    # entry that had never held a driver row (r6 VERDICT item 1).
     # round 6 (late) swapped geo_tile_assignment (driver-green r1-r5)
     # for its strict superset geo_tile_pyramid — the same cell formula
     # at every level plus the parent rollup, so the tile machinery
@@ -3114,6 +3118,10 @@ QUERIES = {
     # machinery keeps hard signals in-window via domain_mix and
     # stratified_sample's md5 ordering) for semdedup_exact.
     "semdedup_exact": q_semdedup_exact,
+    # round 7: semdedup_pruned rotated IN (from the r6 tail slot) right
+    # beside its exact twin — both SemDeDup variants now hold driver
+    # rows in the same round.
+    "semdedup_pruned": q_semdedup_pruned,
     # round 6 (late) swapped domain_mix (driver-green r1-r5; the
     # md5-bucket resampling machinery keeps hard signals in-window via
     # stratified_sample and the new cluster_sample keep rule) for
@@ -3185,10 +3193,10 @@ QUERIES = {
     "sim_cosine_topk": q_sim_topk,
     "corpus_curation": q_corpus_curation,
     "dataset_split": q_dataset_split,
-    # new round-6 entry at tail (oracled + preflighted; rotate into the
-    # window next round per the established protocol): the pruned
-    # SemDeDup twin — its exact twin semdedup_exact is in-window.
-    "semdedup_pruned": q_semdedup_pruned,
+    # round 7: geo_measures to the tail (driver-green r1-r6) for
+    # semdedup_pruned's window slot (see the note at the top of the
+    # registry); still fully oracled + preflighted.
+    "geo_measures": q_geo_measures,
     # round 6 (late) window swaps — both driver-green r1-r5, moved to
     # the tail for dedup_lines_global / quality_percentile (see the
     # window-slot notes above); still fully oracled + preflighted.
