@@ -2999,6 +2999,65 @@ SELECT r.doc_id, r.source, r.rn FROM r JOIN t USING (source) WHERE r.rn <= t.tar
 """
 
 
+def q_table_upsert(spark, sf):
+    """Lakehouse row ops end-to-end (io/writer.py upsert_table +
+    delete_from_table): seed a snapshot table from orders, MERGE a
+    deterministic update set (half replacements, half new keys), then
+    DELETE WHERE over a NULLABLE predicate — NULL-predicate rows must
+    survive (ANSI DELETE semantics) — and return the committed table.
+    The oracle replays the same MERGE/DELETE algebra in pure SQL, so a
+    hash match certifies replacement, insertion, survivor, and
+    NULL-keep semantics of the copy-on-write snapshot ops together."""
+    import tempfile
+
+    from pyogrio_spark.io.writer import (
+        current_snapshot,
+        delete_from_table,
+        upsert_table,
+    )
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    base = orders.filter("o_orderkey % 7 = 0").selectExpr(
+        "o_orderkey AS okey", "o_custkey AS ckey", "o_totalprice AS price"
+    )
+    updates = base.filter("okey % 14 = 0").selectExpr(
+        "okey", "ckey", "price + 1000.0 AS price"
+    ).unionByName(
+        orders.filter("o_orderkey % 7 = 3").selectExpr(
+            "o_orderkey + 3000000000 AS okey",
+            "o_custkey AS ckey",
+            "o_totalprice AS price",
+        )
+    )
+    d = tempfile.mkdtemp(prefix="pyogrio_spark_upsert_")
+    tbl = f"{d}/orders_tbl"
+    upsert_table(spark, tbl, base, keys=["okey"])
+    upsert_table(spark, tbl, updates, keys=["okey"])
+    # nullif makes the predicate NULL for ckey % 10 == 0 rows: those
+    # must be KEPT (the ADVICE-fixed coalesce path), 7/8/9 deleted.
+    delete_from_table(spark, tbl, "nullif(ckey % 10, 0) >= 7")
+    entry = current_snapshot(tbl)
+    dirs = [f"{tbl}/{x}" for x in entry["data_dirs"]]
+    return spark.read.parquet(*dirs).select("okey", "ckey", "price")
+
+
+ORACLE_TABLE_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 7 = 0),
+updates AS (
+  SELECT okey, ckey, price + 1000.0 AS price FROM base WHERE okey % 14 = 0
+  UNION ALL
+  SELECT o_orderkey + 3000000000 AS okey, o_custkey AS ckey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 7 = 3),
+merged AS (
+  SELECT b.* FROM base b WHERE b.okey NOT IN (SELECT okey FROM updates)
+  UNION ALL SELECT * FROM updates)
+SELECT okey, ckey, price FROM merged
+WHERE NOT coalesce(nullif(ckey % 10, 0) >= 7, false)
+"""
+
+
 QUERIES = {
     "scan_where_project": q_scan_where_project,
     "scan_skip_max": q_scan_skip_max,
@@ -3088,7 +3147,11 @@ QUERIES = {
     # via window_top_orders and events_sessionize) for the new
     # corpus-global line dedup.
     "dedup_lines_global": q_dedup_lines_global,
-    "geo_within_distance": q_geo_within_distance,
+    # round 7 swapped geo_within_distance (driver-green r4-r6; the ring
+    # expansion + distance kernel keeps its hard signal in-window via
+    # geo_knn_join, which shares the cell-ring machinery) to the tail
+    # for the new lakehouse row-op entry.
+    "table_upsert": q_table_upsert,
     "geo_areal_interpolate": q_geo_areal_interpolate,
     "geo_measures_geodesic": q_geo_measures_geodesic,
     "events_sessionize": q_events_sessionize,
@@ -3195,8 +3258,10 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     # round 7: geo_measures to the tail (driver-green r1-r6) for
     # semdedup_pruned's window slot (see the note at the top of the
-    # registry); still fully oracled + preflighted.
+    # registry); still fully oracled + preflighted. geo_within_distance
+    # likewise (driver-green r4-r6) for table_upsert's slot.
     "geo_measures": q_geo_measures,
+    "geo_within_distance": q_geo_within_distance,
     # round 6 (late) window swaps — both driver-green r1-r5, moved to
     # the tail for dedup_lines_global / quality_percentile (see the
     # window-slot notes above); still fully oracled + preflighted.
@@ -3377,6 +3442,7 @@ ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_asof_rates": ORACLE_ASOF,
+    "table_upsert": ORACLE_TABLE_UPSERT,
     "read_bounds": f"SELECT doc_id, lon AS xmin, lat AS ymin, lon AS xmax, lat AS ymax FROM {DOCS_GEO_SQL} d",
     "total_bounds": f"""SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax,
         count(*) AS n FROM {DOCS_GEO_SQL} d""",
