@@ -16,9 +16,13 @@ Declared divergences (documented, not silent):
   container carries no GEOS. Returned frames are plain pandas; decode
   with ``pyogrio_spark.geometry.wkb`` or wrap with geopandas/shapely
   on your side (``gpd.GeoSeries.from_wkb``).
-- ``sql_dialect``/``use_arrow``/``encoding``/``arrow_to_pandas_kwargs``
-  are accepted and ignored: the dialect is Spark SQL (a superset of
-  OGRSQL's operators), transfer is always Arrow, strings are UTF-8.
+- ``use_arrow``/``encoding``/``arrow_to_pandas_kwargs`` are accepted
+  and ignored: transfer is always Arrow, strings are UTF-8.
+- ``sql_dialect=None`` means Spark SQL (not a driver-native dialect);
+  ``'OGRSQL'`` routes through the engine's OGRSQL translator and
+  ``'SQLITE'``/``'INDIRECT_SQLITE'`` through the Spatialite subset
+  (correlated ST_Intersects rewrite) — see pyogrio_spark/sql_dialect.py
+  for the exact supported surface.
 - These helpers run through a local SparkSession (created lazily, or
   pass ``spark=``) and collect to pandas — they are the reference's
   single-node interchange workflow; corpus-scale work should use
@@ -84,6 +88,9 @@ def read_dataframe(
     with a ``geometry`` column of WKB bytes (see module divergences)."""
     from pyogrio_spark.io.dispatch import open_table
 
+    if sql is not None and layer is not None:
+        # reference geopandas.py/raw.py exclusivity rule
+        raise ValueError("'sql' parameter cannot be combined with 'layer'")
     df = open_table(
         _spark(spark),
         path_or_buffer,
@@ -97,6 +104,7 @@ def read_dataframe(
         skip_features=int(skip_features),
         max_features=max_features,
         sql=sql,
+        sql_dialect=sql_dialect,
         force_2d=force_2d,
         on_invalid=on_invalid,
     )
@@ -130,6 +138,11 @@ def read_dataframe(
     if fid_as_index and "fid" in pdf.columns:
         pdf = pdf.set_index("fid")
         pdf.index.name = "fid"
+    elif "fid" in pdf.columns and not kwargs.get("_keep_fid"):
+        # reference read_dataframe exposes fids only via fid_as_index
+        # (geopandas.py: read(..., return_fids=fid_as_index)); the raw
+        # read() facade asks for them with the internal _keep_fid flag
+        pdf = pdf.drop(columns=["fid"])
     # surface the layer CRS the way a frame without a geo accessor can:
     # pandas .attrs (geopandas users re-wrap with gpd.GeoSeries.from_wkb
     # + this value)
@@ -165,7 +178,7 @@ def read(path_or_buffer, /, return_fids=False, read_geometry=True, **kwargs):
         # tables): meta derives from the materialized result below
         info = None
     pdf = read_dataframe(
-        path_or_buffer, read_geometry=read_geometry, **kwargs
+        path_or_buffer, read_geometry=read_geometry, _keep_fid=True, **kwargs
     )
     if info is None:
         attr = [c for c in pdf.columns if c not in ("fid", "geometry")]
@@ -570,6 +583,7 @@ def _open_arrow_impl(
         skip_features=int(skip_features),
         max_features=max_features,
         sql=sql,
+        sql_dialect=sql_dialect,
         force_2d=force_2d,
     )
     if not return_fids and "fid" in df.columns:

@@ -141,6 +141,14 @@ def open_table(
         fmt = detect_format(path)
     else:
         fmt = "table"
+    if read_table_kwargs.get("sql") is not None and "layer_name" not in read_table_kwargs:
+        # sql= statements reference the layer by name (reference
+        # semantics: file stem / dataset layer name), not the engine's
+        # internal view name — thread it through to the dialect layer
+        if layer is not None:
+            read_table_kwargs["layer_name"] = str(layer)
+        elif isinstance(path, (str, os.PathLike)):
+            read_table_kwargs["layer_name"] = os.path.basename(str(path)).split(".", 1)[0]
     if fmt == "shapefile":
         from pyogrio_spark.io.shapefile import read_shapefile, read_shapefile_distributed
 

@@ -29,6 +29,7 @@ semantics preserved:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -73,6 +74,8 @@ def read_table(
     skip_features: int = 0,
     max_features: int | None = None,
     sql: str | None = None,
+    sql_dialect: str | None = None,
+    layer_name: str | None = None,
     res: int = DEFAULT_RES,
     force_2d: bool = False,
     on_invalid: str = "raise",
@@ -93,9 +96,21 @@ def read_table(
 
     df = _load(spark, source)
 
+    sql_order = None
     if sql is not None:
-        df.createOrReplaceTempView("layer")
-        df = spark.sql(sql)
+        from pyogrio_spark.sql_dialect import apply_sql_dialect
+
+        if layer_name is None:
+            if isinstance(source, DataFrame):
+                layer_name = "layer"
+            else:
+                stem = os.path.basename(str(source))
+                layer_name = stem.split(".", 1)[0] or "layer"
+        eff_fid = fid_column if fid_column in df.columns else "fid"
+        df, sql_order = apply_sql_dialect(
+            spark, df, sql, sql_dialect, layer_name=layer_name,
+            geometry_col=GEOMETRY_COL, fid_column=eff_fid,
+        )
 
     # file sources carry the reference's "fid" column; the default
     # fid_column targets the testdata tables' doc_id — fall back so
@@ -116,7 +131,7 @@ def read_table(
         df = _apply_mask(df, mask, res)
 
     if skip_features or max_features is not None:
-        df = _apply_range(df, skip_features, max_features)
+        df = _apply_range(df, skip_features, max_features, order=sql_order)
 
     if force_2d and GEOMETRY_COL in df.columns:
         df = df.withColumn(GEOMETRY_COL, _normalize_2d_udf(on_invalid)(F.col(GEOMETRY_COL)))
@@ -214,8 +229,23 @@ def _apply_mask(df: DataFrame, mask_wkb: bytes, res: int) -> DataFrame:
     return df
 
 
-def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
-    order = _order_cols(df)
+def _apply_range(
+    df: DataFrame,
+    skip: int,
+    maxf: int | None,
+    order: list[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """``order`` overrides the deterministic-key ranking with an
+    explicit [(column, ascending), ...] — used by the ``sql=`` path so
+    skip/max ranges follow the statement's ORDER BY (reference
+    semantics: ranges apply to the SQL result order)."""
+    if order:
+        order = [(c, asc) for c, asc in order if c in df.columns]
+    order_exprs = (
+        [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
+        if order
+        else [F.col(c) for c in _order_cols(df)]
+    )
     if skip:
         # distributed global rank (two-phase, same shape as budget_filter):
         # range-shuffle into ordered partitions, count per partition (one
@@ -231,7 +261,7 @@ def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
         from pyogrio_spark.cache import pin_cache
 
         parts = pin_cache(
-            df.repartitionByRange(*[F.col(c) for c in order]).withColumn("_pid", F.spark_partition_id())
+            df.repartitionByRange(*order_exprs).withColumn("_pid", F.spark_partition_id())
         )
         counts = parts.groupBy("_pid").count().collect()  # one row per partition
         counts.sort(key=lambda r: r["_pid"])
@@ -240,7 +270,7 @@ def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
             offsets.append((r["_pid"], acc))
             acc += r["count"]
         off_df = df.sparkSession.createDataFrame(offsets, schema="_pid int, _offset bigint")
-        w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order])
+        w = Window.partitionBy("_pid").orderBy(*order_exprs)
         df = (
             parts.join(F.broadcast(off_df), "_pid")
             .withColumn("_rn", F.row_number().over(w) + F.col("_offset"))
@@ -250,7 +280,7 @@ def _apply_range(df: DataFrame, skip: int, maxf: int | None) -> DataFrame:
     if maxf is not None:
         # sort+limit compiles to TakeOrderedAndProject: per-partition top-M
         # then a single M-row merge — no full global sort
-        df = df.sort(*_order_cols(df)).limit(int(maxf))
+        df = df.sort(*order_exprs).limit(int(maxf))
     return df
 
 

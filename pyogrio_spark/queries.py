@@ -2999,6 +2999,40 @@ SELECT r.doc_id, r.source, r.rn FROM r JOIN t USING (source) WHERE r.rn <= t.tar
 """
 
 
+def q_sql_ogr_dialect(spark, sf):
+    """OGRSQL dialect passthrough (sql_dialect.py translate_ogrsql):
+    case-blind identifiers (DOC_ID/LANG/SOURCE against lowercase
+    fields), IN, case-INSENSITIVE LIKE (GDAL swq semantics -> ILIKE),
+    AND/NOT, ORDER BY, LIMIT — the documented OGRSQL operator subset
+    of reference _io.pyx:380-423 / raw.py:136-148, executed as one
+    Catalyst statement. Oracle mirrors the translated semantics in
+    ANSI SQL (ilike spelled as lower() LIKE)."""
+    from pyogrio_spark.io.reader import read_table
+
+    return read_table(
+        spark,
+        f"{sf}/documents.parquet",
+        sql=(
+            "SELECT DOC_ID, LANG AS language, n_chars "
+            "FROM documents "
+            "WHERE lang IN ('en', 'de') AND SOURCE LIKE 'SRC1%' "
+            "AND NOT (n_chars < 200) "
+            "ORDER BY doc_id LIMIT 500"
+        ),
+        sql_dialect="OGRSQL",
+        layer_name="documents",
+    )
+
+
+ORACLE_SQL_OGR_DIALECT = """
+SELECT doc_id, lang AS language, n_chars
+FROM documents
+WHERE lang IN ('en', 'de') AND lower(source) LIKE 'src1%'
+  AND NOT (n_chars < 200)
+ORDER BY doc_id LIMIT 500
+"""
+
+
 def q_table_upsert(spark, sf):
     """Lakehouse row ops end-to-end (io/writer.py upsert_table +
     delete_from_table): seed a snapshot table from orders, MERGE a
@@ -3095,7 +3129,11 @@ QUERIES = {
     # geo_areal_interpolate, and zonal_poly/rasterize stay oracled at
     # the tail) for the corpus report card.
     "corpus_stats": q_corpus_stats,
-    "dedup_minhash_signatures": q_minhash_signatures,
+    # round 7 swapped dedup_minhash_signatures (driver-green r4-r6; its
+    # full lineage stays in-window inside dedup_minhash_lsh_pairs, which
+    # recomputes the signatures as its first stage) to the tail for the
+    # new OGRSQL dialect entry.
+    "sql_ogr_dialect": q_sql_ogr_dialect,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     # round 6 (late) swapped spans_explode (driver-green r1-r5) for its
     # strict superset spans_strip_media — the same span synthesis and
@@ -3262,6 +3300,7 @@ QUERIES = {
     # likewise (driver-green r4-r6) for table_upsert's slot.
     "geo_measures": q_geo_measures,
     "geo_within_distance": q_geo_within_distance,
+    "dedup_minhash_signatures": q_minhash_signatures,
     # round 6 (late) window swaps — both driver-green r1-r5, moved to
     # the tail for dedup_lines_global / quality_percentile (see the
     # window-slot notes above); still fully oracled + preflighted.
@@ -3443,6 +3482,7 @@ ORACLES = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_asof_rates": ORACLE_ASOF,
     "table_upsert": ORACLE_TABLE_UPSERT,
+    "sql_ogr_dialect": ORACLE_SQL_OGR_DIALECT,
     "read_bounds": f"SELECT doc_id, lon AS xmin, lat AS ymin, lon AS xmax, lat AS ymax FROM {DOCS_GEO_SQL} d",
     "total_bounds": f"""SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax,
         count(*) AS n FROM {DOCS_GEO_SQL} d""",
