@@ -591,6 +591,26 @@ def _open_arrow_impl(
     # combine first: Spark yields one chunk per partition and
     # to_batches(max_chunksize) only ever splits, never merges
     table = df.toArrow().combine_chunks()
+    if "geometry_wkb" in table.column_names:
+        # reference parity: ogr_open_arrow annotates the geometry field
+        # as geoarrow.wkb with PROJJSON crs metadata for GDAL >= 3.8
+        # (_io.pyx:2145-2151, tests/test_arrow.py:290-296)
+        import json as _json
+
+        from pyogrio_spark.crs import crs_to_projjson
+
+        ext_meta: dict = {}
+        pj = crs_to_projjson(info.get("crs"))
+        if pj is not None:
+            ext_meta["crs"] = pj
+        gi = table.schema.get_field_index("geometry_wkb")
+        fld = table.schema.field(gi).with_metadata(
+            {
+                b"ARROW:extension:name": b"geoarrow.wkb",
+                b"ARROW:extension:metadata": _json.dumps(ext_meta).encode(),
+            }
+        )
+        table = table.cast(table.schema.set(gi, fld))
     batches = table.to_batches(max_chunksize=max(1, int(batch_size)))
     if not batches:  # zero rows: a single empty batch keeps the schema
         batches = [pa.RecordBatch.from_pylist([], schema=table.schema)]

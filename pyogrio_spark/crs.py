@@ -338,3 +338,29 @@ def display_crs(wkt_or_code) -> str | None:
         return f"EPSG:{wkt_or_code}"
     code = epsg_from_wkt(str(wkt_or_code))
     return f"EPSG:{code}" if code is not None else str(wkt_or_code)
+
+
+def crs_to_projjson(crs) -> dict | None:
+    """Reduced PROJJSON for Arrow geometry-field metadata (the
+    ``geoarrow.wkb`` extension the reference's ``ogr_open_arrow``
+    attaches for GDAL >= 3.8, _io.pyx:2145-2151; consumers read
+    ``crs.id.authority``/``crs.id.code`` — tests/test_arrow.py:290-296).
+    Full PROJJSON parameter trees need a PROJ database (module doc);
+    name + authority identification round-trips the code, which is the
+    contract the extension exists for."""
+    code = crs_to_epsg(crs)
+    if code is None:
+        return None
+    wkt = crs_to_wkt(code)
+    kind = (
+        "GeographicCRS"
+        if wkt.lstrip().upper().startswith("GEOGCS")
+        else "ProjectedCRS"
+    )
+    name = wkt.split('"', 2)[1] if '"' in wkt else f"EPSG:{code}"
+    return {
+        "$schema": "https://proj.org/schemas/v0.7/projjson.schema.json",
+        "type": kind,
+        "name": name,
+        "id": {"authority": "EPSG", "code": int(code)},
+    }

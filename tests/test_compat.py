@@ -343,3 +343,34 @@ def test_missing_dataset_raises_datasource_error(tmp_path):
     # an unrecognized extension still gets the reference's message
     with pytest.raises(DataSourceError, match="No such file or directory"):
         read_info(str(tmp_path / "gone.xyzzy"))
+
+
+def test_read_arrow_geoarrow_metadata(tmp_path):
+    """Reference tests/test_arrow.py:290-296 (GDAL >= 3.8): the geometry
+    field of the Arrow output carries the geoarrow.wkb extension name
+    and PROJJSON crs metadata — and the annotated table round-trips
+    through write_arrow (which resolves the geometry column from that
+    same extension metadata) without naming it explicitly."""
+    import json
+
+    from pyogrio_spark.compat import read_arrow, read_dataframe, write_arrow
+
+    meta, table = read_arrow(NE)
+    field = table.schema.field("geometry_wkb")
+    assert field.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    parsed = json.loads(field.metadata[b"ARROW:extension:metadata"])
+    assert parsed["crs"]["id"]["authority"] == "EPSG"
+    assert parsed["crs"]["id"]["code"] == 4326
+    # streaming variant exposes the same annotated schema
+    from pyogrio_spark.compat import open_arrow
+
+    with open_arrow(NE) as (_, reader):
+        f2 = reader.schema.field("geometry_wkb")
+        assert f2.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
+        reader.read_all()
+    # round trip: write_arrow picks the geometry column from the
+    # extension metadata (no geometry_name passed)
+    out = tmp_path / "geoarrow_rt.shp"
+    write_arrow(table, out, crs=meta["crs"], geometry_type=meta["geometry_type"])
+    back = read_dataframe(str(out))
+    assert len(back) == 177 and "geometry" in back.columns
