@@ -136,6 +136,32 @@ _SP_LCC: dict[int, tuple] = {
     # Washington (FIPS 4601-4602)
     32148: ("Washington_North_FIPS_4601", 48.7333333333, 47.5, 47.0, -120.8333333333, 500000, 0),
     32149: ("Washington_South_FIPS_4602", 47.3333333333, 45.8333333333, 45.3333333333, -120.5, 500000, 0),
+    # round-7 growth: remaining high-traffic LCC zones
+    # Pennsylvania (FIPS 3701-3702)
+    32128: ("Pennsylvania_North_FIPS_3701", 41.95, 40.8833333333, 40.1666666667, -77.75, 600000, 0),
+    32129: ("Pennsylvania_South_FIPS_3702", 40.9666666667, 39.9333333333, 39.3333333333, -77.75, 600000, 0),
+    # Colorado (FIPS 0501-0503)
+    26953: ("Colorado_North_FIPS_0501", 40.7833333333, 39.7166666667, 39.3333333333, -105.5, 914401.8289, 304800.6096),
+    26954: ("Colorado_Central_FIPS_0502", 39.75, 38.45, 37.8333333333, -105.5, 914401.8289, 304800.6096),
+    26955: ("Colorado_South_FIPS_0503", 38.4333333333, 37.2333333333, 36.6666666667, -105.5, 914401.8289, 304800.6096),
+    # Ohio (FIPS 3401-3402)
+    32122: ("Ohio_North_FIPS_3401", 41.7, 40.4333333333, 39.6666666667, -82.5, 600000, 0),
+    32123: ("Ohio_South_FIPS_3402", 40.0333333333, 38.7333333333, 38.0, -82.5, 600000, 0),
+    # Virginia (FIPS 4501-4502)
+    32146: ("Virginia_North_FIPS_4501", 39.2, 38.0333333333, 37.6666666667, -78.5, 3500000, 2000000),
+    32147: ("Virginia_South_FIPS_4502", 37.9666666667, 36.7666666667, 36.3333333333, -78.5, 3500000, 1000000),
+    # North Carolina (FIPS 3200), Maryland (FIPS 1900)
+    32119: ("North_Carolina_FIPS_3200", 36.1666666667, 34.3333333333, 33.75, -79.0, 609601.22, 0),
+    26985: ("Maryland_FIPS_1900", 39.45, 38.3, 37.6666666667, -77.0, 400000, 0),
+    # Massachusetts Mainland (FIPS 2001)
+    26986: ("Massachusetts_Mainland_FIPS_2001", 42.6833333333, 41.7166666667, 41.0, -71.5, 200000, 750000),
+    # Michigan (FIPS 2111-2113)
+    26988: ("Michigan_North_FIPS_2111", 47.0833333333, 45.4833333333, 44.7833333333, -87.0, 8000000, 0),
+    26989: ("Michigan_Central_FIPS_2112", 45.7, 44.1833333333, 43.3166666667, -84.3666666667, 6000000, 0),
+    26990: ("Michigan_South_FIPS_2113", 43.6666666667, 42.1, 41.5, -84.3666666667, 4000000, 0),
+    # Oregon (FIPS 3601-3602)
+    32126: ("Oregon_North_FIPS_3601", 46.0, 44.3333333333, 43.6666666667, -120.5, 2500000, 0),
+    32127: ("Oregon_South_FIPS_3602", 44.0, 42.3333333333, 41.6666666667, -120.5, 1500000, 0),
 }
 # Transverse Mercator zones:
 #   code -> (esri zone name, lat0, cm, scale, false_e, false_n)
@@ -147,6 +173,19 @@ _SP_TM: dict[int, tuple] = {
     # Florida East/West (FIPS 0901-0902)
     26958: ("Florida_East_FIPS_0901", 24.3333333333, -81.0, 0.999941177, 200000, 0),
     26959: ("Florida_West_FIPS_0902", 24.3333333333, -82.0, 0.999941177, 200000, 0),
+    # round-7 growth: remaining high-traffic TM zones
+    # Illinois (FIPS 1201-1202)
+    26971: ("Illinois_East_FIPS_1201", 36.6666666667, -88.3333333333, 0.999975, 300000, 0),
+    26972: ("Illinois_West_FIPS_1202", 36.6666666667, -90.1666666667, 0.999941177, 700000, 0),
+    # Georgia (FIPS 1001-1002)
+    26966: ("Georgia_East_FIPS_1001", 30.0, -82.1666666667, 0.9999, 200000, 0),
+    26967: ("Georgia_West_FIPS_1002", 30.0, -84.1666666667, 0.9999, 700000, 0),
+    # Arizona (FIPS 0201-0203)
+    26948: ("Arizona_East_FIPS_0201", 31.0, -110.1666666667, 0.9999, 213360, 0),
+    26949: ("Arizona_Central_FIPS_0202", 31.0, -111.9166666667, 0.9999, 213360, 0),
+    26950: ("Arizona_West_FIPS_0203", 31.0, -113.75, 0.999933333, 213360, 0),
+    # New Jersey (FIPS 2900)
+    32111: ("New_Jersey_FIPS_2900", 38.8333333333, -74.5, 0.9999, 150000, 0),
 }
 
 

@@ -488,3 +488,32 @@ def test_stateplane_binary_format_roundtrip(tmp_path):
     shp = tmp_path / "sp.shp"
     write_dataframe(pdf, str(shp), crs=26945)
     assert read_info(str(shp))["crs"] == "EPSG:26945"
+
+
+def test_stateplane_round7_zones():
+    """Round-7 growth zones (PA/CO/OH/VA/NC/MD/MA/MI/OR Lambert,
+    IL/GA/AZ/NJ TM) serialize full WKT and identify both ways; the
+    generic loop test above covers every table entry — this pins the
+    codes themselves against regressions in the tables."""
+    from pyogrio_spark.crs import crs_to_wkt, epsg_from_wkt
+
+    expect = {
+        32128: "Pennsylvania_North", 26954: "Colorado_Central",
+        32122: "Ohio_North", 32146: "Virginia_North",
+        32119: "North_Carolina", 26985: "Maryland",
+        26986: "Massachusetts_Mainland", 26989: "Michigan_Central",
+        32126: "Oregon_North", 26971: "Illinois_East",
+        26966: "Georgia_East", 26949: "Arizona_Central",
+        32111: "New_Jersey",
+    }
+    for code, frag in expect.items():
+        wkt = crs_to_wkt(code)
+        assert frag in wkt and "LOCAL_CS" not in wkt, code
+        assert epsg_from_wkt(wkt) == code
+    # authority-less Esri names resolve to the zone
+    assert epsg_from_wkt('PROJCS["NAD_1983_StatePlane_Michigan_South_FIPS_2113"]') == 26990
+    assert epsg_from_wkt('PROJCS["NAD_1983_StatePlane_New_Jersey_FIPS_2900"]') == 32111
+    # spot-check SPCS83 parameters
+    assert 'PARAMETER["False_Easting",914401.8289]' in crs_to_wkt(26953)
+    assert 'PARAMETER["Scale_Factor",0.999975]' in crs_to_wkt(26971)
+    assert 'PARAMETER["False_Northing",2000000]' in crs_to_wkt(32146)
