@@ -83,6 +83,11 @@ HEADLINE = [
     "geo_tile_pyramid",
     # per-(lang, source) corpus report card with exact percentiles
     "corpus_stats",
+    # round-7 additions: copy-on-write MERGE + NULL-safe DELETE snapshot
+    # ops end-to-end; OGRSQL dialect translation running as one Catalyst
+    # statement
+    "table_upsert",
+    "sql_ogr_dialect",
 ]
 
 
