@@ -382,13 +382,71 @@ def run_once_scrub(cpus: int, n_docs: int) -> dict:
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
+def run_once_tokenize(cpus: int, n_docs: int) -> dict:
+    """Round-7 operator family: greedy subword segmentation after the
+    single-pass mapInPandas rework (tokenizer.py tokenize_greedy).
+    Shape under test: corpus word explode (zero-shuffle), distinct-word
+    aggregation (one shuffle, map-side combine), ONE Arrow-batched
+    segmentation stage over the dimension-sized distinct table (~1M
+    words here), hash join back onto the word stream, then a
+    column-consuming aggregate. The Python stage is bounded by distinct
+    words, not corpus size, so the scaling axis is the JVM
+    explode/join/aggregate volume — the 100 TB shape."""
+    from pyspark.sql import functions as F
+
+    from pyogrio_spark.operators.tokenizer import tokenize_greedy
+    from pyogrio_spark.session import get_spark
+
+    # measured: a 48g heap makes THIS job wildly unstable on the shared
+    # host (2M docs: 26s first run, then 60-360s repeats — GC/paging
+    # thrash against co-tenants), while a 16g heap is stable at 16-19s
+    # per repeat. The string-heavy shuffles here never need tens of GB.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    spark = get_spark(
+        f"scaling_tok_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.range(n_docs, numPartitions=4 * cpus).select(
+        F.col("id").alias("doc_id"),
+        # 12 words/doc drawn from a 1M-value pool: distinct-word table
+        # is dimension-sized, corpus word stream is 12x n_docs
+        F.concat_ws(
+            " ",
+            *[((F.col("id") * (48271 + j)) % 1_000_000).cast("string") for j in range(12)],
+        ).alias("text"),
+    )
+    vocab = [str(d) for d in range(10)] + [
+        f"{a}{b}" for a in "0123456789" for b in "0123456789"
+    ]
+
+    def run():
+        out = tokenize_greedy(docs, vocab)
+        row = out.select(
+            F.count("*").alias("n"),
+            F.sum(F.length("token")).alias("chars"),
+            F.sum("tok_pos").alias("psum"),
+        ).collect()[0]
+        return row["n"], row["chars"], row["psum"]
+
+    a = run()  # warm pass (codegen compile + JIT + Arrow worker spin-up)
+    t0 = time.perf_counter()
+    b = run()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    assert a == b
+    return {"cpus": cpus, "docs": n_docs, "tokens": a[0], "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000_000
     job = sys.argv[2] if len(sys.argv) > 2 else "pip"
     runner = {"pip": run_once, "dedup": run_once_shuffle, "knn": run_once_knn,
               "asof": run_once_asof, "asof_window": run_once_asof_window,
               "minhash": run_once_minhash, "scrub": run_once_scrub,
-              "chunk": run_once_chunk, "linededup": run_once_linededup}[job]
+              "chunk": run_once_chunk, "linededup": run_once_linededup,
+              "tokenize": run_once_tokenize}[job]
     r8 = runner(8, n_docs)
     r32 = runner(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
