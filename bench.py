@@ -88,6 +88,9 @@ HEADLINE = [
     # statement
     "table_upsert",
     "sql_ogr_dialect",
+    # hashed-linear quality classifier: one codegen aggregate HOF, zero
+    # shuffle, weight vector as a parsed literal
+    "quality_classifier",
 ]
 
 

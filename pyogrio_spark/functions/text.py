@@ -311,3 +311,56 @@ def repetition_scores(
         )
         out = out.join(lstats, id_col, "left")
     return out.withColumnRenamed("_nw", "n_words")
+
+
+def linear_quality_weights(n_buckets: int = 512, seed: int = 2654435761) -> list[int]:
+    """Deterministic integer milli-weights for the hashed-linear quality
+    model: weight[i] in [-500, 500) milli-units, a pure function of the
+    bucket index so both engines (and any retraining harness) can
+    reproduce the vector without shipping a model file."""
+    return [((i * seed) % 1000) - 500 for i in range(n_buckets)]
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights: list[int] | None = None,
+    bias_milli: int = 0,
+    text_col: str = "text",
+    salt: str = "qw",
+    threshold_milli_per_word: int = 0,
+) -> DataFrame:
+    """fastText-style hashed bag-of-words linear quality classifier —
+    the DCLM / FineWeb-edu quality-filter shape: hash each word into a
+    fixed bucket space, sum the bucket weights, gate on the per-word
+    mean. No reference analogue (pyogrio has no text surface); the
+    model family is the published fastText linear classifier with
+    feature hashing.
+
+    Scale design: the weight vector rides along as ONE parsed array
+    literal (the decontaminate_bloom trick — codebook-sized, parsed
+    once, broadcast with the plan), the word loop is a single
+    ``F.aggregate`` higher-order function over ``split()`` — pure
+    whole-stage codegen, zero shuffle, zero explode, no Python. Scores
+    are exact integer milli-units (bigint), so the oracle is
+    float-free and hash-exact regardless of aggregation order.
+
+    Returns (original columns) + ``n_words``, ``score_milli``,
+    ``keep`` (score_milli >= threshold_milli_per_word * n_words).
+    """
+    w = weights if weights is not None else linear_quality_weights()
+    n = len(w)
+    warr = F.expr("array(" + ",".join(f"{v}L" for v in w) + ")")
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    bucket = lambda t: (  # noqa: E731 — md5-bucket recipe of sampling.hash_bucket
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 15), 16, 10).cast("bigint") % n
+    )
+    score = F.aggregate(
+        words,
+        F.lit(int(bias_milli)).cast("bigint"),
+        lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
+    )
+    out = docs.withColumn("n_words", F.size(words)).withColumn("score_milli", score)
+    return out.withColumn(
+        "keep",
+        F.col("score_milli") >= F.lit(int(threshold_milli_per_word)) * F.col("n_words"),
+    )

@@ -2999,6 +2999,42 @@ SELECT r.doc_id, r.source, r.rn FROM r JOIN t USING (source) WHERE r.rn <= t.tar
 """
 
 
+def q_quality_classifier(spark, sf):
+    """Hashed-linear quality classifier (functions/text.py
+    linear_quality_score): fastText-shape feature hashing + integer
+    milli-weight sum as ONE codegen aggregate HOF — zero shuffle, zero
+    explode, weight vector as a parsed literal. Integer scores make the
+    oracle hash-exact (no float aggregation order)."""
+    from pyogrio_spark.functions.text import linear_quality_score
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = linear_quality_score(docs, threshold_milli_per_word=0)
+    return out.select(
+        "doc_id", F.col("n_words").cast("bigint").alias("n_words"), "score_milli", "keep"
+    )
+
+
+def _quality_oracle() -> str:
+    from pyogrio_spark.functions.text import linear_quality_weights
+
+    vals = ", ".join(f"({i}, {w})" for i, w in enumerate(linear_quality_weights()))
+    return f"""
+WITH wt(bkt, w) AS (VALUES {vals}),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+b AS (SELECT doc_id, ('0x' || substring(md5('qw' || word), 1, 15))::BIGINT % 512 AS bkt
+      FROM words WHERE length(word) > 0),
+s AS (SELECT doc_id, count(*) AS n_words, sum(w) AS score_milli
+      FROM b JOIN wt USING (bkt) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.n_words, 0) AS n_words,
+       coalesce(s.score_milli, 0)::BIGINT AS score_milli,
+       coalesce(s.score_milli, 0) >= 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+ORACLE_QUALITY_CLASSIFIER = _quality_oracle()
+
+
 def q_sql_ogr_dialect(spark, sf):
     """OGRSQL dialect passthrough (sql_dialect.py translate_ogrsql):
     case-blind identifiers (DOC_ID/LANG/SOURCE against lowercase
@@ -3162,7 +3198,11 @@ QUERIES = {
     # decontamination surface as decontaminate_fuzzy) for text_bpe_apply.
     "text_bpe_apply": q_text_bpe_apply,
     "dedup_components": q_dedup_components,
-    "text_features": q_text_features,
+    # round 7 swapped text_features (driver-green r1-r6; the lang-ID +
+    # heuristic-quality stages keep hard signals in-window inside
+    # corpus_curation_rep's gates) to the tail for the new hashed-linear
+    # quality classifier.
+    "quality_classifier": q_quality_classifier,
     # round 6 swapped sim_cosine_topk (driver-green r1-r5; in-window twin
     # sim_ivf_topk_full is checked against the IDENTICAL brute-force
     # oracle, so the cosine kernel keeps its hard signal) for
@@ -3301,6 +3341,7 @@ QUERIES = {
     "geo_measures": q_geo_measures,
     "geo_within_distance": q_geo_within_distance,
     "dedup_minhash_signatures": q_minhash_signatures,
+    "text_features": q_text_features,
     # round 6 (late) window swaps — both driver-green r1-r5, moved to
     # the tail for dedup_lines_global / quality_percentile (see the
     # window-slot notes above); still fully oracled + preflighted.
@@ -3483,6 +3524,7 @@ ORACLES = {
     "events_asof_rates": ORACLE_ASOF,
     "table_upsert": ORACLE_TABLE_UPSERT,
     "sql_ogr_dialect": ORACLE_SQL_OGR_DIALECT,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "read_bounds": f"SELECT doc_id, lon AS xmin, lat AS ymin, lon AS xmax, lat AS ymax FROM {DOCS_GEO_SQL} d",
     "total_bounds": f"""SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax,
         count(*) AS n FROM {DOCS_GEO_SQL} d""",

@@ -44,3 +44,34 @@ def test_repetition_scores_duplicated_5grams(spark):
     assert r.dup5_frac > 0.0
     assert r.dup_line_frac == 1.0       # all four 4-word segments are 'a b c d'
     assert r.top2_frac == round(4 * 2 / 16, 6)
+
+
+def test_linear_quality_score_golden_and_plan(spark):
+    """Hand-computed golden: score is the exact integer sum of the
+    md5-bucket milli-weights of each word (+ bias), and the plan is one
+    codegen projection — no Python stage, no Exchange (zero shuffle)."""
+    import hashlib
+
+    from pyogrio_spark.functions.text import (
+        linear_quality_score,
+        linear_quality_weights,
+    )
+
+    w = linear_quality_weights()
+    docs = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, ""), (2, "x")], "doc_id bigint, text string"
+    )
+
+    def bucket(word):
+        return int(hashlib.md5(("qw" + word).encode()).hexdigest()[:15], 16) % len(w)
+
+    out = {r.doc_id: r for r in linear_quality_score(docs, bias_milli=7).collect()}
+    assert out[0].n_words == 3
+    assert out[0].score_milli == 7 + w[bucket("alpha")] + 2 * w[bucket("beta")]
+    assert out[1].n_words == 0 and out[1].score_milli == 7
+    assert out[2].score_milli == 7 + w[bucket("x")]
+    assert out[0].keep == (out[0].score_milli >= 0)
+    plan = (
+        linear_quality_score(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "Exchange" not in plan
