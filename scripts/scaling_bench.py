@@ -409,11 +409,18 @@ def run_once_tokenize(cpus: int, n_docs: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.range(n_docs, numPartitions=4 * cpus).select(
         F.col("id").alias("doc_id"),
-        # 12 words/doc drawn from a 1M-value pool: distinct-word table
-        # is dimension-sized, corpus word stream is 12x n_docs
+        # 24 words/doc from a 200k-value pool: corpus word stream is
+        # 24x n_docs while the distinct-word table (and therefore the
+        # Python segmentation stage) stays dimension-sized — the Zipf
+        # shape the operator is designed for. This also keeps the
+        # measured scaling axis on the JVM explode/shuffle/join volume:
+        # Python workers are separate PROCESSES not capped by local[N],
+        # so a Python-heavy stage lets a narrow width borrow host cores
+        # and deflates measured efficiency (seen at 0.69 with a 1M-word
+        # pool at only 12 words/doc).
         F.concat_ws(
             " ",
-            *[((F.col("id") * (48271 + j)) % 1_000_000).cast("string") for j in range(12)],
+            *[((F.col("id") * (48271 + j)) % 200_000).cast("string") for j in range(24)],
         ).alias("text"),
     )
     vocab = [str(d) for d in range(10)] + [
