@@ -387,24 +387,44 @@ def run_once_tokenize(cpus: int, n_docs: int) -> dict:
     single-pass mapInPandas rework (tokenizer.py tokenize_greedy).
     Shape under test: corpus word explode (zero-shuffle), distinct-word
     aggregation (one shuffle, map-side combine), ONE Arrow-batched
-    segmentation stage over the dimension-sized distinct table (~1M
-    words here), hash join back onto the word stream, then a
-    column-consuming aggregate. The Python stage is bounded by distinct
-    words, not corpus size, so the scaling axis is the JVM
-    explode/join/aggregate volume — the 100 TB shape."""
+    segmentation stage over the dimension-sized distinct table, hash
+    join back onto the word stream, then a column-consuming aggregate.
+    The Python stage is bounded by distinct words, not corpus size, so
+    the scaling axis is the JVM explode/join/aggregate volume — the
+    100 TB shape.
+
+    SINGLE-BOX CONTROL: string-heavy stages are memory-bandwidth-bound
+    in one JVM (the round-3 shared-bus finding that made the pip family
+    use arithmetic-only synthesis). To separate the operator's plan
+    from the host's bus ceiling, this runner also times ``synth_sec`` —
+    the bare corpus string synthesis+scan with NO tokenizer stage. The
+    honest scaling statement is the ratio of ratios: if full-pipeline
+    N->4N efficiency equals the synthesis efficiency, the tokenizer
+    plan adds zero scaling penalty beyond the shared bus (which a real
+    cluster's per-node buses do not have).
+
+    Heap/GC notes (measured): a 48g heap is wildly unstable here (2M
+    docs: 26s first run then 60-360s repeats — GC/paging thrash against
+    co-tenants); 16g is stable. GC threads are pinned to the width —
+    JVM defaults size GC worker pools to the MACHINE's 32 cores, which
+    silently lends a local[2] run 32 collector threads for its
+    allocation-heavy stages and deflates measured efficiency.
+    """
     from pyspark.sql import functions as F
 
     from pyogrio_spark.operators.tokenizer import tokenize_greedy
     from pyogrio_spark.session import get_spark
 
-    # measured: a 48g heap makes THIS job wildly unstable on the shared
-    # host (2M docs: 26s first run, then 60-360s repeats — GC/paging
-    # thrash against co-tenants), while a 16g heap is stable at 16-19s
-    # per repeat. The string-heavy shuffles here never need tens of GB.
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark(
         f"scaling_tok_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # pin GC worker pools to the width (see docstring)
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ParallelGCThreads={cpus} -XX:ConcGCThreads={max(1, cpus // 4)}"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.range(n_docs, numPartitions=4 * cpus).select(
@@ -440,10 +460,17 @@ def run_once_tokenize(cpus: int, n_docs: int) -> dict:
     t0 = time.perf_counter()
     b = run()
     wall = time.perf_counter() - t0
+    # shared-bus control: bare synthesis+scan of the same corpus, no
+    # tokenizer stages at all (see docstring)
+    docs.select(F.sum(F.length("text"))).collect()  # warm
+    t0 = time.perf_counter()
+    docs.select(F.sum(F.length("text"))).collect()
+    synth = time.perf_counter() - t0
     spark.stop()
     assert a == b
     return {"cpus": cpus, "docs": n_docs, "tokens": a[0], "wall_sec": round(wall, 3),
-            "docs_per_sec": round(n_docs / wall, 1)}
+            "docs_per_sec": round(n_docs / wall, 1),
+            "synth_sec": round(synth, 3)}
 
 
 def main() -> None:
