@@ -151,7 +151,17 @@ def tokenize_greedy(
             )
 
     words = _words_with_index(docs, text_col, id_col, sep)
-    wcounts = words.groupBy("word").agg(F.count("*").alias("_wn"))
+    # materialize the dimension-sized count table ONCE: seg, the head
+    # rank, and both routing joins all read it, and without the
+    # checkpoint each branch re-scans and re-aggregates the full corpus
+    # (4 corpus passes observed in the physical plan). This is the
+    # session-local stand-in for writing the distinct-word table once —
+    # the production shape for a table read many times.
+    wcounts = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("_wn"))
+        .localCheckpoint(eager=True)
+    )
     seg = wcounts.select("word").mapInPandas(
         _segment, schema="word string, tok_pos int, token string"
     )
