@@ -206,3 +206,20 @@ def test_bpe_train_checkpoint_invariant(spark, monkeypatch):
     assert chk == baseline
     # rounds 3, 6, 9 truncate
     assert calls["n"] == 3
+
+
+def test_greedy_corpus_side_joins_via_broadcast(spark):
+    """Scaling property of the Zipf head/tail routing: the head branch
+    (which under Zipf carries ~all occurrences) joins the corpus word
+    stream with a BROADCAST join — the corpus never shuffles for it.
+    The only hash-partition exchanges in the plan are dimension-sized
+    (word counts / segment table / the rare-word tail remainder)."""
+    docs = _docs(spark, ["ab ba ab cc", "ba cc ab"])
+    out = tokenize_greedy(docs, ["a", "b", "c", "ab"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # routing equivalence: forcing head_words=1 routes almost everything
+    # through the tail shuffle join but must not change results
+    tiny = tokenize_greedy(docs, ["a", "b", "c", "ab"], head_words=1)
+    full = {(r.doc_id, r.word_idx, r.tok_pos, r.token) for r in out.collect()}
+    assert {(r.doc_id, r.word_idx, r.tok_pos, r.token) for r in tiny.collect()} == full
