@@ -2081,7 +2081,7 @@ seg(word, pos, tok) AS (
 def q_text_tokenize(spark, sf):
     """Greedy longest-match subword segmentation (WordPiece-style
     maximal munch) against the fixed vocab — distinct words segmented
-    once in a bounded join loop, hash-joined back to the corpus
+    once in a single Arrow-batched pass, routed back to the corpus
     (operators/tokenizer.py). One row per subword token occurrence."""
     from pyogrio_spark.operators.tokenizer import tokenize_greedy
 
