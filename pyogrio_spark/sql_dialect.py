@@ -266,9 +266,10 @@ def translate_ogrsql(
             body = f"{agg}({'DISTINCT ' if agg_distinct else ''}{arg})"
             sel_sql.append(f"{body} AS `{alias or default_alias}`")
             continue
-        raise DataLayerError(
-            f"SQL Expression Parsing Error: unsupported select item {' '.join(item)!r}"
-        )
+        # field arithmetic (OGRSQL supports +,-,*,/,%,|| over fields and
+        # literals in the select list); same token validation as WHERE
+        expr = _rewrite_predicate(item, colmap)
+        sel_sql.append(f"({expr}) AS `{alias or 'FIELD_' + str(len(sel_sql) + 1)}`")
 
     # OGRSQL cannot select geometry but returns it for plain column
     # selects; DISTINCT / aggregate / * selects don't append it.

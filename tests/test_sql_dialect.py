@@ -201,3 +201,26 @@ def test_native_dialect_layer_name_view(spark):
         sql="SELECT name FROM naturalearth_lowres WHERE iso_a3 = 'MEX'",
     )
     assert df.name.tolist() == ["Mexico"]
+
+
+def test_ogrsql_select_list_arithmetic(spark):
+    """OGRSQL field arithmetic in the select list (+ implicit geometry
+    still appended for plain-expression selects)."""
+    df = _rd(
+        spark,
+        sql="SELECT name, pop_est / 1000 AS pop_k FROM naturalearth_lowres WHERE iso_a3 = 'MEX'",
+        sql_dialect="OGRSQL",
+    )
+    assert list(df.columns) == ["name", "pop_k", "geometry"]
+    assert abs(df.iloc[0].pop_k * 1000 - 124574795) < 1000  # fixture MEX pop_est
+    # unknown field inside an expression still errors loudly
+    import pytest as _pytest
+
+    from pyogrio_spark.errors import DataLayerError
+
+    with _pytest.raises(DataLayerError, match="not recognised"):
+        _rd(
+            spark,
+            sql="SELECT nope / 2 AS x FROM naturalearth_lowres",
+            sql_dialect="OGRSQL",
+        )
