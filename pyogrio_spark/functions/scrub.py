@@ -237,12 +237,21 @@ def char_grams(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
                width: int = 16, stride: int = 4) -> DataFrame:
     """Sliding character grams (fixed width, strided) as (key, gram)
     rows — the decontamination unit. Codegen sequence+transform, one
-    explode; distinct per doc so repeated passages count once."""
+    explode; distinct per doc so repeated passages count once.
+
+    The per-doc dedup is ``array_distinct`` BEFORE the explode: the
+    distinctness is within one document (the key rides every row), so
+    a corpus-wide ``.distinct()`` — a full shuffle of the gram stream,
+    the old shape — buys nothing the row-local dedup doesn't (guide
+    §2.4: remove shuffles outright). At 100 TB the gram stream never
+    leaves its scan partition."""
     text = F.col(text_col)
     n = F.greatest(F.length(text) - F.lit(width - 1), F.lit(1))
     starts = F.filter(F.sequence(F.lit(1), n), lambda p: (p - 1) % stride == 0)
-    grams = F.explode(F.transform(starts, lambda p: text.substr(p, F.lit(width)))).alias("gram")
-    return df.select(key_col, grams).distinct()
+    grams = F.explode(
+        F.array_distinct(F.transform(starts, lambda p: text.substr(p, F.lit(width))))
+    ).alias("gram")
+    return df.select(key_col, grams)
 
 
 def decontaminate_bloom(

@@ -146,34 +146,36 @@ def bigram_lm_scores(
     token sequences (gibberish, boilerplate soup) — the standard
     pretraining quality cut when no external LM is available.
 
-    Plan: posexplode + window-lead bigram stream (codegen; the same
-    shape as shingle_rows), two count aggregations (the model), one
-    broadcast-eligible join of the doc bigram stream against the model
-    (kept a hash join — a web-scale bigram table exceeds broadcast),
-    one final per-doc aggregate. Everything JVM-side; the only scalar
-    on the driver is V (vocabulary size).
+    Plan (reworked r8): the bigram stream comes straight from the token
+    array — zip the array with itself shifted by one (two slices +
+    arrays_zip + one explode), a pure zero-shuffle map, where the old
+    posexplode + window-``lead`` shape paid an Exchange + Sort of the
+    whole token stream before the first bigram existed (guide §2.4).
+    Then two count aggregations (the model), one broadcast-eligible
+    join of the doc bigram stream against the model (kept a hash join —
+    a web-scale bigram table exceeds broadcast), one final per-doc
+    aggregate. V (vocabulary size), the only driver scalar, is the
+    distinct-token count of the >=2-token docs — the same set as
+    distinct(w1 UNION ALL w2) at half the explode volume.
 
     -> (id_col, n_bigrams, lm_score) with lm_score rounded to 6
     decimals for cross-engine comparison. Single-token docs have no
     bigrams and are absent (score undefined), matching the SQL oracle.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("_t")).withColumn(
         "_n", F.size("_t")
     )
-    long = toks.filter(F.col("_n") >= 2).select(
-        id_col, "_n", F.posexplode("_t").alias("_p", "_w1")
+    multi = toks.filter(F.col("_n") >= 2)
+    zipped = F.arrays_zip(
+        F.slice(F.col("_t"), 1, F.col("_n") - 1).alias("_w1"),
+        F.slice(F.col("_t"), 2, F.col("_n") - 1).alias("_w2"),
     )
-    w = Window.partitionBy(id_col).orderBy("_p")
-    big = (
-        long.withColumn("_w2", F.lead("_w1").over(w))
-        .filter(F.col("_w2").isNotNull())
-        .select(id_col, "_w1", "_w2")
+    big = multi.select(id_col, F.explode(zipped).alias("_z")).select(
+        id_col, F.col("_z._w1").alias("_w1"), F.col("_z._w2").alias("_w2")
     )
     c2 = big.groupBy("_w1", "_w2").agg(F.count("*").alias("_c2"))
     c1 = big.groupBy("_w1").agg(F.count("*").alias("_c1"))
-    vocab = big.select(F.explode(F.array("_w1", "_w2")).alias("_w")).distinct().count()
+    vocab = multi.select(F.explode("_t").alias("_w")).distinct().count()
     scored = (
         big.join(c2, ["_w1", "_w2"]).join(c1, "_w1")
         .withColumn("_lp", F.log((F.col("_c2") + 1) / (F.col("_c1") + F.lit(vocab))))
@@ -213,10 +215,22 @@ def repetition_scores(
       segments. Omit both to skip the line metrics.
 
     All ratios round to 6 decimals (cross-engine float rule). Every
-    stage is codegen: posexplode + per-doc lead windows + one
-    aggregation tree — documents are bounded-length, so per-doc window
-    partitions are bounded and the whole operator scales as one
-    shuffle over the token stream plus doc-sized aggregates.
+    stage is codegen.
+
+    Plan shape (reworked r8, guide §2.4): the old form unioned one
+    filtered branch per n — Catalyst pushes the filters below the union,
+    so the Exchange+Sort+Window token subtree executed once per n (4x),
+    the per-n stats came back through four broadcast joins, and the line
+    metrics re-exploded the scan into a collect_list aggregate (26
+    Exchanges at 4 Windows total). Now ONE lead window feeds ONE
+    unified (doc, n, gram) stream — every n-gram, and (for the
+    ``line_words`` mode) each line as the null-skipping concat_ws of
+    ``line_words`` leads at line-start positions, tagged _n=0 — and
+    because the stream stays clustered by the window's doc partitioning,
+    the whole (doc,n,gram) -> (doc,n) -> (doc) aggregation chain runs
+    exchange-free. ``n_words`` is recomputed per doc from the token
+    array (zero shuffle) instead of a count over the exploded stream.
+    Net: 1 Exchange + 1 Window + 1 broadcast join.
     """
     import re as _re
 
@@ -225,44 +239,83 @@ def repetition_scores(
     toks = docs.select(
         id_col, F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("i", "w")
     ).filter(F.length("w") > 0)
-    nw = toks.groupBy(id_col).agg(F.count("*").alias("_nw"))
 
-    w = Window.partitionBy(id_col).orderBy("i")
     ns = sorted(set(top_ns) | {dup_n})
     max_n = max(ns)
+    line_mode = line_sep is None and line_words is not None
+    lead_n = max(max_n - 1, (line_words - 1) if line_mode else 0)
+    w = Window.partitionBy(id_col).orderBy("i")
     led = toks.select(
-        id_col, "w", *[F.lead("w", k).over(w).alias(f"_w{k}") for k in range(1, max_n)]
+        id_col, "i", "w", *[F.lead("w", k).over(w).alias(f"_w{k}") for k in range(1, lead_n + 1)]
     )
-    grams = None
+
+    entries = []
     for n in ns:
         parts = [F.col("w")] + [F.col(f"_w{k}") for k in range(1, n)]
-        g = (
-            led.filter(F.col(f"_w{n-1}").isNotNull())
-            .select(id_col, F.lit(n).alias("_n"), F.concat_ws(" ", *parts).alias("_g"))
+        entries.append(
+            F.when(
+                F.col(f"_w{n-1}").isNotNull(),
+                F.struct(F.lit(n).alias("_n"), F.concat_ws(" ", *parts).alias("_g")),
+            )
         )
-        grams = g if grams is None else grams.unionByName(g)
+    if line_mode:
+        # a line of the line_words-segmentation starts at every position
+        # i % line_words == 0; concat_ws skips the NULL leads past the
+        # document end, producing the (possibly short) tail line exactly
+        lparts = [F.col("w")] + [F.col(f"_w{k}") for k in range(1, line_words)]
+        entries.append(
+            F.when(
+                F.col("i") % line_words == 0,
+                F.struct(F.lit(0).alias("_n"), F.concat_ws(" ", *lparts).alias("_g")),
+            )
+        )
+    gram_rows = (
+        led.select(id_col, F.explode(F.array(*entries)).alias("_e"))
+        .filter(F.col("_e").isNotNull())
+        .select(id_col, F.col("_e._n").alias("_n"), F.col("_e._g").alias("_g"))
+    )
+
     per = (
-        grams.groupBy(id_col, "_n", "_g")
+        gram_rows.groupBy(id_col, "_n", "_g")
         .agg(F.count("*").alias("_c"))
         .groupBy(id_col, "_n")
         .agg(
             F.max("_c").alias("_mx"),
             F.sum("_c").alias("_tot"),
             F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_dup"),
+            F.sum(F.col("_c") * F.length("_g")).alias("_cl"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_g")).otherwise(F.lit(0))
+            ).alias("_dupl"),
         )
     )
-    out = nw
-    for n in top_ns:
-        out = out.join(
-            per.filter(F.col("_n") == n).select(id_col, F.col("_mx").alias(f"_mx{n}")),
-            id_col,
-            "left",
-        )
-    dup = per.filter(F.col("_n") == dup_n).select(
+    stats = per.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_mx"))).alias(f"_mx{n}")
+            for n in top_ns
+        ],
+        F.max(F.when(F.col("_n") == dup_n, F.col("_dup"))).alias("_dupn"),
+        F.max(F.when(F.col("_n") == dup_n, F.col("_tot"))).alias("_totn"),
+        *(
+            [
+                F.max(F.when(F.col("_n") == 0, F.col("_dup"))).alias("_ldup"),
+                F.max(F.when(F.col("_n") == 0, F.col("_tot"))).alias("_ltot"),
+                F.max(F.when(F.col("_n") == 0, F.col("_dupl"))).alias("_ldupl"),
+                F.max(F.when(F.col("_n") == 0, F.col("_cl"))).alias("_lcl"),
+            ]
+            if line_mode
+            else []
+        ),
+    )
+
+    nw = docs.select(
         id_col,
-        F.round(F.col("_dup") / F.col("_tot").cast("double"), 6).alias(f"dup{dup_n}_frac"),
-    )
-    out = out.join(dup, id_col, "left").select(
+        F.size(
+            F.filter(F.split(F.col(text_col), _re.escape(sep)), lambda t: F.length(t) > 0)
+        ).cast("bigint").alias("_nw"),
+    ).filter(F.col("_nw") > 0)
+
+    out = nw.join(stats, id_col, "left").select(
         id_col,
         F.col("_nw"),
         *[
@@ -272,26 +325,29 @@ def repetition_scores(
             ).alias(f"top{n}_frac")
             for n in top_ns
         ],
-        F.coalesce(F.col(f"dup{dup_n}_frac"), F.lit(0.0)).alias(f"dup{dup_n}_frac"),
+        F.coalesce(
+            F.round(F.col("_dupn") / F.col("_totn").cast("double"), 6), F.lit(0.0)
+        ).alias(f"dup{dup_n}_frac"),
+        *(
+            [
+                F.round(F.col("_ldup") / F.col("_ltot").cast("double"), 6).alias(
+                    "dup_line_frac"
+                ),
+                F.round(F.col("_ldupl") / F.col("_lcl").cast("double"), 6).alias(
+                    "dup_line_char_frac"
+                ),
+            ]
+            if line_mode
+            else []
+        ),
     )
 
-    if line_sep is not None or line_words is not None:
-        if line_sep is not None:
-            lines = docs.select(
-                id_col, F.explode(F.split(F.col(text_col), _re.escape(line_sep))).alias("_line")
-            ).filter(F.length(F.trim("_line")) > 0)
-        else:
-            lines = (
-                toks.groupBy(id_col, (F.col("i") / F.lit(line_words)).cast("bigint").alias("_li"))
-                .agg(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s.w
-                        ),
-                        " ",
-                    ).alias("_line")
-                )
-            )
+    if line_sep is not None:
+        # explicit line separator: lines are not derivable from the token
+        # lead stream; keep the separate explode + per-line aggregate
+        lines = docs.select(
+            id_col, F.explode(F.split(F.col(text_col), _re.escape(line_sep))).alias("_line")
+        ).filter(F.length(F.trim("_line")) > 0)
         lstats = (
             lines.groupBy(id_col, "_line")
             .agg(F.count("*").alias("_c"), F.length("_line").alias("_len"))

@@ -592,9 +592,14 @@ def line_dedup_global(
     )
     occ = (F.col(id_col) * F.lit(1 << 20) + F.col("_li")).alias("_occ")
     segs = segs.select(id_col, "_li", "_line", F.md5("_line").alias("_h"), occ)
-    keepers = segs.groupBy("_h").agg(F.min("_occ").alias("_keep"))
+    # keeper = min occurrence PER HASH, decided by a window min over the
+    # hash partitioning instead of the old groupBy + join-back (which
+    # cost the same Exchange plus a second sort, a hash aggregate, and a
+    # sort-merge join of the segment stream against itself — guide §2.4:
+    # two operations keyed the same way share one exchange)
+    wk = Window.partitionBy("_h")
     kept = (
-        segs.join(keepers, "_h")
+        segs.withColumn("_keep", F.min("_occ").over(wk))
         .filter(F.col("_occ") == F.col("_keep"))
         .drop("_h", "_occ", "_keep")
     )
@@ -673,21 +678,34 @@ def span_dedup_global(
         id_col, F.split(F.col(text_col), _re.escape(sep)).alias("_t")
     ).withColumn("_n", F.size("_t"))
     tl = toks.select(id_col, "_n", F.posexplode("_t").alias("_p", "_tok"))
-    ww = Window.partitionBy(id_col).orderBy("_p")
-    parts = [F.col("_tok")] + [F.lead("_tok", j).over(ww) for j in range(1, w)]
+    # gram formation (r8): zip the token array with its w-1 shifted
+    # slices and explode — a zero-shuffle map. The old posexplode +
+    # window-``lead`` shape paid an Exchange + Sort of the token stream
+    # just to see the next w-1 tokens that were already adjacent in the
+    # source array (guide §2.4). All w slices have length n-w+1, so the
+    # zip needs no null padding and positions 0..n-w come out exactly.
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("_t"), j + 1, F.col("_n") - F.lit(w - 1)).alias(f"_g{j}")
+            for j in range(w)
+        ]
+    )
     grams = (
-        tl.withColumn("_g", F.concat_ws(sep, *parts))
-        .filter(F.col("_p") <= F.col("_n") - w)
+        toks.filter(F.col("_n") >= w)
+        .select(id_col, F.posexplode(zipped).alias("_p", "_z"))
         .select(
             id_col,
             "_p",
-            F.md5("_g").alias("_h"),
+            F.md5(F.concat_ws(sep, *[F.col(f"_z._g{j}") for j in range(w)])).alias("_h"),
             (F.col(id_col) * F.lit(1 << 20) + F.col("_p")).alias("_occ"),
         )
     )
-    keepers = grams.groupBy("_h").agg(F.min("_occ").alias("_keep"))
+    # keeper = min occurrence per gram hash via a window min (one
+    # Exchange+Sort on _h) instead of groupBy + join-back (same
+    # Exchange plus an aggregate and a sort-merge self-join)
+    wk = Window.partitionBy("_h")
     covered = (
-        grams.join(keepers, "_h")
+        grams.withColumn("_keep", F.min("_occ").over(wk))
         .filter(F.col("_occ") != F.col("_keep"))
         .select(
             id_col,

@@ -122,7 +122,7 @@ def _docs_geo(spark: SparkSession, sf: str) -> DataFrame:
     hit = per_session.get(sf)
     if hit is not None:
         return hit
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     docs = docs.withColumn("lon", F.expr(LON_EXPR)).withColumn("lat", F.expr(LAT_EXPR))
     docs = docs.withColumn("geometry_wkb", point_wkb_column("lon", "lat"))
     docs = bounds_columns(docs)  # exercises the WKB decode kernel
@@ -136,17 +136,48 @@ def _register_views(spark: SparkSession, sf: str, tables=("lineitem", "orders", 
         spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
 
 
+# scan-split memo: one .rdd.getNumPartitions() planning round trip per
+# (session, path), not per query invocation
+_SCAN_PARTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _read_spread(spark: SparkSession, path: str) -> DataFrame:
+    """Scale-adaptive scan spread for the CPU-heavy text/vector tables
+    (guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The test corpora are written as a single parquet row group, which
+    Spark cannot split below one task — so the whole pre-exchange map
+    side of a query (tokenizing, hashing, regex, span synthesis) would
+    run on ONE core no matter how many the session has (measured 5.1 s
+    -> 0.8 s for text_features at sf1.0 on local[32]). Spread the scan
+    to the session's default parallelism when (and only when) the scan
+    yields fewer splits; a production multi-file table already scans
+    with >= cores splits and passes through untouched, so nothing is
+    shuffled at 100 TB."""
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    memo = _SCAN_PARTS.get(spark)
+    if memo is None:
+        memo = _SCAN_PARTS.setdefault(spark, {})
+    n = memo.get(path)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        memo[path] = n
+    return df.repartition(target) if n < target else df
+
+
 # =============================================================== geo queries
 
 def q_scan_where_project(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return read_table(
         spark, docs, columns=["doc_id", "lang", "n_chars"], where="lang = 'en' AND n_chars > 200", read_geometry=False
     )
 
 
 def q_scan_skip_max(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return read_table(
         spark, docs, columns=["doc_id", "lang", "n_chars"], where="lang = 'en'",
         skip_features=100, max_features=50, read_geometry=False,
@@ -305,7 +336,7 @@ def q_geo_pip_join_boundary(spark, sf):
     ON integer zone edges; include_boundary=True must keep them on BOTH
     refine paths (rect JVM closed interval + generic ray-cast with the
     exact on-segment test)."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    docs = _read_spread(spark, f"{sf}/documents.parquet").select("doc_id")
     docs = docs.withColumn("lon", F.expr(f"CAST(floor({LON_EXPR}) AS DOUBLE)"))
     docs = docs.withColumn("lat", F.expr(f"CAST(floor({LAT_EXPR}) AS DOUBLE)"))
     docs = docs.withColumn("geometry_wkb", point_wkb_column("lon", "lat"))
@@ -417,7 +448,7 @@ def q_geo_intersects_join(spark, sf):
     from pyogrio_spark.functions.geo import rect_wkb_column
     from pyogrio_spark.operators.intersects_join import intersects_join
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     docs = docs.withColumn("lon", F.expr(LON_EXPR)).withColumn("lat", F.expr(LAT_EXPR))
     docs = (
         docs.withColumn("xmin", F.expr(f"lon - ({RECT_W_EXPR})"))
@@ -450,7 +481,7 @@ def q_geo_intersects_join_poly(spark, sf):
     from pyogrio_spark.functions.geo import tri_wkb_column
     from pyogrio_spark.operators.intersects_join import intersects_join
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     docs = (
         docs.withColumn("lon", F.expr(LON_EXPR))
         .withColumn("lat", F.expr(LAT_EXPR))
@@ -502,7 +533,7 @@ def q_curve_linearize(spark, sf):
             rows.append((g.type, len(pts), pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max()))
         return pd.DataFrame(rows, columns=["gtype", "n_pts", "xmin", "ymin", "xmax"])
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     docs = (
         docs.withColumn("lon", F.expr(LON_EXPR))
         .withColumn("lat", F.expr(LAT_EXPR))
@@ -599,10 +630,15 @@ GROUP BY z.zone_id
 
 
 def q_spans_explode(spark, sf):
-    """Synthesize interleaved spans from text deterministically, push the
-    array<struct> through a shuffle, then explode back to flat columns —
-    the span-sequence invariant as an oracle-checkable query."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    """Synthesize interleaved spans from text deterministically, then
+    explode back to flat columns — the span-sequence invariant as an
+    oracle-checkable query. r8: the demonstration repartition(16) that
+    used to sit between synthesis and explode was pure overhead (an
+    Exchange carrying the heavy array<struct> payload, and 16 < cores
+    halved parallelism); the span machinery's shuffle survival stays
+    covered by chunk_pack_global/events pipelines (guide §2.4: remove
+    shuffles outright)."""
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
     docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
@@ -623,7 +659,7 @@ def q_spans_explode(spark, sf):
         )
 
     spans = F.transform(F.sequence(F.lit(0), F.col("_ns") - 1), mk_span)
-    with_spans = docs.withColumn("spans", spans).repartition(16, "doc_id")
+    with_spans = docs.withColumn("spans", spans)
     ex = with_spans.select("doc_id", F.explode("spans").alias("s"))
     return ex.select(
         "doc_id",
@@ -650,32 +686,31 @@ FROM ex
 
 def q_spans_reconstruct(spark, sf):
     """Interleaved-payload round trip: text -> ordered span chunks ->
-    shuffle -> reassembled text. The reconstruction must equal the
-    source byte-for-byte (matches=true for every doc) — the operational
-    form of the span-sequence invariant."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    reassembled text. The reconstruction must equal the source
+    byte-for-byte (matches=true for every doc) — the operational form
+    of the span-sequence invariant. r8: the chunks of one document are
+    born in one row, so the round trip is a pure map — the old
+    repartition(16) + explode + collect_list/array_sort re-grouping
+    re-assembled rows Spark never had to take apart (an Exchange of the
+    whole span payload plus an ObjectHashAggregate, at 16 < cores
+    parallelism). The sort-by-offset invariant is preserved: spans are
+    reassembled through the same array_sort-by-offset path, just
+    without leaving the row (guide §2.4)."""
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
     docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
     spans = F.transform(
         F.sequence(F.lit(0), F.col("_ns") - 1),
         lambda i: F.struct(
-            F.concat_ws(" ", F.slice(F.col("_toks"), i * 5 + 1, 5)).alias("text"),
-            i.cast("int").alias("offset"),
+            i.cast("int").alias("o"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), i * 5 + 1, 5)).alias("t"),
         ),
     )
-    ex = docs.withColumn("spans", spans).repartition(16, "doc_id").select(
-        "doc_id", "text", F.explode("spans").alias("s")
-    )
-    rec = (
-        ex.groupBy("doc_id")
-        .agg(
-            F.first("text").alias("_orig"),
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct(F.col("s.offset").alias("o"), F.col("s.text").alias("t")))), lambda x: x["t"]),
-                " ",
-            ).alias("_rec"),
-        )
+    rec = docs.select(
+        "doc_id",
+        F.col("text").alias("_orig"),
+        F.array_join(F.transform(F.array_sort(spans), lambda x: x["t"]), " ").alias("_rec"),
     )
     return rec.select(
         "doc_id", (F.col("_rec") == F.col("_orig")).alias("matches"), F.md5("_rec").alias("digest")
@@ -695,11 +730,11 @@ SELECT doc_id, (r = orig) AS matches, md5(r) AS digest FROM rec
 # ============================================================ dedup queries
 
 def q_dedup_exact(spark, sf):
-    return exact_dedup(spark.read.parquet(f"{sf}/documents.parquet"))
+    return exact_dedup(_read_spread(spark, f"{sf}/documents.parquet"))
 
 
 def q_minhash_signatures(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     sig = minhash_signature(docs.select("doc_id", "text"), n_hashes=8)
     return sig.select("doc_id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(8)])
 
@@ -726,7 +761,7 @@ ORACLE_MINHASH_SIG = "WITH " + _oracle_sig_cte(8) + "\nSELECT * FROM sig"
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.5, max_bucket=64)
 
 
@@ -750,7 +785,7 @@ WHERE ({matches}) / 16.0 >= 0.5"""
 
 
 def q_simhash(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return simhash_column(docs, use_md5=True)
 
 
@@ -766,7 +801,7 @@ SELECT doc_id, ({recompose}) AS simhash FROM votes"""
 
 
 def q_ngram_jaccard(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return ngram_jaccard_pairs(docs, threshold=0.6)
 
 
@@ -797,7 +832,7 @@ WHERE len(list_intersect(x.s, y.s)) / (len(x.s) + len(y.s) - len(list_intersect(
 
 
 def q_winnow_fingerprints(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return winnow_fingerprints(docs, k=8, window=16, use_md5=True)
 
 
@@ -813,7 +848,7 @@ FROM g
 
 
 def q_fingerprint_overlap(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return fingerprint_overlap_pairs(docs, k=8, window=16, min_shared=2, use_md5=True)
 
 
@@ -846,7 +881,7 @@ def q_decontaminate_fuzzy(spark, sf):
     keys are distinct, so the count is exact)."""
     n_hashes, bands = 16, 4
     rows = n_hashes // bands
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     sig = minhash_signature(docs.select("doc_id", "text"), n_hashes=n_hashes).cache()
 
     def banded(s):
@@ -902,7 +937,7 @@ def q_stratified_sample(spark, sf):
     are lang x source x quality-bucket = thousands of partitions, so
     no single-reducer bottleneck unless one stratum dominates — then
     pre-cut by hash before ranking."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
@@ -931,7 +966,7 @@ def q_decontaminate(spark, sf):
     passage with a (small, broadcast) benchmark set. Benchmark = docs
     with doc_id < 5; result = contaminated corpus docs with the shared-
     fingerprint count."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     # cache: bench and corpus sides otherwise re-execute the winnow
     # lineage each (in production the fingerprint table is persisted)
     fps = winnow_fingerprints(docs, k=8, window=16, use_md5=True).cache()
@@ -966,7 +1001,7 @@ def q_dedup_components(spark, sf):
     same LSH edges."""
     from pyogrio_spark.operators.dedup import connected_components
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     pairs = minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.5, max_bucket=64).select("doc_a", "doc_b")
     return connected_components(pairs).select(F.col("node").alias("doc_id"), "comp")
 
@@ -987,7 +1022,7 @@ SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node"""
 
 
 def q_text_features(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint_md5")
     return docs.select(
         "doc_id", token_count(), word_piece_count(), lang_id(), F.round(quality_score(), 6).alias("quality"), fp
@@ -1000,7 +1035,7 @@ def q_text_tfidf(spark, sf):
     6 decimals — exact across engines."""
     from pyogrio_spark.functions.text import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return tfidf_top_terms(docs, k=5)
 
 
@@ -1032,7 +1067,7 @@ def q_chunk_pack_global(spark, sf):
     single window task."""
     from pyogrio_spark.operators.chunking import chunk_documents, pack_chunks_global
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
     return pack_chunks_global(ch, budget_tokens=128, chunk_tokens=32).select(
         "doc_id",
@@ -1069,7 +1104,7 @@ def q_text_lm_score(spark, sf):
     rounded 6 decimals."""
     from pyogrio_spark.functions.text import bigram_lm_scores
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return bigram_lm_scores(docs)
 
 
@@ -1109,7 +1144,7 @@ def q_text_chunking(spark, sf):
     runs."""
     from pyogrio_spark.operators.chunking import chunk_documents, pack_chunks
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
     return pack_chunks(ch, budget_tokens=128, chunk_tokens=32).select(
         "doc_id",
@@ -1188,7 +1223,7 @@ FROM feat"""
 # ======================================================= similarity queries
 
 def q_sim_topk(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
     out = cosine_topk_bruteforce(emb, probes, k=5)
     return out.select("probe_id", "vec_id", F.col("rank").alias("rnk"))
@@ -1207,7 +1242,7 @@ SELECT probe_id, vec_id, rnk FROM r WHERE rnk <= 5
 
 
 def q_ivf_topk(spark, sf):  # rows-only check (approximate by design)
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     cents = make_centroids(64, 8)
     bucketed = ivf_assign(emb, cents)
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
@@ -1266,7 +1301,7 @@ def q_media_video_frames(spark, sf):
     IEEE-exact)."""
     from pyogrio_spark.operators.multimodal import extract_video_frames
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1317,7 +1352,7 @@ def q_media_audio_features(spark, sf):
     rms == amplitude exactly (n*a^2/n and sqrt(a^2) are IEEE-exact)."""
     from pyogrio_spark.operators.multimodal import extract_audio_features
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1360,7 +1395,7 @@ def q_media_image_features(spark, sf):
     exactly)."""
     from pyogrio_spark.operators.multimodal import extract_image_features
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1402,7 +1437,7 @@ def q_media_resize(spark, sf):
     integer arithmetic ((side*16) // max(w,h), never upsampled)."""
     from pyogrio_spark.operators.multimodal import resize_images
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1445,7 +1480,7 @@ def q_ivf_topk_full(spark, sf):
     result is provably EXACT top-k — the full oracle covers the whole
     IVF machinery (assignment, bucket join, rank); the pruned-nprobe
     recall is gated separately in tests/test_similarity.py."""
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     cents = make_centroids(64, 8)
     bucketed = ivf_assign(emb, cents)
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
@@ -1518,7 +1553,7 @@ def q_geo_within_distance(spark, sf):
     cell-window plan; oracle is the naive cross-join distance filter."""
     from pyogrio_spark.operators.knn import within_distance_join
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     d = docs.selectExpr(
         "doc_id", f"{LON_EXPR} AS xmin", f"{LAT_EXPR} AS ymin"
     ).withColumn("cell_id", F.expr(cell_expr_sql("xmin", "ymin", GEO_RES)))
@@ -1559,7 +1594,7 @@ def q_geo_reproject(spark, sf):
     last ulp."""
     from pyogrio_spark.functions.geo import mercator_x_expr, mercator_y_expr
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     d = docs.selectExpr("doc_id", f"{LON_EXPR} AS lon", f"{LAT_EXPR} AS lat")
     return d.select(
         "doc_id",
@@ -1577,7 +1612,7 @@ def q_ivf2_topk_full(spark, sf):
     probing is recall-gated in tests/test_similarity.py."""
     from pyogrio_spark.operators.similarity import ivf2_assign, ivf2_topk, ivf2_train
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     coarse, fine = ivf2_train(emb, dim=64, n_coarse=4, n_fine=4, iters=1)
     bucketed = ivf2_assign(emb, coarse, fine)
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
@@ -1603,7 +1638,7 @@ def q_ivf2pq_topk_full(spark, sf):
         pq_train,
     )
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     coarse = ivf_train(emb, dim=64, n_centroids=4, iters=1)
     books = pq_train(emb, coarse, dim=64, m=4, k_sub=8, iters=1)
     coded = ivfpq_assign(emb, coarse, books)
@@ -1857,7 +1892,7 @@ def q_geo_curation(spark, sf):
     joined = point_in_polygon_join(
         _docs_geo(spark, sf), cover, zone_key="zone_id", keep_doc_cols=["doc_id"]
     )
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    docs = _read_spread(spark, f"{sf}/documents.parquet").select("doc_id", "text")
     d = joined.join(docs, "doc_id").withColumn("_tok", token_count())
     w = Window.partitionBy("zone_id", F.md5("text")).orderBy("doc_id")
     deduped = d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
@@ -1899,7 +1934,7 @@ def q_corpus_curation(spark, sf):
     """Composed training-data pipeline: exact-dedup -> quality gate ->
     language filter -> per-language token budget accounting. One query
     exercising dedup + text features + aggregation together."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     w = F.row_number().over(Window.partitionBy(fp).orderBy("doc_id"))
     deduped = docs.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
@@ -1949,7 +1984,7 @@ def q_dataset_split(spark, sf):
     before the aggregate."""
     from pyogrio_spark.operators.sampling import hash_split
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     out = hash_split(docs, key_col="doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1})
     return out.groupBy("lang", "split").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
 
@@ -1972,7 +2007,7 @@ def q_domain_mix(spark, sf):
     hash falls under frac(w). Output: per (lang, copy_idx) counts."""
     from pyogrio_spark.operators.sampling import resample_to_weights
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     out = resample_to_weights(docs, {"en": 1.5, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.5}, group_col="lang")
     return out.groupBy("lang", "copy_idx").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
 
@@ -1998,7 +2033,7 @@ def q_token_budget(spark, sf):
     sum (two-phase, no single-reducer window) — longest docs first."""
     from pyogrio_spark.operators.budget import budget_filter
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     docs = docs.withColumn("token_count", token_count())
     # longest-first order needs an ascending sortable column for the range shuffle
     docs = docs.withColumn("neg_tokens", -F.col("token_count"))
@@ -2085,7 +2120,7 @@ def q_text_tokenize(spark, sf):
     (operators/tokenizer.py). One row per subword token occurrence."""
     from pyogrio_spark.operators.tokenizer import tokenize_greedy
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return tokenize_greedy(docs, TOKENIZER_VOCAB)
 
 
@@ -2129,7 +2164,7 @@ def q_bpe_train_merges(spark, sf):
     apply each merge. Returns the codebook-sized merge table."""
     from pyogrio_spark.operators.tokenizer import train_bpe_merges
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     merges = train_bpe_merges(docs, num_merges=_BPE_MERGES)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, freq bigint"
@@ -2154,7 +2189,7 @@ def q_text_bpe_apply(spark, sf):
     stream. One row per BPE token occurrence."""
     from pyogrio_spark.operators.tokenizer import apply_bpe_merges, train_bpe_merges
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     merges = train_bpe_merges(docs, num_merges=_BPE_MERGES)
     return apply_bpe_merges(docs, [(l, r) for _, l, r, _ in merges])
 
@@ -2183,7 +2218,7 @@ def q_token_budget_subword(spark, sf):
     from pyogrio_spark.operators.budget import budget_filter
     from pyogrio_spark.operators.tokenizer import subword_token_counts
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     cnt = subword_token_counts(docs, TOKENIZER_VOCAB, count_col="token_count")
     docs = docs.select("doc_id", "lang").join(cnt, "doc_id")
     docs = docs.withColumn("neg_tokens", -F.col("token_count"))
@@ -2228,7 +2263,7 @@ def q_semdedup_exact(spark, sf):
     Exact within-cluster pairs; returns the kept set."""
     from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     cents = make_centroids(64, 8)
     return semantic_dedup(emb, cents, threshold=float(_SEMDEDUP_EPS))
 
@@ -2241,7 +2276,7 @@ def q_semdedup_pruned(spark, sf):
     pruned-nprobe IVF whose probe choice is score-dependent."""
     from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     cents = make_centroids(64, 8)
     return semantic_dedup(
         emb, cents, threshold=float(_SEMDEDUP_EPS), probe_cap=_SEMDEDUP_CAP
@@ -2300,7 +2335,7 @@ def q_text_repetition(spark, sf):
     token explode, per-doc lead windows, one aggregation tree."""
     from pyogrio_spark.functions.text import repetition_scores
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return repetition_scores(docs, line_words=_REP_LINE_WORDS)
 
 
@@ -2360,7 +2395,7 @@ def q_corpus_curation_rep(spark, sf):
     composition."""
     from pyogrio_spark.functions.text import repetition_scores
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     w = F.row_number().over(Window.partitionBy(fp).orderBy("doc_id"))
     deduped = docs.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
@@ -2442,7 +2477,7 @@ def q_dedup_lines_global(spark, sf):
     chunk_documents; keeper decision is a bigint min over md5(line)."""
     from pyogrio_spark.operators.dedup import line_dedup_global
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return line_dedup_global(docs, line_words=_LINE_DEDUP_WORDS)
 
 
@@ -2459,7 +2494,7 @@ def q_dedup_spans_global(spark, sf):
     no suffix array, no all-pairs."""
     from pyogrio_spark.operators.dedup import span_dedup_global
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return span_dedup_global(docs, window_tokens=_SPAN_DEDUP_WINDOW)
 
 
@@ -2531,7 +2566,7 @@ def q_quality_percentile(spark, sf):
     from pyogrio_spark.functions.text import bigram_lm_scores
     from pyogrio_spark.operators.sampling import percentile_filter
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     scored = bigram_lm_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
     return percentile_filter(scored, "lm_score", 0.7, group_col="lang").select(
         "doc_id", "lang", F.col("n_bigrams"), "lm_score", "pct_rank"
@@ -2603,7 +2638,7 @@ def q_text_normalize(spark, sf):
     output keyed by md5 of the normalized text."""
     from pyogrio_spark.functions.scrub import normalize_text
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     aug = F.concat(
         F.col("text"),
         F.lit("\t" + _MESS),
@@ -2641,7 +2676,7 @@ def q_text_pii_redact(spark, sf):
     positions exactly. Pure map stage — regexp codegen, zero shuffle."""
     from pyogrio_spark.functions.scrub import pii_counts, redact_pii
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     d = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     aug = F.concat(
@@ -2706,7 +2741,7 @@ def q_url_domains(spark, sf):
     the doc-level (not URL-level) drop is the point."""
     from pyogrio_spark.functions.scrub import doc_url_table, filter_blocked_domains
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     d = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     aug = F.concat(
@@ -2764,7 +2799,7 @@ def q_decontaminate_bloom(spark, sf):
     count(DISTINCT hash)=k), so even Bloom false positives match."""
     from pyogrio_spark.functions.scrub import decontaminate_bloom
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return decontaminate_bloom(
         docs.filter("doc_id >= 5"),
         docs.filter("doc_id < 5"),
@@ -2808,7 +2843,7 @@ def q_cluster_sample(spark, sf):
     stratified_sample keep rule."""
     from pyogrio_spark.operators.similarity import cluster_balanced_sample, make_centroids
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
     return cluster_balanced_sample(emb, make_centroids(64, 8), n_per_cluster=16)
 
 
@@ -2851,7 +2886,7 @@ def q_corpus_stats(spark, sf):
     percentile_filter_approx twin) when the group count explodes."""
     from pyogrio_spark.functions.text import quality_score, token_count
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     feat = docs.select("lang", "source", "n_chars", token_count(), quality_score())
     return feat.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
@@ -2918,14 +2953,15 @@ def _oracle_tile_pyramid() -> str:
 def q_spans_strip_media(spark, sf):
     """Span-kind projection with offset compaction (functions/spans.py
     filter_spans_kind): synthesize the interleaved sequence (same
-    derivation as spans_explode), shuffle it, strip the media spans,
-    re-compact offsets to 0..n-1 — keeping orig_offset so the oracle
-    proves order survival. The sequence edit is pure HOF codegen
-    (filter + transform-with-index), no explode until the flat
-    projection at the end."""
+    derivation as spans_explode), strip the media spans, re-compact
+    offsets to 0..n-1 — keeping orig_offset so the oracle proves order
+    survival. The sequence edit is pure HOF codegen (filter +
+    transform-with-index), no explode until the flat projection at the
+    end; r8 removed the demonstration repartition(16) (guide §2.4),
+    making the whole query a zero-shuffle map."""
     from pyogrio_spark.functions.spans import strip_media_spans
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
     docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
@@ -2947,7 +2983,7 @@ def q_spans_strip_media(spark, sf):
         )
 
     spans = F.transform(F.sequence(F.lit(0), F.col("_ns") - 1), mk_span)
-    with_spans = docs.select("doc_id", spans.alias("spans")).repartition(16, "doc_id")
+    with_spans = docs.select("doc_id", spans.alias("spans"))
     stripped = strip_media_spans(with_spans)
     ex = stripped.select("doc_id", F.explode("spans").alias("s"))
     return ex.select(
@@ -2981,7 +3017,7 @@ def q_temperature_resample(spark, sf):
     data-dependent weights, vs domain_mix's fixed weights."""
     from pyogrio_spark.operators.sampling import temperature_resample
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     return temperature_resample(docs, alpha=0.5, total=200, group_col="source").select(
         "doc_id", "source", "rn"
     )
@@ -3007,7 +3043,7 @@ def q_quality_classifier(spark, sf):
     oracle hash-exact (no float aggregation order)."""
     from pyogrio_spark.functions.text import linear_quality_score
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_spread(spark, f"{sf}/documents.parquet")
     out = linear_quality_score(docs, threshold_milli_per_word=0)
     return out.select(
         "doc_id", F.col("n_words").cast("bigint").alias("n_words"), "score_milli", "keep"
