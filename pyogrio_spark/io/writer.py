@@ -77,6 +77,20 @@ class SnapshotConflict(RuntimeError):
     read and its commit; the caller must re-read and retry."""
 
 
+def _parquet_row_count(data_dir: str) -> int:
+    """Row count of a written snapshot dir from parquet footers only —
+    no Spark job, no data pages read (footer metadata carries per-file
+    num_rows). Recurses for partitioned layouts."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -99,17 +113,22 @@ def write_table(
 
     # expensive data write happens OUTSIDE the lock under a unique dir;
     # the id mixes in pid+monotonic nonce so two concurrent writers with
-    # identical content never collide on a data dir
-    count = df.count()
+    # identical content never collide on a data dir. The row count for
+    # the manifest comes from the written files' parquet footers (a
+    # driver-side metadata walk) — the old ``df.count()`` before the
+    # write executed the full input plan a second time, doubling the
+    # cost of every COW MERGE/DELETE rewrite (guide §1.2: don't compute
+    # things you throw away).
     schema_json = df.schema.json()
     nonce = f"{os.getpid()}:{time.monotonic_ns()}"
-    snap_id = hashlib.sha256(f"{nonce}:{count}:{schema_json}:{mode}".encode()).hexdigest()[:16]
+    snap_id = hashlib.sha256(f"{nonce}:{schema_json}:{mode}".encode()).hexdigest()[:16]
     data_dir = os.path.join(path, "data", snap_id)
 
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
+    count = _parquet_row_count(data_dir)
 
     # read-modify-write of the manifest is the critical section
     with _manifest_lock(path):
@@ -383,8 +402,10 @@ def upsert_table(
     for _ in range(max(1, retries)):
         entry = current_snapshot(path)
         if entry is None:
-            n_up = updates.count()
             snap = write_table(updates, path, mode="overwrite")
+            n_up = next(
+                s for s in _read_manifest(path)["snapshots"] if s["id"] == snap
+            )["row_count"]
             return {"snapshot": snap, "matched": 0, "inserted": n_up, "rows": n_up}
         dirs = [os.path.join(path, d) for d in entry["data_dirs"]]
         cur = spark.read.parquet(*dirs)

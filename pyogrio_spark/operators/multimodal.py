@@ -20,6 +20,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread_work(df: DataFrame) -> DataFrame:
+    """Deterministic decode-work spread before the mapInPandas stage:
+    content-keyed (stable under task retries, SPARK-38388) with ~100x
+    more distinct key values than shuffle partitions so the hash
+    spreads evenly. The old fixed 64-value modulus violated guide
+    §2.5's 20-100x rule on a 32-partition session: ~1/3 of partitions
+    came up empty and the rest carried 2-3x skew into the decode."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 100
+    return df.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(n)))
+
+
 def explode_media_spans(docs: DataFrame) -> DataFrame:
     """One row per media span, order/offset preserved — the fan-out from
     the interleaved document model to per-asset work items."""
@@ -99,7 +110,7 @@ def extract_audio_features(docs: DataFrame) -> DataFrame:
     """Media spans -> synthesized WAV fetch -> REAL decode via
     mapInPandas. Same partitioning rationale as extract_media_features."""
     work = explode_media_spans(docs)
-    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    work = _spread_work(work)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,7 +205,7 @@ def resize_images(docs: DataFrame, max_side: int = 16) -> DataFrame:
     the resized payload. -> (doc_id, media_ref, span_offset, width,
     height, maxval, mean_luma) for the THUMBNAIL."""
     work = explode_media_spans(docs)
-    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    work = _spread_work(work)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,7 +227,7 @@ def extract_image_features(docs: DataFrame) -> DataFrame:
     """Media spans -> synthesized PGM fetch -> REAL decode via
     mapInPandas (the image twin of extract_audio_features)."""
     work = explode_media_spans(docs)
-    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    work = _spread_work(work)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -305,7 +316,7 @@ def extract_video_frames(docs: DataFrame, every_n: int = 2, max_frames: int = 4)
     frame sampling via mapInPandas. One output row per sampled frame
     (the video twin of extract_audio_features/extract_image_features)."""
     work = explode_media_spans(docs)
-    work = work.repartition(F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    work = _spread_work(work)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -724,7 +724,7 @@ SELECT doc_id, (r = orig) AS matches, md5(r) AS digest FROM rec
 # ============================================================ dedup queries
 
 def q_dedup_exact(spark, sf):
-    return exact_dedup(_read_spread(spark, f"{sf}/documents.parquet"))
+    return exact_dedup(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
 def q_minhash_signatures(spark, sf):
@@ -931,7 +931,7 @@ def q_stratified_sample(spark, sf):
     are lang x source x quality-bucket = thousands of partitions, so
     no single-reducer bottleneck unless one stratum dominates — then
     pre-cut by hash before ranking."""
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
@@ -1978,7 +1978,7 @@ def q_dataset_split(spark, sf):
     before the aggregate."""
     from pyogrio_spark.operators.sampling import hash_split
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     out = hash_split(docs, key_col="doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1})
     return out.groupBy("lang", "split").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
 
@@ -2001,7 +2001,7 @@ def q_domain_mix(spark, sf):
     hash falls under frac(w). Output: per (lang, copy_idx) counts."""
     from pyogrio_spark.operators.sampling import resample_to_weights
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     out = resample_to_weights(docs, {"en": 1.5, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.5}, group_col="lang")
     return out.groupBy("lang", "copy_idx").agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
 
@@ -2733,7 +2733,7 @@ def q_url_domains(spark, sf):
     stats over the survivors. URLs planted deterministically from
     doc_id; docs with a blocked ad domain lose their cdn URLs too —
     the doc-level (not URL-level) drop is the point."""
-    from pyogrio_spark.functions.scrub import doc_url_table, filter_blocked_domains
+    from pyogrio_spark.functions.scrub import doc_url_table
 
     docs = _read_spread(spark, f"{sf}/documents.parquet")
     d = F.col("doc_id")
@@ -2748,9 +2748,26 @@ def q_url_domains(spark, sf):
     )
     aug_docs = docs.select("doc_id", aug.alias("text"))
     block = spark.createDataFrame([(b,) for b in _URL_BLOCKLIST], "domain string")
-    kept = filter_blocked_domains(aug_docs, block)
+    # one URL-regex pass (r8): extract the (doc, url, domain) table
+    # ONCE, mark blocked domains by broadcast left join, and drop whole
+    # documents via a per-doc window max — identical output to running
+    # filter_blocked_domains on the documents and re-extracting from the
+    # survivors (URLs are a pure per-doc derivation), at half the regex
+    # cost and without the extract -> distinct -> anti-join round trip
+    # (guide §1.2/§2.4). filter_blocked_domains remains the doc-level
+    # product operator (pytest tests/test_scrub.py).
+    urls = doc_url_table(aug_docs)
+    marked = urls.join(
+        F.broadcast(block.select("domain").distinct().withColumn("_bad", F.lit(1))),
+        "domain",
+        "left",
+    )
+    kept_urls = (
+        marked.withColumn("_doc_bad", F.max(F.col("_bad")).over(Window.partitionBy("doc_id")))
+        .filter(F.col("_doc_bad").isNull())
+    )
     return (
-        doc_url_table(kept)
+        kept_urls
         .groupBy("domain")
         .agg(F.count_distinct("doc_id").alias("n_docs"), F.count("*").alias("n_urls"))
     )
@@ -3002,7 +3019,7 @@ def q_temperature_resample(spark, sf):
     data-dependent weights, vs domain_mix's fixed weights."""
     from pyogrio_spark.operators.sampling import temperature_resample
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     return temperature_resample(docs, alpha=0.5, total=200, group_col="source").select(
         "doc_id", "source", "rn"
     )

@@ -119,10 +119,13 @@ def test_tile_pyramid_rollup_exact(spark):
 
 
 def test_tile_pyramid_rollup_not_corpus_per_level(spark):
-    """The coarser levels must not re-scan the corpus: every non-base
-    union branch physically reuses the base aggregation's exchange
-    (Spark's logical plan duplicates the lineage per branch; the
-    physical dedup is ReusedExchange, so assert there)."""
+    """The coarser levels must not re-scan the corpus. Since r8 the base
+    level is pinned with localCheckpoint before the rollup chain, so the
+    executed plan's union branches all hang off the checkpointed RDD —
+    the corpus source must appear ZERO times in the final plan (stronger
+    than the old per-branch ReusedExchange dedup this test asserted
+    before), and the intermediate rollup levels still dedup via
+    ReusedExchange/ReusedQueryStage."""
     from pyspark.sql import functions as F
 
     from pyogrio_spark.operators.tiling import tile_pyramid
@@ -135,4 +138,9 @@ def test_tile_pyramid_rollup_not_corpus_per_level(spark):
     out = tile_pyramid(docs, base_res=6, min_res=2)
     out.collect()  # AQE: reuse nodes materialize in the final plan
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") + plan.count("ReusedQueryStage") >= 6 - 2, plan[:2000]
+    # the corpus source (spark.range here) is fully absorbed by the
+    # base-level checkpoint: no union branch re-reads it
+    assert plan.count("Range (0, 100") == 0, plan[:2000]
+    assert plan.count("Scan ExistingRDD") >= 1, plan[:2000]
+    # intermediate levels (res 5..2 feed two branches each) still dedup
+    assert plan.count("ReusedExchange") + plan.count("ReusedQueryStage") >= 2, plan[:2000]
