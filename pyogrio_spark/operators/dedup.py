@@ -131,14 +131,20 @@ def minhash_lsh_pairs(
     max_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified by signature
-    similarity. -> (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    similarity. -> (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    Plan (r8): one groupBy(band, band_key) collects each bucket's
+    members — sorted by key and sliced to ``max_bucket``, the identical
+    member set the old row_number cap kept — and candidate pairs
+    explode per bucket, carrying both signatures. The r1–r7 shape
+    cached the signature table (the self-join would otherwise inline
+    the shingle+md5 lineage into both aliases), capped buckets with a
+    window, and self-joined on (band, band_key) — two extra Exchanges,
+    a session-lingering cache, and a join, for the same Σ bucket² pair
+    stream (guide §2.4). Pair volume is unchanged: capped buckets,
+    never n²."""
     rows = n_hashes // bands
-    # Materialize signatures once: without the barrier, codegen inlines the
-    # full shingle+md5 expression into every band-key projection on BOTH
-    # self-join sides (~2*bands times the hashing). At production scale the
-    # signature table is persisted to storage and reused; cache() is the
-    # in-session equivalent.
-    sigd = minhash_signature(df.select(key_col, text_col), text_col, n_hashes, shingle_k, key_col).cache()
+    sigd = minhash_signature(df.select(key_col, text_col), text_col, n_hashes, shingle_k, key_col)
     banded = sigd.select(
         key_col,
         "sig",
@@ -157,25 +163,28 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(key_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    # cap pathological buckets (boilerplate): keep first max_bucket members
-    w = Window.partitionBy("band", "band_key").orderBy(key_col)
-    banded = banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket).drop("_rn")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(F.col(key_col).alias("k"), F.col("sig").alias("s")))),
+                1,
+                max_bucket,
+            ).alias("_m")
+        )
+        .filter(F.size("_m") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_m, (x, i) -> "
+                    "transform(slice(_m, i + 2, size(_m)), y -> "
+                    "struct(x.k AS doc_a, y.k AS doc_b, x.s AS sig_a, y.s AS sig_b))))"
+                )
+            ).alias("_p")
         )
-        .select(
-            F.col(f"a.{key_col}").alias("doc_a"),
-            F.col(f"b.{key_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select("_p.doc_a", "_p.doc_b", "_p.sig_a", "_p.sig_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     est = (
@@ -376,20 +385,33 @@ def fingerprint_overlap_pairs(
     use_md5: bool = False,
 ) -> DataFrame:
     """Near-dup/plagiarism candidates: docs sharing >= min_shared winnow
-    fingerprints. Same scale shape as the other LSH operators: join on
-    the fingerprint value (bucket = docs sharing one fp, capped), count
-    shared fps per pair. -> (doc_a, doc_b, shared_fps)."""
-    # cache: the self-join would otherwise re-execute the whole
-    # explode+hash+window lineage on BOTH aliases (same reasoning as the
-    # minhash signature barrier; at production scale the fingerprint
-    # table is persisted storage)
-    fps = winnow_fingerprints(df, key_col, text_col, k, window, use_md5).select(key_col, "fp").distinct().cache()
-    wcap = Window.partitionBy("fp").orderBy(key_col)
-    fps = fps.withColumn("_rn", F.row_number().over(wcap)).filter(F.col("_rn") <= max_bucket).drop("_rn")
-    a, b = fps.alias("a"), fps.alias("b")
-    pairs = a.join(
-        b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-    ).select(F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b"))
+    fingerprints. Same scale shape as the other LSH operators: bucket =
+    docs sharing one fp (capped), pairs per bucket, count shared fps
+    per pair. -> (doc_a, doc_b, shared_fps).
+
+    Pair generation (r8): ONE groupBy(fp) collects each bucket's sorted
+    member list (sliced to ``max_bucket`` — identical members to the
+    old row_number cap, which also ordered by key), and pairs explode
+    from the list. The r3–r7 shape cached the fingerprint table, capped
+    it with a window, self-joined, and re-aggregated — two more
+    Exchanges, a cache materialization that lingered for the rest of
+    the session, and a broadcast build, for the same Σ bucket² pair
+    stream (guide §2.4). Bucket lists are <= max_bucket elements, so
+    the per-bucket pair HOF is bounded."""
+    fps = winnow_fingerprints(df, key_col, text_col, k, window, use_md5).select(key_col, "fp").distinct()
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.slice(F.sort_array(F.collect_list(key_col)), 1, max_bucket).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ids, (x, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.doc_a", "_p.doc_b")
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared_fps"))
