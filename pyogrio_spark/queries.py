@@ -154,16 +154,37 @@ def _read_spread(spark: SparkSession, path: str) -> DataFrame:
     to the session's default parallelism when (and only when) the scan
     yields fewer splits; a production multi-file table already scans
     with >= cores splits and passes through untouched, so nothing is
-    shuffled at 100 TB."""
+    shuffled at 100 TB.
+
+    The spread target is size-aware (~256 KB of encoded parquet per
+    task, capped at the session parallelism): at the smoke scales a
+    full-cores spread of a 1 MB table turns every downstream stage into
+    32 near-empty tasks, and iterative operators (the kNN ring loop)
+    pay that scheduler overhead once per round — measured as the guide
+    §2.2 small-task pathology in miniature."""
     df = spark.read.parquet(path)
-    target = spark.sparkContext.defaultParallelism
+    sc = spark.sparkContext
     memo = _SCAN_PARTS.get(spark)
     if memo is None:
         memo = _SCAN_PARTS.setdefault(spark, {})
-    n = memo.get(path)
-    if n is None:
-        n = df.rdd.getNumPartitions()
-        memo[path] = n
+    got = memo.get(path)
+    if got is None:
+        import math
+        import os as _os
+
+        if _os.path.isfile(path):
+            size = _os.path.getsize(path)
+        else:
+            size = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _d, fs in _os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        target = max(2, min(sc.defaultParallelism, math.ceil(size / (256 * 1024))))
+        got = (df.rdd.getNumPartitions(), target)
+        memo[path] = got
+    n, target = got
     return df.repartition(target) if n < target else df
 
 

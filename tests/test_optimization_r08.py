@@ -161,13 +161,24 @@ def test_write_table_footer_count_partitioned(tmp_path, spark):
 
 
 def test_read_spread_splits_single_row_group_scan(spark):
-    """_read_spread widens a sub-parallelism scan to the session's
+    """_read_spread widens a sub-parallelism scan toward the session's
     default parallelism (the test corpora are one parquet row group —
-    unsplittable below one task without it)."""
+    unsplittable below one task without it), sized at ~256 KB of
+    encoded parquet per task so smoke-scale tables don't dissolve into
+    near-empty tasks."""
+    import math
+    import os
+
     from pyogrio_spark.queries import _read_spread
 
-    df = _read_spread(spark, "/root/testdata/sf0.01/documents.parquet")
-    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    path = "/root/testdata/sf0.01/documents.parquet"
+    df = _read_spread(spark, path)
+    expect = max(2, min(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(os.path.getsize(path) / (256 * 1024)),
+    ))
+    assert df.rdd.getNumPartitions() == expect
+    assert expect >= 2
 
 
 def test_bigram_zip_handles_empty_tokens(spark):
