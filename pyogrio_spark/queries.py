@@ -1316,7 +1316,7 @@ def q_media_video_frames(spark, sf):
     IEEE-exact)."""
     from pyogrio_spark.operators.multimodal import extract_video_frames
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1367,7 +1367,7 @@ def q_media_audio_features(spark, sf):
     rms == amplitude exactly (n*a^2/n and sqrt(a^2) are IEEE-exact)."""
     from pyogrio_spark.operators.multimodal import extract_audio_features
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1410,7 +1410,7 @@ def q_media_image_features(spark, sf):
     exactly)."""
     from pyogrio_spark.operators.multimodal import extract_image_features
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1452,7 +1452,7 @@ def q_media_resize(spark, sf):
     integer arithmetic ((side*16) // max(w,h), never upsampled)."""
     from pyogrio_spark.operators.multimodal import resize_images
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     ns = F.least(F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(4))
     spans = F.transform(
@@ -1609,7 +1609,7 @@ def q_geo_reproject(spark, sf):
     last ulp."""
     from pyogrio_spark.functions.geo import mercator_x_expr, mercator_y_expr
 
-    docs = _read_spread(spark, f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     d = docs.selectExpr("doc_id", f"{LON_EXPR} AS lon", f"{LAT_EXPR} AS lat")
     return d.select(
         "doc_id",
