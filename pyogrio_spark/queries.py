@@ -141,7 +141,7 @@ def _register_views(spark: SparkSession, sf: str, tables=("lineitem", "orders", 
 _SCAN_PARTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _read_spread(spark: SparkSession, path: str) -> DataFrame:
+def _read_spread(spark: SparkSession, path: str, key: str = "doc_id") -> DataFrame:
     """Scale-adaptive scan spread for the CPU-heavy text/vector tables
     (guide §2.5 "input skew: one huge unsplittable file ... repartition
     immediately after the read").
@@ -185,7 +185,13 @@ def _read_spread(spark: SparkSession, path: str) -> DataFrame:
         got = (df.rdd.getNumPartitions(), target)
         memo[path] = got
     n, target = got
-    return df.repartition(target) if n < target else df
+    # hash by the row key rather than round-robin: the key is unique so
+    # the spread is just as even, there is no sort-before-repartition,
+    # and every downstream doc-keyed window/groupBy reuses the spread's
+    # partitioning instead of adding its own Exchange of a much larger
+    # derived stream (guide §2.4; repetition_scores 8.3 -> 3.4 s,
+    # minhash 3.2 -> 2.7 s measured in the same window)
+    return df.repartition(target, key) if n < target else df
 
 
 # =============================================================== geo queries
@@ -1238,7 +1244,7 @@ FROM feat"""
 # ======================================================= similarity queries
 
 def q_sim_topk(spark, sf):
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
     out = cosine_topk_bruteforce(emb, probes, k=5)
     return out.select("probe_id", "vec_id", F.col("rank").alias("rnk"))
@@ -1257,7 +1263,7 @@ SELECT probe_id, vec_id, rnk FROM r WHERE rnk <= 5
 
 
 def q_ivf_topk(spark, sf):  # rows-only check (approximate by design)
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     cents = make_centroids(64, 8)
     bucketed = ivf_assign(emb, cents)
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
@@ -1495,7 +1501,7 @@ def q_ivf_topk_full(spark, sf):
     result is provably EXACT top-k — the full oracle covers the whole
     IVF machinery (assignment, bucket join, rank); the pruned-nprobe
     recall is gated separately in tests/test_similarity.py."""
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     cents = make_centroids(64, 8)
     bucketed = ivf_assign(emb, cents)
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
@@ -1627,7 +1633,7 @@ def q_ivf2_topk_full(spark, sf):
     probing is recall-gated in tests/test_similarity.py."""
     from pyogrio_spark.operators.similarity import ivf2_assign, ivf2_topk, ivf2_train
 
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     coarse, fine = ivf2_train(emb, dim=64, n_coarse=4, n_fine=4, iters=1)
     bucketed = ivf2_assign(emb, coarse, fine)
     probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
@@ -1653,7 +1659,7 @@ def q_ivf2pq_topk_full(spark, sf):
         pq_train,
     )
 
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     coarse = ivf_train(emb, dim=64, n_centroids=4, iters=1)
     books = pq_train(emb, coarse, dim=64, m=4, k_sub=8, iters=1)
     coded = ivfpq_assign(emb, coarse, books)
@@ -2278,7 +2284,7 @@ def q_semdedup_exact(spark, sf):
     Exact within-cluster pairs; returns the kept set."""
     from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
 
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     cents = make_centroids(64, 8)
     return semantic_dedup(emb, cents, threshold=float(_SEMDEDUP_EPS))
 
@@ -2291,7 +2297,7 @@ def q_semdedup_pruned(spark, sf):
     pruned-nprobe IVF whose probe choice is score-dependent."""
     from pyogrio_spark.operators.similarity import make_centroids, semantic_dedup
 
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     cents = make_centroids(64, 8)
     return semantic_dedup(
         emb, cents, threshold=float(_SEMDEDUP_EPS), probe_cap=_SEMDEDUP_CAP
@@ -2875,7 +2881,7 @@ def q_cluster_sample(spark, sf):
     stratified_sample keep rule."""
     from pyogrio_spark.operators.similarity import cluster_balanced_sample, make_centroids
 
-    emb = _read_spread(spark, f"{sf}/embeddings.parquet")
+    emb = _read_spread(spark, f"{sf}/embeddings.parquet", key="vec_id")
     return cluster_balanced_sample(emb, make_centroids(64, 8), n_per_cluster=16)
 
 
