@@ -239,6 +239,15 @@ def repetition_scores(
     exchange-free. ``n_words`` is recomputed per doc from the token
     array (zero shuffle) instead of a count over the exploded stream.
     Net: 1 Exchange + 1 Window + 1 broadcast join.
+
+    Line-segmentation contract of the ``line_words`` mode: the lead
+    stream carries only non-empty tokens, so its lines match the old
+    block grouping exactly when the text has no repeated/leading
+    separators (the corpus invariant — the SQL oracles assume it too:
+    their ``i // line_words`` runs over the unfiltered split). With
+    repeated separators the lead-based lines differ from block
+    grouping; line fracs coalesce to 0.0 when no line-start position
+    survives the empty filter.
     """
     import re as _re
 
@@ -291,10 +300,18 @@ def repetition_scores(
             F.max("_c").alias("_mx"),
             F.sum("_c").alias("_tot"),
             F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_dup"),
-            F.sum(F.col("_c") * F.length("_g")).alias("_cl"),
-            F.sum(
-                F.when(F.col("_c") > 1, F.col("_c") * F.length("_g")).otherwise(F.lit(0))
-            ).alias("_dupl"),
+            # character-mass sums feed only the _n=0 line metrics; skip
+            # them entirely when no line mode is active
+            *(
+                [
+                    F.sum(F.col("_c") * F.length("_g")).alias("_cl"),
+                    F.sum(
+                        F.when(F.col("_c") > 1, F.col("_c") * F.length("_g")).otherwise(F.lit(0))
+                    ).alias("_dupl"),
+                ]
+                if line_mode
+                else []
+            ),
         )
     )
     stats = per.groupBy(id_col).agg(
@@ -338,12 +355,12 @@ def repetition_scores(
         ).alias(f"dup{dup_n}_frac"),
         *(
             [
-                F.round(F.col("_ldup") / F.col("_ltot").cast("double"), 6).alias(
-                    "dup_line_frac"
-                ),
-                F.round(F.col("_ldupl") / F.col("_lcl").cast("double"), 6).alias(
-                    "dup_line_char_frac"
-                ),
+                F.coalesce(
+                    F.round(F.col("_ldup") / F.col("_ltot").cast("double"), 6), F.lit(0.0)
+                ).alias("dup_line_frac"),
+                F.coalesce(
+                    F.round(F.col("_ldupl") / F.col("_lcl").cast("double"), 6), F.lit(0.0)
+                ).alias("dup_line_char_frac"),
             ]
             if line_mode
             else []

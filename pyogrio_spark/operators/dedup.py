@@ -133,16 +133,17 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via banded MinHash LSH, verified by signature
     similarity. -> (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
 
-    Plan (r8): one groupBy(band, band_key) collects each bucket's
-    members — sorted by key and sliced to ``max_bucket``, the identical
-    member set the old row_number cap kept — and candidate pairs
-    explode per bucket, carrying both signatures. The r1–r7 shape
-    cached the signature table (the self-join would otherwise inline
-    the shingle+md5 lineage into both aliases), capped buckets with a
-    window, and self-joined on (band, band_key) — two extra Exchanges,
-    a session-lingering cache, and a join, for the same Σ bucket² pair
-    stream (guide §2.4). Pair volume is unchanged: capped buckets,
-    never n²."""
+    Plan (r8): cap each (band, band_key) bucket with the row_number
+    window (WindowGroupLimit — spillable, partially limited map-side,
+    so a boilerplate mega-bucket never materializes in memory), then
+    one partition-local groupBy — it rides the cap window's exchange —
+    collects the bounded member list with signatures, and candidate
+    pairs explode per bucket. The r1–r7 shape additionally cached the
+    signature table (the self-join would otherwise inline the
+    shingle+md5 lineage into both aliases) and self-joined the capped
+    buckets — a session-lingering cache, a join, and an extra
+    aggregation, for the same Σ bucket² pair stream (guide §2.4). Pair
+    volume is unchanged: capped buckets, never n²."""
     rows = n_hashes // bands
     sigd = minhash_signature(df.select(key_col, text_col), text_col, n_hashes, shingle_k, key_col)
     banded = sigd.select(
@@ -163,13 +164,13 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(key_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
+    wcap = Window.partitionBy("band", "band_key").orderBy(key_col)
+    banded = banded.withColumn("_rn", F.row_number().over(wcap)).filter(F.col("_rn") <= max_bucket).drop("_rn")
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct(F.col(key_col).alias("k"), F.col("sig").alias("s")))),
-                1,
-                max_bucket,
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key_col).alias("k"), F.col("sig").alias("s")))
             ).alias("_m")
         )
         .filter(F.size("_m") >= 2)
@@ -389,19 +390,23 @@ def fingerprint_overlap_pairs(
     docs sharing one fp (capped), pairs per bucket, count shared fps
     per pair. -> (doc_a, doc_b, shared_fps).
 
-    Pair generation (r8): ONE groupBy(fp) collects each bucket's sorted
-    member list (sliced to ``max_bucket`` — identical members to the
-    old row_number cap, which also ordered by key), and pairs explode
-    from the list. The r3–r7 shape cached the fingerprint table, capped
-    it with a window, self-joined, and re-aggregated — two more
-    Exchanges, a cache materialization that lingered for the rest of
-    the session, and a broadcast build, for the same Σ bucket² pair
-    stream (guide §2.4). Bucket lists are <= max_bucket elements, so
-    the per-bucket pair HOF is bounded."""
+    Pair generation (r8): cap each fp bucket with the row_number
+    window (WindowGroupLimit — rank-limit pushdown keeps the sort
+    spillable and partially limited map-side, so a degenerate
+    million-member bucket never materializes in memory), then ONE
+    groupBy(fp) — partition-local, it rides the cap window's exchange —
+    collects the now-bounded (<= max_bucket) member list and pairs
+    explode from it. The r3–r7 shape additionally cached the
+    fingerprint table, self-joined the capped buckets, and
+    re-aggregated — a cache materialization that lingered for the rest
+    of the session, a broadcast build, and an extra aggregation, for
+    the same Σ bucket² pair stream (guide §2.4)."""
     fps = winnow_fingerprints(df, key_col, text_col, k, window, use_md5).select(key_col, "fp").distinct()
+    wcap = Window.partitionBy("fp").orderBy(key_col)
+    fps = fps.withColumn("_rn", F.row_number().over(wcap)).filter(F.col("_rn") <= max_bucket).drop("_rn")
     buckets = (
         fps.groupBy("fp")
-        .agg(F.slice(F.sort_array(F.collect_list(key_col)), 1, max_bucket).alias("_ids"))
+        .agg(F.sort_array(F.collect_list(key_col)).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
     pairs = buckets.select(
@@ -597,13 +602,15 @@ def line_dedup_global(
     Scale shape (the part that matters at 100 TB):
     * segmentation reuses ``chunk_documents`` with zero overlap — a
       pure-codegen map, NO shuffle;
-    * the keeper decision is one groupBy on md5(line) (map-side
-      combine; the aggregate is a single bigint ``min``, not a struct,
-      so it stays in codegen) — shuffle #1, keyed by content hash, so
-      boilerplate lines concentrate but reduce to one row each;
-    * keepers join back to the segment stream on the same hash —
-      shuffle #2, AQE-handled skew;
-    * reassembly groups by doc — shuffle #3, bounded by document size.
+    * the keeper decision is a window min over the content-hash
+      partitioning (r8) — ONE Exchange+Sort of the segment stream
+      replaces the old groupBy + sort-merge join-back, which needed the
+      same hash exchange plus an aggregate and a second sort. Hot-key
+      honesty: a line duplicated N times lands in one sort partition
+      either way (AQE cannot split a single key even for the join
+      shape); the sort spills, and the running min is a linear scan —
+      same order of work as the SMJ streaming the hot key;
+    * reassembly groups by doc — shuffle #2, bounded by document size.
     Line index is packed into the keeper key as
     ``doc_id * 2^20 + line_id`` to keep the min() a plain bigint
     (documented bound: 2^20 segments per document — an 8M-word doc at
@@ -685,16 +692,20 @@ def span_dedup_global(
     which is inherently sequential; at a fixed match width the same
     decision is a gram stream plus a content-keyed min, all
     shuffle-bounded:
-    * gram formation: posexplode + ``window_tokens - 1`` ``lead``s
-      over (doc, position) — the ``shingle_rows`` codegen shape; one
-      doc-keyed shuffle of the token stream;
-    * keeper decision: groupBy md5(gram) with a single bigint ``min``
-      (map-side combine; boilerplate grams concentrate but reduce to
-      one row each) — occurrence packed as ``doc_id * 2^20 + pos``,
-      same 2^20-tokens-per-doc bound as line dedup;
-    * duplicate occurrences join back on the hash (AQE skew-handled),
-      explode to ≤ ``window_tokens`` covered offsets each — volume is
-      bounded by actual duplication, not corpus size;
+    * gram formation (r8): ``arrays_zip`` of the token array with its
+      ``window_tokens - 1`` shifted slices, exploded — a ZERO-shuffle
+      codegen map (the old posexplode + ``lead`` shape paid a doc-keyed
+      Exchange+Sort of the token stream first);
+    * keeper decision (r8): window min over the gram-hash partitioning
+      — ONE Exchange+Sort replaces groupBy + sort-merge join-back
+      (same hash exchange, one less sort and no join). Hot-key
+      honesty: a gram duplicated N times sorts in one partition either
+      way (AQE cannot split a single key even in the join shape); the
+      sort spills and the running min is linear. Occurrence packed as
+      ``doc_id * 2^20 + pos``, same 2^20-tokens-per-doc bound as line
+      dedup; non-keeper occurrences explode to ≤ ``window_tokens``
+      covered offsets each — volume bounded by actual duplication,
+      not corpus size;
     * token anti-join + reassembly are doc-keyed shuffles bounded by
       document size.
 

@@ -584,7 +584,10 @@ def semantic_dedup(
     # 3.8 s at sf1.0 with bit-identical output.
     S = max(1, int(salt))
     a = a.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
-    b = b.withColumn("_salt", F.pmod(F.col("_kx"), F.lit(S)).cast("int"))
+    # xxhash64, not key % S: works for ANY key type (a string key would
+    # make pmod NULL and silently match nothing) and spreads clustered
+    # numeric ids
+    b = b.withColumn("_salt", F.pmod(F.xxhash64(F.col("_kx")), F.lit(S)).cast("int"))
     dsum = " + ".join(f"_x{i} * _y{i}" for i in range(1, dim + 1))
     cos = F.expr(f"(0.0D + {dsum}) / (_nx * _ny)")
     removed = (

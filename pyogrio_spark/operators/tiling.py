@@ -162,6 +162,10 @@ def tile_pyramid(
     # checkpoint is tile-count-sized (<= 4^base_res rows), never
     # corpus-sized, so it is safe at any scale and guarantees exactly
     # ONE corpus pass independent of exchange-reuse (guide §3.3).
+    # Known trade (same as connected_components' per-round
+    # localCheckpoint): construction becomes eager, and a lost
+    # executor's checkpoint blocks are not recomputable — acceptable
+    # for a dimension-sized intermediate inside one job.
     cur = cur.localCheckpoint()
     levels = [cur]
     for r in range(base_res, min_res, -1):

@@ -161,17 +161,7 @@ def _read_spread(spark: SparkSession, path: str, key: str = "doc_id") -> DataFra
     full-cores spread of a 1 MB table turns every downstream stage into
     32 near-empty tasks, and iterative operators (the kNN ring loop)
     pay that scheduler overhead once per round — measured as the guide
-    §2.2 small-task pathology in miniature.
-
-    Entry also releases any pins left by PREVIOUS queries' two-phase
-    operators (pin_cache registry): a new query only starts after the
-    previous one's output was materialized, which is exactly the
-    release contract — without it a long query sequence accumulates up
-    to MAX_PINS corpus-sized cached range tables that squeeze the
-    unified memory pool (guide §5: unpersist when done)."""
-    from pyogrio_spark.cache import release_pins
-
-    release_pins()
+    §2.2 small-task pathology in miniature."""
     df = spark.read.parquet(path)
     sc = spark.sparkContext
     memo = _SCAN_PARTS.get(spark)
